@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from flexlight_tpu.ops import buffers as bufmod
+from flexlight_tpu.ops.geometry import world_geometry
+from flexlight_tpu.ops.intersect import BIAS, POW32, moeller_trumbore, ray_cuboid
+from flexlight_tpu.ops.traverse import shadow_coherent, shadow_scan, traverse_coherent, traverse_scan
+from tests.scenes import cornell_scene
+
+
+def brute_force_reference(geometry, origin, direction):
+    """Python closest-hit over triangle rows: the independent oracle."""
+    n = origin.shape[0]
+    best_s = np.full(n, POW32, dtype=np.float64)
+    best_tri = np.full(n, -1, dtype=np.int64)
+    best_uv = np.zeros((n, 2))
+    geometry = np.asarray(geometry)
+    kinds = geometry[:, 10]
+    end = np.argmax(kinds == 0.0) if (kinds == 0.0).any() else len(kinds)
+    for idx, row in enumerate(geometry[:end]):
+        if row[10] != 2.0:
+            continue
+        v0, v1, v2 = row[0:3], row[3:6], row[6:9]
+        e1, e2 = v1 - v0, v2 - v0
+        for r in range(n):
+            d = direction[r]
+            pvec = np.cross(d, e2)
+            det = np.dot(e1, pvec)
+            if abs(det) < BIAS:
+                continue
+            inv = 1.0 / det
+            tvec = origin[r] - v0
+            u = np.dot(tvec, pvec) * inv
+            if u < BIAS or u > 1.0:
+                continue
+            qvec = np.cross(tvec, e1)
+            v = np.dot(d, qvec) * inv
+            if v < BIAS or u + v > 1.0:
+                continue
+            s = np.dot(e2, qvec) * inv
+            if s > best_s[r] or s <= BIAS:
+                continue
+            best_s[r] = s
+            best_tri[r] = idx
+            best_uv[r] = [u, v]
+    return best_s, best_tri, best_uv
+
+
+def _random_rays(rng, n, spread=1.0):
+    origin = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    return origin, direction
+
+
+def _cornell_geometry():
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    return np.asarray(world_geometry(buffers)), camera
+
+
+def test_moeller_trumbore_basic():
+    v0 = jnp.array([0.0, 0.0, 5.0])
+    v1 = jnp.array([2.0, 0.0, 5.0])
+    v2 = jnp.array([0.0, 2.0, 5.0])
+    suv = moeller_trumbore(v0, v1, v2, jnp.array([0.5, 0.5, 0.0]),
+                           jnp.array([0.0, 0.0, 1.0]), POW32)
+    assert abs(float(suv[0]) - 5.0) < 1e-5
+    assert abs(float(suv[1]) - 0.25) < 1e-5
+    assert abs(float(suv[2]) - 0.25) < 1e-5
+    miss = moeller_trumbore(v0, v1, v2, jnp.array([5.0, 5.0, 0.0]),
+                            jnp.array([0.0, 0.0, 1.0]), POW32)
+    assert float(miss[0]) == 0.0
+
+
+def test_ray_cuboid():
+    hit = ray_cuboid(POW32, jnp.array([0.0, 0.0, -5.0]),
+                     1.0 / jnp.array([1e-9, 1e-9, 1.0]),
+                     jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]))
+    assert bool(hit)
+    miss = ray_cuboid(POW32, jnp.array([5.0, 0.0, -5.0]),
+                      1.0 / jnp.array([1e-9, 1e-9, 1.0]),
+                      jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]))
+    assert not bool(miss)
+
+
+@pytest.mark.parametrize("scheme", ["scan", "packet"])
+def test_traversal_matches_bruteforce_cornell(scheme):
+    geometry, camera = _cornell_geometry()
+    rng = np.random.default_rng(3)
+    n = 64
+    origin = np.tile(camera.position, (n, 1)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction[:, 2] = np.abs(direction[:, 2]) + 0.2  # look into the box
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+
+    ref_s, ref_tri, ref_uv = brute_force_reference(geometry, origin.astype(np.float64),
+                                                   direction.astype(np.float64))
+    g = jnp.asarray(geometry)
+    if scheme == "scan":
+        hit = traverse_scan(g, jnp.asarray(origin), jnp.asarray(direction))
+    else:
+        hit = traverse_coherent(g, jnp.asarray(origin), jnp.asarray(direction), tile=16)
+    got_tri = np.asarray(hit.triangle)
+    got_s = np.asarray(hit.suv[:, 0])
+    # All rays starting inside the closed box must hit something
+    assert (ref_tri != -1).all()
+    np.testing.assert_array_equal(got_tri, ref_tri)
+    np.testing.assert_allclose(got_s, ref_s, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("scheme", ["scan", "packet"])
+def test_shadow_matches_expectation(scheme):
+    geometry, camera = _cornell_geometry()
+    g = jnp.asarray(geometry)
+    # Point 1: high in the box, clear path. Point 2: below cube 0
+    # (x in [-3,-1.5], y in [-5,-2], z in [-1,1]) -> occluded upward.
+    origin = jnp.array([[-4.0, 4.0, 0.0], [-2.25, -4.8, 0.0]], dtype=jnp.float32)
+    light = jnp.array([0.0, 4.0, 0.0], dtype=jnp.float32)
+    d = light - origin
+    max_len = jnp.linalg.norm(d, axis=-1)
+    unit = d / max_len[:, None]
+    if scheme == "scan":
+        shadowed = shadow_scan(g, origin, unit, max_len)
+    else:
+        shadowed = shadow_coherent(g, origin, unit, max_len, tile=2)
+    # First point: unobstructed. Second point: inside/behind cube 0 -> shadowed.
+    assert not bool(shadowed[0])
+    assert bool(shadowed[1])
+
+
+def test_world_geometry_transforms_triangles():
+    from flexlight_tpu import Scene, Transform, Triangle
+    from flexlight_tpu.scene.transform import global_registry
+
+    scene = Scene()
+    t = Triangle([1, 0, 0], [2, 0, 0], [1, 1, 0])
+    tr = Transform()
+    tr.rotate_axis([0, 1, 0], np.pi)  # 180 deg about y
+    tr.move(0, 0, 5)
+    t.transform = tr
+    scene.queue.push([t])
+    buffers = bufmod.build_scene_buffers(scene)
+    wg = np.asarray(world_geometry(buffers))
+    # Triangle slot is index 2 (root node, inner node, tri)
+    v0 = wg[2, 0:3]
+    np.testing.assert_allclose(v0, [-1, 0, 5], atol=1e-5)
