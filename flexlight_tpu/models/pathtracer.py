@@ -1,0 +1,253 @@
+"""PathTracer renderer — the flagship model.
+
+TPU-native counterpart of `modules/pathtracerWGL2.js`: owns the compiled
+frame pipeline (pathtrace MRT -> temporal -> denoise filters -> AA), the
+functional history state, scene-buffer uploads, and FPS accounting. The
+reference's per-frame GL orchestration (renderFrame,
+pathtracerWGL2.js:375-554) becomes one jitted pure function of
+(scene buffers, camera, history state, random seed); the texture ping-pong
+index dance of the filter chain is replicated exactly with static Python
+indices, including its dropped-attachment quirks (see _filter_chain).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.buffers import build_scene_buffers
+from ..ops.pathtrace import render_mrt
+from ..post.common import quantize_rgba8, split_hdr
+from ..post.filters import final_filter, first_filter, second_filter
+from ..post.fxaa import fxaa
+from ..post.taa import Jitter, TAAState, taa_apply
+from ..post.temporal import TemporalState, push_frame, temporal_average
+
+
+def _quantized_mrt(mrt, height, width):
+    """Reshape flat MRT to images and apply RGBA8 store quantization the
+    way the reference's render-target textures do (renderTextureBuilder,
+    pathtracerWGL2.js:790-806)."""
+    def img(x, c=None):
+        return x.reshape(height, width) if c is None else x.reshape(height, width, c)
+
+    color = img(mrt.color, 3)
+    alpha = img(mrt.alpha)
+    frac_q, high_q = split_hdr(color)
+    color_q = jnp.concatenate([frac_q, alpha[..., None]], axis=-1)
+    ip_q = jnp.concatenate([high_q, quantize_rgba8(img(mrt.glass))[..., None]], axis=-1)
+    id_q = quantize_rgba8(img(mrt.render_id, 4))
+    oid_q = jnp.concatenate([jnp.zeros((height, width, 3)),
+                             quantize_rgba8(img(mrt.original_id_w))[..., None]], axis=-1)
+    ocolor_q = quantize_rgba8(jnp.concatenate(
+        [img(mrt.original_color, 3), img(mrt.original_w)[..., None]], axis=-1))
+    return color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q
+
+
+def _filter_chain(config: Config, r0, ip0, oc0, id0, oid):
+    """The first/second/final filter ping-pong, index-exact to
+    pathtracerWGL2.js:462-549 — including the reference's quirk that the
+    first two second-pass originalColor writes land on a nonexistent
+    attachment (IdRenderTexture[2/3]) and are dropped, so the second
+    second-pass reads a zero originalColor texture."""
+    zeros = jnp.zeros_like(r0)
+    render = {0: r0, 1: zeros, 2: zeros, 3: zeros}
+    ip = {0: ip0, 1: zeros, 2: zeros, 3: zeros}
+    ids = {0: id0, 1: zeros}
+    ocolor = {0: oc0, 1: zeros}
+    n = n_id = n_original = 0
+    first, second = config.first_passes, config.second_passes
+    for i in range(first + second):
+        np_ = (i % 2) ^ 1
+        npo = ((i - first) % 2) ^ 1
+        if i >= first:
+            np_ += 2
+        inputs = (render[n], ip[n], ocolor[n_original], ids[n_id], oid)
+        if i < first:
+            c, p, idout = first_filter(*inputs)
+            render[np_], ip[np_] = c, p
+            ids[np_] = idout
+        else:
+            c, p, oc = second_filter(*inputs)
+            render[np_], ip[np_] = c, p
+            if i - 2 >= first:
+                ocolor[npo] = oc  # earlier second passes: write dropped
+        n = np_
+        if i >= first:
+            n_original = npo
+        else:
+            n_id = np_
+    index = 2 + (first + second) % 2
+    index_id = first % 2
+    index_original = second % 2
+    return final_filter(render[index], ip[index], ocolor[index_original],
+                        ids[index_id], oid, config.hdr)
+
+
+def postprocess_mrt(mrt, temporal_state: TemporalState, taa_state: TAAState,
+                    width: int, height: int, config: Config):
+    """temporal -> denoise -> AA, shared by the single-chip and sharded
+    pipelines. Returns (display rgb [H,W,3] in [0,1], temporal, taa)."""
+    color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q = _quantized_mrt(mrt, height, width)
+
+    use_aa = config.antialiasing in ("fxaa", "taa")
+    display = None
+
+    if config.temporal:
+        # randomSeed-synced accumulation ring (pathtracerWGL2.js:389-401)
+        temporal_state = push_frame(temporal_state, color_q, ip_q, id_q, oid_q)
+        t_color, t_glass, center_w = temporal_average(temporal_state)
+        if config.filter:
+            frac_q, high_q = split_hdr(t_color)
+            r0 = jnp.concatenate([frac_q, center_w[..., None]], axis=-1)
+            ip0 = jnp.concatenate([high_q, quantize_rgba8(t_glass)[..., None]], axis=-1)
+            display = _filter_chain(config, r0, ip0, ocolor_q, id_q, oid_q)
+        else:
+            # Temporal-only output is raw (the generated shader's HDR branch
+            # is dead code, overwritten at pathtracerWGL2.js:660) and lands
+            # in an RGBA8 target -> clamp.
+            display = jnp.clip(t_color, 0.0, 1.0)
+            if use_aa:
+                display = quantize_rgba8(display)
+    elif config.filter:
+        display = _filter_chain(config, color_q, ip_q, ocolor_q, id_q, oid_q)
+    else:
+        # Direct mode (glsl:625-632): fold in first-hit albedo, no tone map.
+        direct = color * mrt.original_color.reshape(height, width, 3)
+        display = jnp.clip(direct, 0.0, 1.0)
+
+    if use_aa:
+        aa_in = jnp.concatenate([quantize_rgba8(display),
+                                 (alpha > 0).astype(jnp.float32)[..., None]], axis=-1)
+        if config.antialiasing == "fxaa":
+            display = fxaa(aa_in)[..., 0:3]
+        else:
+            out, taa_state = taa_apply(taa_state, aa_in)
+            display = out[..., 0:3]
+
+    return jnp.clip(display, 0.0, 1.0), temporal_state, taa_state
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "scheme", "tile"))
+def frame_pipeline(buffers, cam_pos, view, random_seed,
+                   temporal_state: TemporalState, taa_state: TAAState,
+                   width: int, height: int, config: Config,
+                   scheme: str = "scan", tile: int = 1024):
+    """One full single-chip frame: MRT pathtrace pass + post."""
+    mrt = render_mrt(buffers, width, height, cam_pos, view, config,
+                     random_seed, scheme=scheme, tile=tile)
+    return postprocess_mrt(mrt, temporal_state, taa_state, width, height, config)
+
+
+class PathTracer:
+    """Drop-in renderer object with the reference's duck-type surface
+    (render/halt/updateScene/updatePrimaryLightSources/fps/fpsLimit)."""
+
+    type = "pathtracer"
+
+    def __init__(self, width, height, scene, camera, config,
+                 scheme: str = "scan", tile: int = 1024):
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.canvas_width = int(width)
+        self.canvas_height = int(height)
+        self.fps = 0.0
+        self.fps_limit = float("inf")
+        self.scheme = scheme
+        self.tile = tile
+        self._halt = True
+        self._buffers = None
+        self._temporal_state = None
+        self._taa_state = None
+        self._frame_count = 0
+        self._jitter = Jitter()
+        self._fps_window_start = time.perf_counter()
+        self._fps_frames = 0
+        self._prepared_shape = None
+
+    # --- size derived from renderQuality (pathtracerWGL2.js:809-812) ---
+    @property
+    def width(self) -> int:
+        return max(int(self.canvas_width * self.config.render_quality), 1)
+
+    @property
+    def height(self) -> int:
+        return max(int(self.canvas_height * self.config.render_quality), 1)
+
+    def halt(self):
+        self._halt = True
+
+    def update_scene(self):
+        self._buffers = build_scene_buffers(self.scene)
+
+    def update_primary_light_sources(self):
+        if self._buffers is None:
+            self.update_scene()
+        else:
+            self._buffers = self._buffers._replace(
+                lights=jnp.asarray(self.scene.build_light_array()),
+                ambient=jnp.asarray(np.asarray(self.scene.ambient_light, dtype=np.float32)),
+            )
+
+    # camelCase aliases (reference API)
+    updateScene = update_scene
+    updatePrimaryLightSources = update_primary_light_sources
+
+    @property
+    def fpsLimit(self):
+        return self.fps_limit
+
+    @fpsLimit.setter
+    def fpsLimit(self, value):
+        self.fps_limit = value
+
+    def render(self):
+        """Prepare the engine (buffers + state); frames are then produced by
+        `render_frame()` — the headless analogue of the RAF loop."""
+        self._halt = False
+        self._prepare()
+
+    def _prepare(self):
+        if self._buffers is None:
+            self.update_scene()
+        shape = (self.height, self.width, self.config)
+        if self._prepared_shape != shape:
+            self._temporal_state = TemporalState.create(
+                self.config.temporal_samples, self.height, self.width)
+            self._taa_state = TAAState.create(self.height, self.width)
+            self._frame_count = 0
+            self._prepared_shape = shape
+
+    def render_frame(self) -> np.ndarray:
+        """Render one frame; returns [H, W, 3] float32 in [0, 1]."""
+        if self._halt:
+            self.render()
+        self._prepare()
+        jitter = (0.0, 0.0)
+        if self.config.antialiasing == "taa":
+            jitter = self._jitter.next(self.width, self.height)
+        view = self.camera.view_matrix(self.width, self.height, jitter)
+        temporal_frame = self._frame_count % self.config.temporal_samples
+        random_seed = float(temporal_frame) if self.config.temporal else 0.0
+
+        display, self._temporal_state, self._taa_state = frame_pipeline(
+            self._buffers, jnp.asarray(self.camera.position), jnp.asarray(view),
+            jnp.float32(random_seed), self._temporal_state, self._taa_state,
+            width=self.width, height=self.height, config=self.config,
+            scheme=self.scheme, tile=self.tile)
+
+        self._frame_count += 1
+        self._fps_frames += 1
+        now = time.perf_counter()
+        elapsed = now - self._fps_window_start
+        if elapsed > 0.5:  # 500ms window (pathtracerWGL2.js:293-298)
+            self.fps = self._fps_frames / elapsed
+            self._fps_window_start = now
+            self._fps_frames = 0
+        return np.asarray(display)

@@ -74,17 +74,23 @@ def combine_normal_rme(n, rme):
                       to_4bit_representation(rme[..., 1], rme[..., 2])], axis=-1)
 
 
-def camera_rays(width: int, height: int, position, view_matrix):
+def camera_rays(width: int, height: int, position, view_matrix,
+                row0=0, rows: int | None = None):
     """Camera ray generation replacing the instanced raster pass.
 
     Pixel centers map to the NDC coordinates the reference's vertex shader
     produces (clipSpace.xy / clipSpace.z, pathtracer_vertex.glsl:66-68);
     directions invert the 3x3 view matrix so viewMatrix @ dir = (ndc, 1).
-    Returns (origin [N,3], dir [N,3], ndc [N,2]).
+
+    `row0`/`rows` select a horizontal image strip — the unit of image-tile
+    sharding across chips (row0 may be traced, e.g. axis_index * rows).
+    Returns (origin [N,3], dir [N,3], ndc [N,2]) with N = rows*width.
     """
+    rows = height if rows is None else rows
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
-    ndc_x, ndc_y = jnp.meshgrid(px, py)  # [H, W]
+    row_idx = jnp.arange(rows, dtype=jnp.float32) + jnp.float32(row0)
+    py = 1.0 - (row_idx + 0.5) / height * 2.0
+    ndc_x, ndc_y = jnp.meshgrid(px, py)  # [rows, W]
     ndc = jnp.stack([ndc_x.reshape(-1), ndc_y.reshape(-1)], axis=-1)
     inv_view = jnp.linalg.inv(view_matrix)
     clip = jnp.concatenate([ndc, jnp.ones_like(ndc[:, :1])], axis=-1)
@@ -285,9 +291,16 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
 
 def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                view_matrix, config, random_seed, scheme: str = "scan",
-               tile: int = 1024) -> MRT:
+               tile: int = 1024, row0=0, rows: int | None = None,
+               sample_offset=0.0, local_samples: int | None = None) -> MRT:
     """Full primary+bounce render to the 6-channel MRT contract
-    (glsl:601-646). Returns flat [N=H*W] per-pixel outputs."""
+    (glsl:601-646). Returns flat [N=rows*W] per-pixel outputs.
+
+    `row0`/`rows` render an image strip (tile sharding); `sample_offset`/
+    `local_samples` render a slice of the per-pixel sample loop (sample
+    sharding): global sample index i uses cos(i) as its noise phase
+    (glsl:611-612), so shards pass sample_offset = axis_index * local.
+    """
     world_geom = world_geometry(buffers)
 
     if scheme == "packet":
@@ -303,7 +316,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         def shadow_fn(o, d, l):
             return trv.shadow_scan(world_geom, o, d, l)
 
-    origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix)
+    origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix,
+                                         row0=row0, rows=rows)
     n = origin.shape[0]
     primary = traverse_fn(origin, direction)
     covered = primary.triangle != -1
@@ -319,8 +333,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     total = jnp.zeros((n, 3), dtype=jnp.float32)
     original_color = jnp.ones((n, 3), dtype=jnp.float32)
     original_tpo_x = jnp.zeros((n,), dtype=jnp.float32)
-    for s in range(config.samples_per_ray):
-        cos_sample_n = jnp.cos(jnp.float32(s))
+    n_local = config.samples_per_ray if local_samples is None else local_samples
+    for s in range(n_local):
+        cos_sample_n = jnp.cos(jnp.float32(s) + sample_offset)
         color, original_color, original_tpo_x, aux = light_trace(
             buffers, world_geom, primary, camera_pos, direction, ndc,
             cos_sample_n, config, random_seed, traverse_fn, shadow_fn, aux)
