@@ -1,0 +1,50 @@
+"""Shared harness for example scenes (the loader.js analogue)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from flexlight_tpu import FlexLight
+from flexlight_tpu.scene.scene import Texture
+from flexlight_tpu.utils.image import write_png
+
+# Reference assets (objects/*.obj, textures/*.jpg) if mounted
+ASSET_DIR = os.environ.get("FLEXLIGHT_ASSETS", "/root/reference")
+
+
+def asset(path: str) -> str:
+    return os.path.join(ASSET_DIR, path)
+
+
+def load_texture(path: str) -> Texture:
+    """Image file -> Texture (browser Image analogue)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    return Texture(np.asarray(img, dtype=np.float32) / 255.0)
+
+
+def run(engine: FlexLight, name: str, default_frames: int = 4,
+        default_size: int = 192, animate=None):
+    """CLI runner: <frames> <size applied via canvas> <out.png>.
+
+    `animate(t)` is called before each frame with the frame index —
+    the setInterval-animation analogue.
+    """
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else default_frames
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else default_size
+    out = sys.argv[3] if len(sys.argv) > 3 else f"{name}_out.png"
+    engine.canvas = (size, size)
+    engine.renderer.render()
+    img = None
+    for t in range(frames):
+        if animate is not None:
+            animate(t)
+            engine.renderer.update_primary_light_sources()
+        img = engine.renderer.render_frame()
+    write_png(out, img)
+    print(f"wrote {out}  fps={engine.renderer.fps:.2f}")
+    return img

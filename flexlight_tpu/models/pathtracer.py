@@ -150,8 +150,12 @@ class PathTracer:
 
     type = "pathtracer"
 
+    # Above this triangle count the [N, T] MXU epilogue outgrows its win
+    # and the packet/BVH path takes over.
+    MXU_MAX_TRIS = 8192
+
     def __init__(self, width, height, scene, camera, config,
-                 scheme: str = "scan", tile: int = 1024):
+                 scheme: str = "auto", tile: int = 1024):
         self.scene = scene
         self.camera = camera
         self.config = config
@@ -186,6 +190,12 @@ class PathTracer:
     def update_scene(self):
         self._buffers = build_scene_buffers(self.scene)
 
+    def _resolved_scheme(self) -> str:
+        if self.scheme != "auto":
+            return self.scheme
+        return ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
+                else "packet")
+
     def update_primary_light_sources(self):
         if self._buffers is None:
             self.update_scene()
@@ -194,6 +204,16 @@ class PathTracer:
                 lights=jnp.asarray(self.scene.build_light_array()),
                 ambient=jnp.asarray(np.asarray(self.scene.ambient_light, dtype=np.float32)),
             )
+
+    def _refresh_transforms(self):
+        """Per-frame transform upload, mirroring the reference's UBO refill
+        every pathtracing pass (pathtracerWGL2.js:361-363) so animated
+        transforms (wave.js:64-73) take effect without re-flattening."""
+        from ..scene.transform import global_registry
+
+        rot, shift = global_registry().build_arrays()
+        self._buffers = self._buffers._replace(
+            rotations=jnp.asarray(rot), shifts=jnp.asarray(shift))
 
     # camelCase aliases (reference API)
     updateScene = update_scene
@@ -229,6 +249,7 @@ class PathTracer:
         if self._halt:
             self.render()
         self._prepare()
+        self._refresh_transforms()
         jitter = (0.0, 0.0)
         if self.config.antialiasing == "taa":
             jitter = self._jitter.next(self.width, self.height)
@@ -240,7 +261,7 @@ class PathTracer:
             self._buffers, jnp.asarray(self.camera.position), jnp.asarray(view),
             jnp.float32(random_seed), self._temporal_state, self._taa_state,
             width=self.width, height=self.height, config=self.config,
-            scheme=self.scheme, tile=self.tile)
+            scheme=self._resolved_scheme(), tile=self.tile)
 
         self._frame_count += 1
         self._fps_frames += 1

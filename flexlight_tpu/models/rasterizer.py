@@ -52,13 +52,14 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
     uvw = jnp.stack([1.0 - hit.suv[:, 1] - hit.suv[:, 2],
                      hit.suv[:, 1], hit.suv[:, 2]], axis=-1)
 
-    t_idx = buffers.geometry[tri, 9].astype(jnp.int32)
-    rot_f = buffers.rotations[t_idx, 0]
-    shift_f = buffers.shifts[t_idx, 0]
+    # Full-row gathers (row+slice gathers serialize on TPU, see pathtrace.py)
+    t_idx = buffers.geometry[tri][:, 9].astype(jnp.int32)
+    rot_f = buffers.rotations[t_idx][:, 0]
+    shift_f = buffers.shifts[t_idx][:, 0]
 
     # Local position: barycentric over untransformed vertices (the vertex
     # shader varying `position`), world = R p + shift (glsl:228).
-    local_verts = buffers.geometry[tri, 0:9].reshape(n, 3, 3)
+    local_verts = buffers.geometry[tri][:, 0:9].reshape(n, 3, 3)
     local_pos = jnp.einsum("nvi,nv->ni", local_verts, uvw)
     world_pos = jnp.einsum("nij,nj->ni", rot_f, local_pos) + shift_f
 
@@ -184,6 +185,11 @@ class Rasterizer:
         if self._halt:
             self.render()
         self._prepare()
+        from ..scene.transform import global_registry
+
+        rot, shift = global_registry().build_arrays()
+        self._buffers = self._buffers._replace(
+            rotations=jnp.asarray(rot), shifts=jnp.asarray(shift))
         jitter = (0.0, 0.0)
         if self.config.antialiasing == "taa":
             jitter = self._jitter.next(self.width, self.height)

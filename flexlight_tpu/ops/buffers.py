@@ -25,6 +25,7 @@ ATLAS_WIDTH_PX = 2048  # pathtracerWGL2.js:93
 class SceneBuffers(NamedTuple):
     geometry: jnp.ndarray       # [S, 12] f32
     attributes: jnp.ndarray     # [S, 28] f32
+    id_buffer: jnp.ndarray      # [T] int32 — triangle slot per drawable tri
     rotations: jnp.ndarray      # [M, 2, 3, 3] f32
     shifts: jnp.ndarray         # [M, 2, 3] f32
     lights: jnp.ndarray         # [L, 2, 3] f32
@@ -70,6 +71,7 @@ def build_scene_buffers(scene, registry=None) -> SceneBuffers:
     return SceneBuffers(
         geometry=jnp.asarray(built.geometry),
         attributes=jnp.asarray(built.attributes),
+        id_buffer=jnp.asarray(built.id_buffer, dtype=jnp.int32),
         rotations=jnp.asarray(rotations),
         shifts=jnp.asarray(shifts),
         lights=jnp.asarray(lights),

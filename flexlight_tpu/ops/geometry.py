@@ -29,8 +29,9 @@ def world_geometry(buffers: SceneBuffers) -> jnp.ndarray:
     """geometry [S,12] + transforms -> world-space geometry [S,12]."""
     g = buffers.geometry
     t_idx = g[:, 9].astype(jnp.int32)
-    rot = buffers.rotations[t_idx, 0]      # [S, 3, 3] forward rotation*scale
-    pos = buffers.shifts[t_idx, 0]         # [S, 3]
+    # Full-row gathers (row+slice gathers serialize on TPU, see pathtrace.py)
+    rot = buffers.rotations[t_idx][:, 0]   # [S, 3, 3] forward rotation*scale
+    pos = buffers.shifts[t_idx][:, 0]      # [S, 3]
     kind = g[:, 10]
 
     # Triangles: world v = R v + pos (pathtracer_vertex.glsl:65)

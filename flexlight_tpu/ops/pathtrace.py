@@ -37,6 +37,10 @@ from .rng import noise
 INV_255 = 1.0 / 255.0
 INV_PI = 0.3183098861837907
 
+# Perf-bisection switches (testing/profiling only): names added here skip
+# parts of the bounce body. Empty in production.
+DEBUG_DISABLE: set = set()
+
 
 class MRT(NamedTuple):
     """Flat per-pixel render targets, fp32 (glsl:74-79)."""
@@ -179,9 +183,12 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
         m = alive
         mf = m[:, None]
 
-        t_idx = buffers.geometry[tri, 9].astype(jnp.int32)
-        rot_f = buffers.rotations[t_idx, 0]     # [N,3,3] forward
-        shift_f = buffers.shifts[t_idx, 0]
+        # NB: gather full rows then slice — a fused row+column-slice gather
+        # (geometry[tri, 9]) falls off TPU's vectorized gather path and
+        # XLA serializes it into a 65k-iteration while loop.
+        t_idx = buffers.geometry[tri][:, 9].astype(jnp.int32)
+        rot_f = buffers.rotations[t_idx][:, 0]  # [N,3,3] forward
+        shift_f = buffers.shifts[t_idx][:, 0]
 
         new_origin = suv[:, 0:1] * ray_dir + ray_origin
         ray_origin = jnp.where(mf, new_origin, ray_origin)
@@ -206,12 +213,15 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
 
         uv_verts = attr[:, 9:15].reshape(n, 3, 2)
         barycentric = jnp.einsum("nvi,nv->ni", uv_verts, uvw)
-        albedo = fetch_tex_val(buffers.albedo_atlas, barycentric, attr[:, 15],
-                               attr[:, 18:21], buffers.texture_width)
-        rme = fetch_tex_val(buffers.pbr_atlas, barycentric, attr[:, 16],
-                            attr[:, 21:24], buffers.texture_width)
-        tpo = fetch_tex_val(buffers.tpo_atlas, barycentric, attr[:, 17],
-                            attr[:, 24:27], buffers.texture_width)
+        if "texfetch" in DEBUG_DISABLE:
+            albedo, rme, tpo = attr[:, 18:21], attr[:, 21:24], attr[:, 24:27]
+        else:
+            albedo = fetch_tex_val(buffers.albedo_atlas, barycentric, attr[:, 15],
+                                   attr[:, 18:21], buffers.texture_width)
+            rme = fetch_tex_val(buffers.pbr_atlas, barycentric, attr[:, 16],
+                                attr[:, 21:24], buffers.texture_width)
+            tpo = fetch_tex_val(buffers.tpo_atlas, barycentric, attr[:, 17],
+                                attr[:, 24:27], buffers.texture_width)
 
         ray_dir = jnp.where(mf, normalize(ray_origin - last_hit_point), ray_dir)
         sign_dir = jnp.sign(_dot(ray_dir, smooth_normal))
@@ -236,7 +246,10 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
         original_tpo_x = jnp.where(df, tpo[:, 0], original_tpo_x)
         original_color = jnp.where(df[:, None], original_color * albedo, original_color)
         original_rme_x = jnp.where(df, original_rme_x + rme[:, 0], original_rme_x)
-        id_update = (2.0 ** -i) * combine_normal_rme(smooth_normal, rme)
+        if "idpack" in DEBUG_DISABLE:
+            id_update = (2.0 ** -i) * jnp.concatenate([smooth_normal, rme[:, :0]], axis=-1)[:, 0:3]
+        else:
+            id_update = (2.0 ** -i) * combine_normal_rme(smooth_normal, rme)
         render_id = render_id.at[:, 0:3].add(jnp.where(df[:, None], id_update, 0.0))
         if i == 0:
             original_id_acc = original_id_acc.at[:, 0:3].add(
@@ -253,11 +266,14 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
                      / jnp.maximum(jnp.linalg.norm(last_hit_point - camera_pos, axis=-1), 1e-30))
             first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length), first_ray_length)
 
-        local_color, id_w = reservoir_sample(
-            buffers, world_geom, albedo, rme, tpo, ray_origin, ray_dir,
-            random_vec, -sign_dir[:, None] * rough_normal,
-            -sign_dir[:, None] * smooth_normal, geometry_offset,
-            random_seed, shadow_fn)
+        if "reservoir" in DEBUG_DISABLE:
+            local_color, id_w = jnp.broadcast_to(rme[:, 2:3], (n, 3)), jnp.zeros(n)
+        else:
+            local_color, id_w = reservoir_sample(
+                buffers, world_geom, albedo, rme, tpo, ray_origin, ray_dir,
+                random_vec, -sign_dir[:, None] * rough_normal,
+                -sign_dir[:, None] * smooth_normal, geometry_offset,
+                random_seed, shadow_fn)
         write_id_w = (dont_filter | (i == 0)) & m
         render_id = render_id.at[:, 3].set(jnp.where(write_id_w, id_w, render_id[:, 3]))
 
@@ -303,7 +319,17 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     """
     world_geom = world_geometry(buffers)
 
-    if scheme == "packet":
+    if scheme == "mxu":
+        from .traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
+
+        w = build_tri_matrix(world_geom, buffers.id_buffer)
+
+        def traverse_fn(o, d):
+            return traverse_mxu(w, buffers.id_buffer, o, d)
+
+        def shadow_fn(o, d, l):
+            return shadow_mxu(w, o, d, l)
+    elif scheme == "packet":
         def traverse_fn(o, d):
             return trv.traverse_coherent(world_geom, o, d, tile=tile)
 
@@ -347,7 +373,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     # Primary-hit local position for the location id channel (glsl:641-642)
     ptri = jnp.maximum(primary.triangle, 0)
-    local_verts = buffers.geometry[ptri, 0:9].reshape(n, 3, 3)
+    local_verts = buffers.geometry[ptri][:, 0:9].reshape(n, 3, 3)
     puvw = jnp.stack([1.0 - primary.suv[:, 1] - primary.suv[:, 2],
                       primary.suv[:, 1], primary.suv[:, 2]], axis=-1)
     rel_pos = jnp.einsum("nvi,nv->ni", local_verts, puvw)
