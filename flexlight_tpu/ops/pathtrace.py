@@ -329,6 +329,16 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         def shadow_fn(o, d, l):
             return shadow_mxu(w, o, d, l)
+    elif scheme == "clustered":
+        from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
+
+        clusters = build_clusters(world_geom, buffers.id_buffer)
+
+        def traverse_fn(o, d):
+            return traverse_clustered(clusters, o, d)
+
+        def shadow_fn(o, d, l):
+            return shadow_clustered(clusters, o, d, l)
     elif scheme == "packet":
         def traverse_fn(o, d):
             return trv.traverse_coherent(world_geom, o, d, tile=tile)

@@ -1,0 +1,225 @@
+"""Clustered two-phase traversal for large scenes.
+
+The skip-pointer walk (ops.traverse) is the reference's schedule; on TPU
+its per-step scalar control starves the vector units once scenes grow.
+This schedule keeps the MXU hot at dragon scale:
+
+1. Triangles are chunked into K clusters of C consecutive triangles in
+   flattened BVH DFS order (spatially coherent by construction — the
+   flattener emits subtrees contiguously, scene.js:224-282). Cluster AABBs
+   are reduced on device per frame from world-space vertices.
+2. Phase A: every ray slab-tests every cluster AABB ([N, K] VPU pass,
+   a few flops per pair); rays are grouped into blocks and each block
+   takes the union of its rays' cluster hits.
+3. Phase B: the block's top `k_cand` candidate clusters (hit, nearest
+   entry first) are gathered and intersected with the block's rays as one
+   batched [block, 16] x [16, k_cand*4C] MXU contraction (the
+   MT-as-matmul formulation of ops.traverse_mxu).
+
+Correctness: if a block hits more clusters than `k_cand` (incoherent
+rays), its whole group of blocks falls back to a chunked full scan over
+all K clusters — slower, never wrong. Blocks are processed in vmapped
+groups inside a lax.map so the fallback triggers per group.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .intersect import BIAS, POW32
+from .traverse import Hit
+from .traverse_mxu import MATMUL_PRECISION, _ray_features, build_tri_matrix
+
+
+class Clusters(NamedTuple):
+    w: jnp.ndarray            # [K, 16, 4C] per-cluster MT constants
+    aabb_min: jnp.ndarray     # [K, 3]
+    aabb_max: jnp.ndarray     # [K, 3]
+    tri_slots: jnp.ndarray    # [K, C] int32 geometry slot per padded triangle (-1 pad)
+
+
+def build_clusters(world_geometry: jnp.ndarray, id_buffer: jnp.ndarray,
+                   cluster_size: int = 64) -> Clusters:
+    t = id_buffer.shape[0]
+    c = cluster_size
+    k = -(-t // c)
+    pad = k * c - t
+    w = build_tri_matrix(world_geometry, id_buffer)          # [16, 4T]
+    w = jnp.pad(w, ((0, 0), (0, pad * 4)))
+    w = w.reshape(16, k, c * 4).transpose(1, 0, 2)            # [K, 16, 4C]
+
+    tris = world_geometry[id_buffer]
+    verts = tris[:, 0:9].reshape(t, 3, 3)
+    vmin = jnp.pad(verts.min(axis=1), ((0, pad), (0, 0)), constant_values=jnp.inf)
+    vmax = jnp.pad(verts.max(axis=1), ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    aabb_min = vmin.reshape(k, c, 3).min(axis=1)
+    aabb_max = vmax.reshape(k, c, 3).max(axis=1)
+
+    tri_slots = jnp.pad(id_buffer, (0, pad), constant_values=-1).reshape(k, c)
+    return Clusters(w=w, aabb_min=aabb_min, aabb_max=aabb_max, tri_slots=tri_slots)
+
+
+def _cluster_hits(clusters: Clusters, origin, direction, max_len):
+    """Slab test rays x clusters -> (hit [.., K], tmin [.., K])."""
+    inv_d = 1.0 / direction
+    t0 = (clusters.aabb_min[None, :, :] - origin[:, None, :]) * inv_d[:, None, :]
+    t1 = (clusters.aabb_max[None, :, :] - origin[:, None, :]) * inv_d[:, None, :]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < max_len)
+    return hit, tmin
+
+
+def _mt_epilogue(prod, cull: bool, max_len):
+    """prod [..., 4] -> (s, u, v, valid) with the glsl accept window."""
+    det = prod[..., 0]
+    inv = 1.0 / det
+    u = prod[..., 1] * inv
+    v = prod[..., 2] * inv
+    s = prod[..., 3] * inv
+    valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
+    valid &= (u >= BIAS) & (u <= 1.0)
+    valid &= (v >= BIAS) & (u + v <= 1.0)
+    valid &= (s > BIAS) & (s <= max_len)
+    return s, u, v, valid
+
+
+class _Best(NamedTuple):
+    s: jnp.ndarray    # [R] best distance (POW32 = miss)
+    u: jnp.ndarray
+    v: jnp.ndarray
+    tri: jnp.ndarray  # [R] geometry slot, -1 = miss
+
+
+def _best_none(r):
+    return _Best(s=jnp.full((r,), POW32, dtype=jnp.float32),
+                 u=jnp.zeros((r,), dtype=jnp.float32),
+                 v=jnp.zeros((r,), dtype=jnp.float32),
+                 tri=jnp.full((r,), -1, dtype=jnp.int32))
+
+
+def _best_merge(a: _Best, b: _Best) -> _Best:
+    take_b = b.s < a.s
+    return _Best(s=jnp.where(take_b, b.s, a.s),
+                 u=jnp.where(take_b, b.u, a.u),
+                 v=jnp.where(take_b, b.v, a.v),
+                 tri=jnp.where(take_b, b.tri, a.tri))
+
+
+def _best_of(s, u, v, valid, tri_slots) -> _Best:
+    """Reduce [R, M, C] products to the per-ray best hit."""
+    r = s.shape[0]
+    s_masked = jnp.where(valid, s, POW32).reshape(r, -1)
+    best = jnp.argmin(s_masked, axis=-1)
+    take = lambda x: jnp.take_along_axis(x.reshape(r, -1), best[:, None], axis=-1)[:, 0]
+    best_s = take(s_masked)
+    tri = jnp.broadcast_to(tri_slots[None], s.shape).reshape(r, -1)
+    tri_best = jnp.take_along_axis(tri, best[:, None], axis=-1)[:, 0]
+    miss = best_s >= POW32
+    return _Best(s=best_s,
+                 u=jnp.where(miss, 0.0, take(u)),
+                 v=jnp.where(miss, 0.0, take(v)),
+                 tri=jnp.where(miss, -1, tri_best).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("block", "k_cand", "group", "shadow"))
+def _traverse_impl(clusters: Clusters, origin, direction, max_len,
+                   block: int = 1024, k_cand: int = 64, group: int = 8,
+                   shadow: bool = False):
+    n = origin.shape[0]
+    k, _, c4 = clusters.w.shape
+    c = c4 // 4
+    k_cand = min(k_cand, k)
+    nb = -(-n // block)
+    pad = nb * block - n
+
+    def pad_rays(x, fill=0.0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1), constant_values=fill)
+
+    safe_dir = jnp.where(jnp.linalg.norm(direction, axis=-1, keepdims=True) > 0,
+                         direction, jnp.array([0.0, 0.0, 1.0]))
+    origin_p = pad_rays(origin).reshape(nb, block, 3)
+    direction_p = pad_rays(safe_dir, 1.0).reshape(nb, block, 3)
+    max_len_p = pad_rays(max_len).reshape(nb, block)
+
+    ng = -(-nb // group)
+    gpad = ng * group - nb
+    origin_g = jnp.pad(origin_p, ((0, gpad), (0, 0), (0, 0))).reshape(ng, group, block, 3)
+    direction_g = jnp.pad(direction_p, ((0, gpad), (0, 0), (0, 0)),
+                          constant_values=1.0).reshape(ng, group, block, 3)
+    max_len_g = jnp.pad(max_len_p, ((0, gpad), (0, 0))).reshape(ng, group, block)
+
+    def eval_clusters(w_sel, tri_sel, o, d, ml) -> _Best:
+        """Intersect rays with the selected clusters on the MXU."""
+        f = _ray_features(o, d)                                   # [R,16]
+        wflat = w_sel.transpose(1, 0, 2).reshape(16, -1)          # [16, M*4C]
+        prod = jnp.dot(f, wflat, precision=MATMUL_PRECISION)
+        prod = prod.reshape(o.shape[0], -1, c, 4)                 # [R, M, C, 4]
+        s, u, v, valid = _mt_epilogue(prod, shadow, ml[:, None, None])
+        valid &= (tri_sel >= 0)[None]
+        return _best_of(s, u, v, valid, tri_sel)
+
+    def block_candidate_pass(o, d, ml):
+        hit, tmin = _cluster_hits(clusters, o, d, ml[:, None])    # [block, K]
+        any_hit = jnp.any(hit, axis=0)
+        entry = jnp.min(jnp.where(hit, tmin, POW32), axis=0)
+        cand = jnp.argsort(jnp.where(any_hit, entry, POW32))[:k_cand]
+        count = jnp.sum(any_hit)
+        best = eval_clusters(clusters.w[cand], clusters.tri_slots[cand], o, d, ml)
+        return best, count
+
+    def full_scan(o, d, ml) -> _Best:
+        """Chunked scan over all K clusters (correct fallback)."""
+        kc = k_cand
+        nchunks = -(-k // kc)
+        kpad = nchunks * kc - k
+        w_all = jnp.pad(clusters.w, ((0, kpad), (0, 0), (0, 0)))
+        tri_all = jnp.pad(clusters.tri_slots, ((0, kpad), (0, 0)), constant_values=-1)
+
+        def body(carry, idx):
+            ws = jax.lax.dynamic_slice_in_dim(w_all, idx * kc, kc, axis=0)
+            ts = jax.lax.dynamic_slice_in_dim(tri_all, idx * kc, kc, axis=0)
+            return _best_merge(carry, eval_clusters(ws, ts, o, d, ml)), None
+
+        best, _ = jax.lax.scan(body, _best_none(o.shape[0]), jnp.arange(nchunks))
+        return best
+
+    def group_fn(o, d, ml):
+        best, counts = jax.vmap(block_candidate_pass)(o, d, ml)
+        overflow = jnp.any(counts > k_cand)
+
+        def full_branch(_):
+            b = full_scan(o.reshape(-1, 3), d.reshape(-1, 3), ml.reshape(-1))
+            return jax.tree.map(lambda x: x.reshape(group, block), b)
+
+        best = jax.lax.cond(overflow, full_branch, lambda _: best, operand=None)
+        if shadow:
+            return best.tri >= 0
+        return best
+
+    out = jax.lax.map(lambda xs: group_fn(*xs), (origin_g, direction_g, max_len_g))
+    if shadow:
+        return out.reshape(-1)[:n]
+    flat = jax.tree.map(lambda x: x.reshape(-1)[:n], out)
+    suv = jnp.where((flat.tri >= 0)[:, None],
+                    jnp.stack([flat.s, flat.u, flat.v], axis=-1), 0.0)
+    return Hit(suv=suv, triangle=flat.tri)
+
+
+def traverse_clustered(clusters: Clusters, origin, direction,
+                       block: int = 1024, k_cand: int = 64,
+                       group: int = 8) -> Hit:
+    max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
+    return _traverse_impl(clusters, origin, direction, max_len,
+                          block=block, k_cand=k_cand, group=group, shadow=False)
+
+
+def shadow_clustered(clusters: Clusters, origin, direction, max_len,
+                     block: int = 1024, k_cand: int = 64,
+                     group: int = 8) -> jnp.ndarray:
+    return _traverse_impl(clusters, origin, direction, max_len,
+                          block=block, k_cand=k_cand, group=group, shadow=True)
