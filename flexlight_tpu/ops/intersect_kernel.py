@@ -1,0 +1,210 @@
+"""Pallas fused MXU intersection kernel.
+
+The endgame of the MT-as-matmul formulation (ops.traverse_mxu): in XLA the
+[N, 4T] product matrix must round-trip HBM before its accept/argmin
+epilogue (tens of GB per traversal at dragon scale). This kernel fuses the
+contraction and the reduction: each grid step multiplies a 1024-ray
+feature tile against a 512-triangle constant tile on the MXU, runs the
+accept window + running-min epilogue in VMEM registers, and only the
+per-ray best (s, u, v, column) ever leaves the chip.
+
+Sparsity: an XLA prepass slab-tests cluster AABBs and ORs them into a
+[ray_tiles, tri_tiles] flag matrix; flagged-off grid steps skip all
+compute (@pl.when), so cost tracks the candidate density the cluster
+culling exposes (tri tiles are 512 consecutive triangles in BVH DFS
+order = 8 clusters of 64).
+
+Grid: (ray_tiles, tri_tiles), tri dim innermost so the per-ray best
+accumulators stay resident in VMEM across the whole triangle sweep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import BIAS, POW32
+from .traverse import Hit
+from .traverse_mxu import _ray_features, build_tri_matrix
+
+RAY_TILE = 1024          # 8 x 128 lanes
+TRI_TILE = 512           # columns per W tile (per MT output)
+CLUSTER = 64             # cluster size for the flag prepass
+
+
+def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
+            *, cull: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    shp = (1, 8, 128)
+
+    @pl.when(j == 0)
+    def _():
+        s_ref[:] = jnp.full(shp, POW32, dtype=jnp.float32)
+        u_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
+        v_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
+        col_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
+
+    @pl.when(flag_ref[i, j] != 0)
+    def _():
+        f = f_ref[:]                          # [1024, 16]
+        det = jnp.dot(f, w_ref[0], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # [1024, 512]
+        udet = jnp.dot(f, w_ref[1], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        vdet = jnp.dot(f, w_ref[2], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        sdet = jnp.dot(f, w_ref[3], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        inv = 1.0 / det
+        u = udet * inv
+        v = vdet * inv
+        s = sdet * inv
+        ml = ml_ref[:].reshape(RAY_TILE, 1)
+        valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
+        valid &= (u >= BIAS) & (u <= 1.0)
+        valid &= (v >= BIAS) & (u + v <= 1.0)
+        valid &= (s > BIAS) & (s <= ml)
+        s_masked = jnp.where(valid, s, POW32)
+
+        tile_best_s = jnp.min(s_masked, axis=1)               # [1024]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
+        is_best = s_masked <= tile_best_s[:, None]
+        # lowest column among ties (the argmin)
+        best_col = jnp.min(jnp.where(is_best, cols, TRI_TILE), axis=1)
+        onehot = (cols == best_col[:, None]) & valid
+        take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=1)
+        tile_u = take(u)
+        tile_v = take(v)
+
+        prev_s = s_ref[:].reshape(RAY_TILE)
+        better = tile_best_s < prev_s
+        s_ref[:] = jnp.where(better, tile_best_s, prev_s).reshape(shp)
+        u_ref[:] = jnp.where(better, tile_u, u_ref[:].reshape(RAY_TILE)).reshape(shp)
+        v_ref[:] = jnp.where(better, tile_v, v_ref[:].reshape(RAY_TILE)).reshape(shp)
+        col_ref[:] = jnp.where(
+            better, j * TRI_TILE + best_col,
+            col_ref[:].reshape(RAY_TILE)).reshape(shp).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cull", "interpret"))
+def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False):
+    """w4 [4, 16, Tp], flags [RT, WT] int32, f [Rp, 16], max_len [Rp]."""
+    rp = f.shape[0]
+    tp = w4.shape[2]
+    rt, wt = rp // RAY_TILE, tp // TRI_TILE
+    grid = (rt, wt)
+    out_shape = [
+        jax.ShapeDtypeStruct((rt, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 8, 128), jnp.int32),
+    ]
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i, j, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # flags ride in as a scalar-prefetch array (SMEM), indexed by program id
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 16), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 16, TRI_TILE), lambda i, j, *_: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 4,
+    )
+    s, u, v, col = pl.pallas_call(
+        partial(_kernel, cull=cull),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(flags, f, w4, max_len.reshape(rt, 8, 128))
+    return tuple(x.reshape(-1) for x in (s, u, v, col))
+
+
+def build_w4(world_geometry, id_buffer):
+    """W as [4, 16, Tp] (det/udet/vdet/sdet split into separate planes),
+    padded to a TRI_TILE multiple; plus per-cluster AABBs for the flag
+    prepass and the padded id map."""
+    t = id_buffer.shape[0]
+    tp = -(-t // TRI_TILE) * TRI_TILE
+    w = build_tri_matrix(world_geometry, id_buffer)        # [16, 4T]
+    w = w.reshape(16, t, 4)
+    w = jnp.pad(w, ((0, 0), (0, tp - t), (0, 0)))
+    w4 = w.transpose(2, 0, 1)                              # [4, 16, Tp]
+
+    tris = world_geometry[id_buffer]
+    verts = tris[:, 0:9].reshape(t, 3, 3)
+    vmin = jnp.pad(verts.min(axis=1), ((0, tp - t), (0, 0)), constant_values=jnp.inf)
+    vmax = jnp.pad(verts.max(axis=1), ((0, tp - t), (0, 0)), constant_values=-jnp.inf)
+    k = tp // CLUSTER
+    aabb_min = vmin.reshape(k, CLUSTER, 3).min(axis=1)
+    aabb_max = vmax.reshape(k, CLUSTER, 3).max(axis=1)
+    ids = jnp.pad(id_buffer, (0, tp - t), constant_values=-1)
+    return w4, aabb_min, aabb_max, ids
+
+
+def _flags(aabb_min, aabb_max, origin, direction, max_len, rt):
+    """[RT, WT] int32: ray tile i may hit triangle tile j."""
+    inv_d = 1.0 / direction
+    t0 = (aabb_min[None] - origin[:, None]) * inv_d[:, None]
+    t1 = (aabb_max[None] - origin[:, None]) * inv_d[:, None]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < max_len[:, None])  # [Rp, K]
+    k = aabb_min.shape[0]
+    per_tile = hit.reshape(rt, RAY_TILE, k).any(axis=1)     # [RT, K]
+    clusters_per_tile = TRI_TILE // CLUSTER
+    wt = k // clusters_per_tile
+    return per_tile.reshape(rt, wt, clusters_per_tile).any(axis=-1).astype(jnp.int32)
+
+
+def _prep(origin, direction, max_len):
+    n = origin.shape[0]
+    pad = (-n) % RAY_TILE
+    safe_dir = jnp.where(jnp.linalg.norm(direction, axis=-1, keepdims=True) > 0,
+                         direction, jnp.array([0.0, 0.0, 1.0]))
+    o = jnp.pad(origin, ((0, pad), (0, 0)))
+    d = jnp.pad(safe_dir, ((0, pad), (0, 0)), constant_values=1.0)
+    ml = jnp.pad(max_len, (0, pad))
+    return o, d, ml, n, (n + pad) // RAY_TILE
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
+                    interpret: bool = False) -> Hit:
+    """Closest hit of N rays against all triangles, fused on-chip."""
+    max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
+    o, d, ml, n, rt = _prep(origin, direction, max_len)
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt)
+    f = _ray_features(o, d)
+    s, u, v, col = _intersect(w4, flags, f, ml, cull=False, interpret=interpret)
+    s, u, v, col = s[:n], u[:n], v[:n], col[:n]
+    hit = col >= 0
+    tri = jnp.where(hit, ids[jnp.maximum(col, 0)], -1)
+    hit &= tri >= 0
+    suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
+    return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Front-face-culled any-hit within max_len, fused on-chip."""
+    o, d, ml, n, rt = _prep(origin, direction, max_len)
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt)
+    f = _ray_features(o, d)
+    s, u, v, col = _intersect(w4, flags, f, ml, cull=True, interpret=interpret)
+    col = col[:n]
+    tri = jnp.where(col >= 0, ids[jnp.maximum(col, 0)], -1)
+    return tri >= 0

@@ -11,15 +11,14 @@ This schedule keeps the MXU hot at dragon scale:
 2. Phase A: every ray slab-tests every cluster AABB ([N, K] VPU pass,
    a few flops per pair); rays are grouped into blocks and each block
    takes the union of its rays' cluster hits.
-3. Phase B: the block's top `k_cand` candidate clusters (hit, nearest
-   entry first) are gathered and intersected with the block's rays as one
-   batched [block, 16] x [16, k_cand*4C] MXU contraction (the
-   MT-as-matmul formulation of ops.traverse_mxu).
-
-Correctness: if a block hits more clusters than `k_cand` (incoherent
-rays), its whole group of blocks falls back to a chunked full scan over
-all K clusters — slower, never wrong. Blocks are processed in vmapped
-groups inside a lax.map so the fallback triggers per group.
+3. Phase B: clusters are reordered by the group's hit union (hit first,
+   nearest entry first) and scanned in chunks of `k_cand`; each chunk is
+   one batched [R, 16] x [16, k_cand*4C] MXU contraction (the
+   MT-as-matmul formulation of ops.traverse_mxu), and chunks whose
+   clusters nobody hit are skipped via lax.cond inside the scan. Cost is
+   therefore ceil(hit_clusters / k_cand) chunks per group — one chunk for
+   coherent primary/shadow blocks, a handful for incoherent bounce rays,
+   and exactly correct in all cases (every hit cluster is evaluated).
 """
 
 from __future__ import annotations
@@ -126,11 +125,23 @@ def _best_of(s, u, v, valid, tri_slots) -> _Best:
                  tri=jnp.where(miss, -1, tri_best).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("block", "k_cand", "group", "shadow"))
+@partial(jax.jit, static_argnames=("block", "k_cand", "group", "shadow", "sort_rays"))
 def _traverse_impl(clusters: Clusters, origin, direction, max_len,
-                   block: int = 1024, k_cand: int = 64, group: int = 8,
-                   shadow: bool = False):
+                   block: int = 1024, k_cand: int = 64, group: int = 2,
+                   shadow: bool = False, sort_rays: bool = True):
     n = origin.shape[0]
+    # Wavefront compaction: a stable sort by direction octant groups rays
+    # of like direction while preserving the (already spatially coherent)
+    # pixel order within each octant — incoherent bounce wavefronts then
+    # produce small per-group cluster unions instead of near-full scans.
+    if sort_rays:
+        key = ((direction[:, 0] > 0) * 4 + (direction[:, 1] > 0) * 2
+               + (direction[:, 2] > 0)).astype(jnp.int32)
+        perm = jnp.argsort(key, stable=True)
+        inv_perm = jnp.argsort(perm)
+        origin = origin[perm]
+        direction = direction[perm]
+        max_len = max_len[perm]
     k, _, c4 = clusters.w.shape
     c = c4 // 4
     k_cand = min(k_cand, k)
@@ -153,6 +164,9 @@ def _traverse_impl(clusters: Clusters, origin, direction, max_len,
                           constant_values=1.0).reshape(ng, group, block, 3)
     max_len_g = jnp.pad(max_len_p, ((0, gpad), (0, 0))).reshape(ng, group, block)
 
+    nchunks = -(-k // k_cand)
+    kpad = nchunks * k_cand - k
+
     def eval_clusters(w_sel, tri_sel, o, d, ml) -> _Best:
         """Intersect rays with the selected clusters on the MXU."""
         f = _ray_features(o, d)                                   # [R,16]
@@ -163,48 +177,47 @@ def _traverse_impl(clusters: Clusters, origin, direction, max_len,
         valid &= (tri_sel >= 0)[None]
         return _best_of(s, u, v, valid, tri_sel)
 
-    def block_candidate_pass(o, d, ml):
-        hit, tmin = _cluster_hits(clusters, o, d, ml[:, None])    # [block, K]
+    def group_fn(o, d, ml):
+        of = o.reshape(group * block, 3)
+        df = d.reshape(group * block, 3)
+        mf = ml.reshape(group * block)
+        # Phase A: hit union over the whole group, clusters reordered by
+        # (hit, nearest entry); pad with guaranteed-miss slots.
+        hit, tmin = _cluster_hits(clusters, of, df, mf[:, None])  # [R, K]
         any_hit = jnp.any(hit, axis=0)
         entry = jnp.min(jnp.where(hit, tmin, POW32), axis=0)
-        cand = jnp.argsort(jnp.where(any_hit, entry, POW32))[:k_cand]
-        count = jnp.sum(any_hit)
-        best = eval_clusters(clusters.w[cand], clusters.tri_slots[cand], o, d, ml)
-        return best, count
-
-    def full_scan(o, d, ml) -> _Best:
-        """Chunked scan over all K clusters (correct fallback)."""
-        kc = k_cand
-        nchunks = -(-k // kc)
-        kpad = nchunks * kc - k
-        w_all = jnp.pad(clusters.w, ((0, kpad), (0, 0), (0, 0)))
-        tri_all = jnp.pad(clusters.tri_slots, ((0, kpad), (0, 0)), constant_values=-1)
+        order = jnp.argsort(jnp.where(any_hit, entry, POW32))     # hit first
+        hit_sorted = jnp.pad(any_hit[order], (0, kpad))           # pad = miss
+        # Pad order with index 0: padded slots only run when their chunk
+        # also contains a real hit, and re-evaluating a cluster is
+        # idempotent for both closest-hit and any-hit.
+        order = jnp.pad(order, (0, kpad))
+        w_sorted = clusters.w[order]                               # [K+pad,16,4C]
+        tri_sorted = clusters.tri_slots[order]
 
         def body(carry, idx):
-            ws = jax.lax.dynamic_slice_in_dim(w_all, idx * kc, kc, axis=0)
-            ts = jax.lax.dynamic_slice_in_dim(tri_all, idx * kc, kc, axis=0)
-            return _best_merge(carry, eval_clusters(ws, ts, o, d, ml)), None
+            chunk_hit = jax.lax.dynamic_slice_in_dim(hit_sorted, idx * k_cand, k_cand)
 
-        best, _ = jax.lax.scan(body, _best_none(o.shape[0]), jnp.arange(nchunks))
-        return best
+            def live(carry):
+                ws = jax.lax.dynamic_slice_in_dim(w_sorted, idx * k_cand, k_cand, axis=0)
+                ts = jax.lax.dynamic_slice_in_dim(tri_sorted, idx * k_cand, k_cand, axis=0)
+                return _best_merge(carry, eval_clusters(ws, ts, of, df, mf))
 
-    def group_fn(o, d, ml):
-        best, counts = jax.vmap(block_candidate_pass)(o, d, ml)
-        overflow = jnp.any(counts > k_cand)
+            return jax.lax.cond(jnp.any(chunk_hit), live, lambda cr: cr, carry), None
 
-        def full_branch(_):
-            b = full_scan(o.reshape(-1, 3), d.reshape(-1, 3), ml.reshape(-1))
-            return jax.tree.map(lambda x: x.reshape(group, block), b)
-
-        best = jax.lax.cond(overflow, full_branch, lambda _: best, operand=None)
+        best, _ = jax.lax.scan(body, _best_none(group * block), jnp.arange(nchunks))
+        best = jax.tree.map(lambda x: x.reshape(group, block), best)
         if shadow:
             return best.tri >= 0
         return best
 
     out = jax.lax.map(lambda xs: group_fn(*xs), (origin_g, direction_g, max_len_g))
     if shadow:
-        return out.reshape(-1)[:n]
+        res = out.reshape(-1)[:n]
+        return res[inv_perm] if sort_rays else res
     flat = jax.tree.map(lambda x: x.reshape(-1)[:n], out)
+    if sort_rays:
+        flat = jax.tree.map(lambda x: x[inv_perm], flat)
     suv = jnp.where((flat.tri >= 0)[:, None],
                     jnp.stack([flat.s, flat.u, flat.v], axis=-1), 0.0)
     return Hit(suv=suv, triangle=flat.tri)
@@ -212,7 +225,7 @@ def _traverse_impl(clusters: Clusters, origin, direction, max_len,
 
 def traverse_clustered(clusters: Clusters, origin, direction,
                        block: int = 1024, k_cand: int = 64,
-                       group: int = 8) -> Hit:
+                       group: int = 2) -> Hit:
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     return _traverse_impl(clusters, origin, direction, max_len,
                           block=block, k_cand=k_cand, group=group, shadow=False)
@@ -220,6 +233,6 @@ def traverse_clustered(clusters: Clusters, origin, direction,
 
 def shadow_clustered(clusters: Clusters, origin, direction, max_len,
                      block: int = 1024, k_cand: int = 64,
-                     group: int = 8) -> jnp.ndarray:
+                     group: int = 2) -> jnp.ndarray:
     return _traverse_impl(clusters, origin, direction, max_len,
                           block=block, k_cand=k_cand, group=group, shadow=True)
