@@ -194,7 +194,7 @@ class PathTracer:
         if self.scheme != "auto":
             return self.scheme
         return ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
-                else "clustered")
+                else "kernel")
 
     def update_primary_light_sources(self):
         if self._buffers is None:

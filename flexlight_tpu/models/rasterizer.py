@@ -35,7 +35,24 @@ from ..post.taa import Jitter, TAAState, taa_apply
 def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
                  scheme="scan", tile=1024):
     world_geom = world_geometry(buffers)
-    if scheme == "packet":
+    if scheme == "mxu":
+        from ..ops.traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
+
+        w = build_tri_matrix(world_geom, buffers.id_buffer)
+        traverse_fn = lambda o, d: traverse_mxu(w, buffers.id_buffer, o, d)
+        shadow_fn = lambda o, d, l: shadow_mxu(w, o, d, l)
+    elif scheme == "kernel":
+        import jax as _jax
+
+        from ..ops.intersect_kernel import build_w4, shadow_kernel, traverse_kernel
+
+        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer)
+        interp = _jax.default_backend() == "cpu"
+        traverse_fn = lambda o, d: traverse_kernel(w4, amin, amax, ids, o, d,
+                                                   interpret=interp)
+        shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
+                                                  interpret=interp)
+    elif scheme == "packet":
         def shadow_fn(o, d, l):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
         traverse_fn = lambda o, d: trv.traverse_coherent(world_geom, o, d, tile=tile)
@@ -118,8 +135,10 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
 class Rasterizer:
     type = "rasterizer"
 
+    MXU_MAX_TRIS = 8192
+
     def __init__(self, width, height, scene, camera, config,
-                 scheme: str = "scan", tile: int = 1024):
+                 scheme: str = "auto", tile: int = 1024):
         self.scene = scene
         self.camera = camera
         self.config = config
@@ -194,10 +213,14 @@ class Rasterizer:
         if self.config.antialiasing == "taa":
             jitter = self._jitter.next(self.width, self.height)
         view = self.camera.view_matrix(self.width, self.height, jitter)
+        scheme = self.scheme
+        if scheme == "auto":
+            scheme = ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
+                      else "kernel")
         display, self._taa_state = raster_frame(
             self._buffers, jnp.asarray(self.camera.position), jnp.asarray(view),
             self._taa_state, width=self.width, height=self.height,
-            config=self.config, scheme=self.scheme, tile=self.tile)
+            config=self.config, scheme=scheme, tile=self.tile)
         self._fps_frames += 1
         now = time.perf_counter()
         if now - self._fps_window_start > 0.5:

@@ -37,11 +37,14 @@ CLUSTER = 64             # cluster size for the flag prepass
 
 
 def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
-            *, cull: bool):
+            *, cull: bool, precision):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    shp = (1, 8, 128)
+    # Transposed layout: products are [TRI_TILE, RAY_TILE] so the per-ray
+    # reductions run along sublanes and land in native (1, RAY_TILE) rows
+    # (no lane-crossing reshapes, full lane utilization).
+    shp = (1, 1, RAY_TILE)
 
     @pl.when(j == 0)
     def _():
@@ -52,88 +55,88 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
 
     @pl.when(flag_ref[i, j] != 0)
     def _():
-        f = f_ref[:]                          # [1024, 16]
-        det = jnp.dot(f, w_ref[0], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)   # [1024, 512]
-        udet = jnp.dot(f, w_ref[1], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        vdet = jnp.dot(f, w_ref[2], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        sdet = jnp.dot(f, w_ref[3], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        ft = f_ref[:]                         # [16, 1024]
+        dot = lambda wk: jnp.dot(wk, ft, preferred_element_type=jnp.float32,
+                                 precision=precision)
+        det = dot(w_ref[0])                   # [512, 1024]
+        udet = dot(w_ref[1])
+        vdet = dot(w_ref[2])
+        sdet = dot(w_ref[3])
         inv = 1.0 / det
         u = udet * inv
         v = vdet * inv
         s = sdet * inv
-        ml = ml_ref[:].reshape(RAY_TILE, 1)
+        ml = ml_ref[0]                        # [1, 1024]
         valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
         valid &= (u >= BIAS) & (u <= 1.0)
         valid &= (v >= BIAS) & (u + v <= 1.0)
         valid &= (s > BIAS) & (s <= ml)
         s_masked = jnp.where(valid, s, POW32)
 
-        tile_best_s = jnp.min(s_masked, axis=1)               # [1024]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TRI_TILE), 1)
-        is_best = s_masked <= tile_best_s[:, None]
-        # lowest column among ties (the argmin)
-        best_col = jnp.min(jnp.where(is_best, cols, TRI_TILE), axis=1)
-        onehot = (cols == best_col[:, None]) & valid
-        take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=1)
+        tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)  # [1, 1024]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TRI_TILE, RAY_TILE), 0)
+        is_best = s_masked <= tile_best_s
+        # lowest row among ties (the argmin)
+        best_row = jnp.min(jnp.where(is_best, rows, TRI_TILE), axis=0, keepdims=True)
+        onehot = (rows == best_row) & valid
+        take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
         tile_u = take(u)
         tile_v = take(v)
 
-        prev_s = s_ref[:].reshape(RAY_TILE)
+        prev_s = s_ref[0]                     # [1, 1024]
         better = tile_best_s < prev_s
-        s_ref[:] = jnp.where(better, tile_best_s, prev_s).reshape(shp)
-        u_ref[:] = jnp.where(better, tile_u, u_ref[:].reshape(RAY_TILE)).reshape(shp)
-        v_ref[:] = jnp.where(better, tile_v, v_ref[:].reshape(RAY_TILE)).reshape(shp)
-        col_ref[:] = jnp.where(
-            better, j * TRI_TILE + best_col,
-            col_ref[:].reshape(RAY_TILE)).reshape(shp).astype(jnp.int32)
+        s_ref[0] = jnp.where(better, tile_best_s, prev_s)
+        u_ref[0] = jnp.where(better, tile_u, u_ref[0])
+        v_ref[0] = jnp.where(better, tile_v, v_ref[0])
+        col_ref[0] = jnp.where(better, j * TRI_TILE + best_row,
+                               col_ref[0]).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cull", "interpret"))
-def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False):
-    """w4 [4, 16, Tp], flags [RT, WT] int32, f [Rp, 16], max_len [Rp]."""
+@partial(jax.jit, static_argnames=("cull", "interpret", "precision"))
+def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
+               precision=jax.lax.Precision.HIGHEST):
+    """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp]."""
     rp = f.shape[0]
-    tp = w4.shape[2]
+    tp = w4.shape[1]
     rt, wt = rp // RAY_TILE, tp // TRI_TILE
     grid = (rt, wt)
     out_shape = [
-        jax.ShapeDtypeStruct((rt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 8, 128), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.int32),
     ]
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i, j, *_: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     # flags ride in as a scalar-prefetch array (SMEM), indexed by program id
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 16), lambda i, j, *_: (i, 0),
+            # features transposed: [16, Rp], tile [16, RAY_TILE]
+            pl.BlockSpec((16, RAY_TILE), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 16, TRI_TILE), lambda i, j, *_: (0, 0, j),
+            # W planes transposed: [4, Tp, 16], tile [4, TRI_TILE, 16]
+            pl.BlockSpec((4, TRI_TILE, 16), lambda i, j, *_: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, j, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
     )
     s, u, v, col = pl.pallas_call(
-        partial(_kernel, cull=cull),
+        partial(_kernel, cull=cull, precision=precision),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(flags, f, w4, max_len.reshape(rt, 8, 128))
+    )(flags, f.T, w4, max_len.reshape(rt, 1, RAY_TILE))
     return tuple(x.reshape(-1) for x in (s, u, v, col))
 
 
 def build_w4(world_geometry, id_buffer):
-    """W as [4, 16, Tp] (det/udet/vdet/sdet split into separate planes),
+    """W as [4, Tp, 16] (det/udet/vdet/sdet split into separate planes),
     padded to a TRI_TILE multiple; plus per-cluster AABBs for the flag
     prepass and the padded id map."""
     t = id_buffer.shape[0]
@@ -141,7 +144,7 @@ def build_w4(world_geometry, id_buffer):
     w = build_tri_matrix(world_geometry, id_buffer)        # [16, 4T]
     w = w.reshape(16, t, 4)
     w = jnp.pad(w, ((0, 0), (0, tp - t), (0, 0)))
-    w4 = w.transpose(2, 0, 1)                              # [4, 16, Tp]
+    w4 = w.transpose(2, 1, 0)                              # [4, Tp, 16]
 
     tris = world_geometry[id_buffer]
     verts = tris[:, 0:9].reshape(t, 3, 3)
@@ -180,15 +183,17 @@ def _prep(origin, direction, max_len):
     return o, d, ml, n, (n + pad) // RAY_TILE
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "precision"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
-                    interpret: bool = False) -> Hit:
+                    interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip."""
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     o, d, ml, n, rt = _prep(origin, direction, max_len)
     flags = _flags(aabb_min, aabb_max, o, d, ml, rt)
     f = _ray_features(o, d)
-    s, u, v, col = _intersect(w4, flags, f, ml, cull=False, interpret=interpret)
+    s, u, v, col = _intersect(w4, flags, f, ml, cull=False, interpret=interpret,
+                              precision=precision)
     s, u, v, col = s[:n], u[:n], v[:n], col[:n]
     hit = col >= 0
     tri = jnp.where(hit, ids[jnp.maximum(col, 0)], -1)
@@ -197,14 +202,16 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "precision"))
 def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False,
+                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len, fused on-chip."""
     o, d, ml, n, rt = _prep(origin, direction, max_len)
     flags = _flags(aabb_min, aabb_max, o, d, ml, rt)
     f = _ray_features(o, d)
-    s, u, v, col = _intersect(w4, flags, f, ml, cull=True, interpret=interpret)
+    s, u, v, col = _intersect(w4, flags, f, ml, cull=True, interpret=interpret,
+                              precision=precision)
     col = col[:n]
     tri = jnp.where(col >= 0, ids[jnp.maximum(col, 0)], -1)
     return tri >= 0

@@ -329,6 +329,19 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         def shadow_fn(o, d, l):
             return shadow_mxu(w, o, d, l)
+    elif scheme == "kernel":
+        import jax
+
+        from .intersect_kernel import build_w4, shadow_kernel, traverse_kernel
+
+        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer)
+        interp = jax.default_backend() == "cpu"  # Pallas TPU kernels: interpret on CPU
+
+        def traverse_fn(o, d):
+            return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp)
+
+        def shadow_fn(o, d, l):
+            return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 

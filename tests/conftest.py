@@ -5,8 +5,11 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-# Force-assign: the ambient environment sets JAX_PLATFORMS=axon (TPU tunnel),
-# which must be overridden for the CPU-hosted test mesh.
+# Force-assign: the ambient environment sets JAX_PLATFORMS=axon (TPU
+# tunnel), which must be overridden for CPU-hosted tests. NOTE: the
+# 8-virtual-device flag must be in the environment BEFORE the interpreter
+# starts (the axon sitecustomize initializes XLA first); when it isn't,
+# the multichip tests skip — run tests/run_all.sh for full coverage.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
