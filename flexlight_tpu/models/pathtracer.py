@@ -193,8 +193,12 @@ class PathTracer:
     def _resolved_scheme(self) -> str:
         if self.scheme != "auto":
             return self.scheme
-        return ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
-                else "kernel")
+        if jax.default_backend() == "cpu":
+            # Pallas kernels fall back to interpret mode on CPU — use the
+            # XLA formulations there.
+            return ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
+                    else "clustered")
+        return "kernel"
 
     def update_primary_light_sources(self):
         if self._buffers is None:

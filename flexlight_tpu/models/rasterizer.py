@@ -44,14 +44,16 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
     elif scheme == "kernel":
         import jax as _jax
 
-        from ..ops.intersect_kernel import build_w4, shadow_kernel, traverse_kernel
+        from ..ops.intersect_kernel import (build_w4, pick_tri_tile,
+                                            shadow_kernel, traverse_kernel)
 
-        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer)
+        tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
+        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
         interp = _jax.default_backend() == "cpu"
         traverse_fn = lambda o, d: traverse_kernel(w4, amin, amax, ids, o, d,
-                                                   interpret=interp)
+                                                   interpret=interp, tri_tile=tri_tile)
         shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
-                                                  interpret=interp)
+                                                  interpret=interp, tri_tile=tri_tile)
     elif scheme == "packet":
         def shadow_fn(o, d, l):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)

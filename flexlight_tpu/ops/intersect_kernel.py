@@ -37,7 +37,7 @@ CLUSTER = 64             # cluster size for the flag prepass
 
 
 def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
-            *, cull: bool, precision):
+            *, cull: bool, precision, tri_tile: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -58,7 +58,7 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
         ft = f_ref[:]                         # [16, 1024]
         dot = lambda wk: jnp.dot(wk, ft, preferred_element_type=jnp.float32,
                                  precision=precision)
-        det = dot(w_ref[0])                   # [512, 1024]
+        det = dot(w_ref[0])                   # [tri_tile, 1024]
         udet = dot(w_ref[1])
         vdet = dot(w_ref[2])
         sdet = dot(w_ref[3])
@@ -74,10 +74,10 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
         s_masked = jnp.where(valid, s, POW32)
 
         tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)  # [1, 1024]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TRI_TILE, RAY_TILE), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, RAY_TILE), 0)
         is_best = s_masked <= tile_best_s
         # lowest row among ties (the argmin)
-        best_row = jnp.min(jnp.where(is_best, rows, TRI_TILE), axis=0, keepdims=True)
+        best_row = jnp.min(jnp.where(is_best, rows, tri_tile), axis=0, keepdims=True)
         onehot = (rows == best_row) & valid
         take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
         tile_u = take(u)
@@ -88,17 +88,17 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
         s_ref[0] = jnp.where(better, tile_best_s, prev_s)
         u_ref[0] = jnp.where(better, tile_u, u_ref[0])
         v_ref[0] = jnp.where(better, tile_v, v_ref[0])
-        col_ref[0] = jnp.where(better, j * TRI_TILE + best_row,
+        col_ref[0] = jnp.where(better, j * tri_tile + best_row,
                                col_ref[0]).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cull", "interpret", "precision"))
+@partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile"))
 def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
-               precision=jax.lax.Precision.HIGHEST):
+               precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp]."""
     rp = f.shape[0]
     tp = w4.shape[1]
-    rt, wt = rp // RAY_TILE, tp // TRI_TILE
+    rt, wt = rp // RAY_TILE, tp // tri_tile
     grid = (rt, wt)
     out_shape = [
         jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
@@ -116,8 +116,8 @@ def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
             # features transposed: [16, Rp], tile [16, RAY_TILE]
             pl.BlockSpec((16, RAY_TILE), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            # W planes transposed: [4, Tp, 16], tile [4, TRI_TILE, 16]
-            pl.BlockSpec((4, TRI_TILE, 16), lambda i, j, *_: (0, j, 0),
+            # W planes transposed: [4, Tp, 16], tile [4, tri_tile, 16]
+            pl.BlockSpec((4, tri_tile, 16), lambda i, j, *_: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -125,7 +125,7 @@ def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
         out_specs=[out_spec] * 4,
     )
     s, u, v, col = pl.pallas_call(
-        partial(_kernel, cull=cull, precision=precision),
+        partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -135,12 +135,21 @@ def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
     return tuple(x.reshape(-1) for x in (s, u, v, col))
 
 
-def build_w4(world_geometry, id_buffer):
+def pick_tri_tile(num_tris: int) -> int:
+    """Smallest lane-aligned tile that avoids padding waste on small
+    scenes while keeping per-step work meaty on large ones."""
+    for cand in (128, 256):
+        if num_tris <= cand * 2:
+            return cand
+    return TRI_TILE
+
+
+def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
     """W as [4, Tp, 16] (det/udet/vdet/sdet split into separate planes),
-    padded to a TRI_TILE multiple; plus per-cluster AABBs for the flag
+    padded to a tri_tile multiple; plus per-cluster AABBs for the flag
     prepass and the padded id map."""
     t = id_buffer.shape[0]
-    tp = -(-t // TRI_TILE) * TRI_TILE
+    tp = -(-t // tri_tile) * tri_tile
     w = build_tri_matrix(world_geometry, id_buffer)        # [16, 4T]
     w = w.reshape(16, t, 4)
     w = jnp.pad(w, ((0, 0), (0, tp - t), (0, 0)))
@@ -150,14 +159,15 @@ def build_w4(world_geometry, id_buffer):
     verts = tris[:, 0:9].reshape(t, 3, 3)
     vmin = jnp.pad(verts.min(axis=1), ((0, tp - t), (0, 0)), constant_values=jnp.inf)
     vmax = jnp.pad(verts.max(axis=1), ((0, tp - t), (0, 0)), constant_values=-jnp.inf)
-    k = tp // CLUSTER
-    aabb_min = vmin.reshape(k, CLUSTER, 3).min(axis=1)
-    aabb_max = vmax.reshape(k, CLUSTER, 3).max(axis=1)
+    cluster = min(CLUSTER, tri_tile)
+    k = tp // cluster
+    aabb_min = vmin.reshape(k, cluster, 3).min(axis=1)
+    aabb_max = vmax.reshape(k, cluster, 3).max(axis=1)
     ids = jnp.pad(id_buffer, (0, tp - t), constant_values=-1)
     return w4, aabb_min, aabb_max, ids
 
 
-def _flags(aabb_min, aabb_max, origin, direction, max_len, rt):
+def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt):
     """[RT, WT] int32: ray tile i may hit triangle tile j."""
     inv_d = 1.0 / direction
     t0 = (aabb_min[None] - origin[:, None]) * inv_d[:, None]
@@ -167,8 +177,7 @@ def _flags(aabb_min, aabb_max, origin, direction, max_len, rt):
     hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < max_len[:, None])  # [Rp, K]
     k = aabb_min.shape[0]
     per_tile = hit.reshape(rt, RAY_TILE, k).any(axis=1)     # [RT, K]
-    clusters_per_tile = TRI_TILE // CLUSTER
-    wt = k // clusters_per_tile
+    clusters_per_tile = k // wt
     return per_tile.reshape(rt, wt, clusters_per_tile).any(axis=-1).astype(jnp.int32)
 
 
@@ -183,17 +192,19 @@ def _prep(origin, direction, max_len):
     return o, d, ml, n, (n + pad) // RAY_TILE
 
 
-@partial(jax.jit, static_argnames=("interpret", "precision"))
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
-                    precision=jax.lax.Precision.HIGHEST) -> Hit:
+                    precision=jax.lax.Precision.HIGHEST,
+                    tri_tile: int = TRI_TILE) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip."""
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     o, d, ml, n, rt = _prep(origin, direction, max_len)
-    flags = _flags(aabb_min, aabb_max, o, d, ml, rt)
+    wt = w4.shape[1] // tri_tile
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
     f = _ray_features(o, d)
     s, u, v, col = _intersect(w4, flags, f, ml, cull=False, interpret=interpret,
-                              precision=precision)
+                              precision=precision, tri_tile=tri_tile)
     s, u, v, col = s[:n], u[:n], v[:n], col[:n]
     hit = col >= 0
     tri = jnp.where(hit, ids[jnp.maximum(col, 0)], -1)
@@ -202,16 +213,18 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("interpret", "precision"))
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile"))
 def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
                   interpret: bool = False,
-                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                  precision=jax.lax.Precision.HIGHEST,
+                  tri_tile: int = TRI_TILE) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len, fused on-chip."""
     o, d, ml, n, rt = _prep(origin, direction, max_len)
-    flags = _flags(aabb_min, aabb_max, o, d, ml, rt)
+    wt = w4.shape[1] // tri_tile
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
     f = _ray_features(o, d)
     s, u, v, col = _intersect(w4, flags, f, ml, cull=True, interpret=interpret,
-                              precision=precision)
+                              precision=precision, tri_tile=tri_tile)
     col = col[:n]
     tri = jnp.where(col >= 0, ids[jnp.maximum(col, 0)], -1)
     return tri >= 0

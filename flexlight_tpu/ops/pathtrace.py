@@ -332,16 +332,20 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     elif scheme == "kernel":
         import jax
 
-        from .intersect_kernel import build_w4, shadow_kernel, traverse_kernel
+        from .intersect_kernel import (build_w4, pick_tri_tile, shadow_kernel,
+                                       traverse_kernel)
 
-        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer)
+        tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
+        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
         interp = jax.default_backend() == "cpu"  # Pallas TPU kernels: interpret on CPU
 
         def traverse_fn(o, d):
-            return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp)
+            return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
+                                   tri_tile=tri_tile)
 
         def shadow_fn(o, d, l):
-            return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp)
+            return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
+                                 tri_tile=tri_tile)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 

@@ -1,0 +1,82 @@
+"""Golden-image regression tests.
+
+Stored goldens pin the renderer's output (scan-oracle scheme, CPU, fixed
+seeds) for the cornell scene across the three pipeline modes. They guard
+the shading/post arithmetic against silent drift — traversal-scheme
+equivalence is covered elsewhere.
+
+Regenerate after an intentional change:  python tests/test_goldens.py regen
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+SIZE = 24
+
+# The axon TPU plugin's remote-compile hook changes CPU codegen (and the
+# hash RNG amplifies any fp difference chaotically), so goldens only hold
+# in a clean CPU env — tests/run_all.sh provides one.
+pytestmark = pytest.mark.skipif(
+    bool(os.environ.get("PALLAS_AXON_POOL_IPS")),
+    reason="axon remote-compile active: CPU codegen differs; use tests/run_all.sh")
+
+
+def _render(mode: str) -> np.ndarray:
+    from flexlight_tpu import FlexLight
+    from flexlight_tpu.scene.transform import reset_global_registry
+    from tests.scenes import cornell_config, cornell_scene
+
+    reset_global_registry()
+    engine = FlexLight((SIZE, SIZE))
+    scene, camera = cornell_scene()
+    engine.scene = scene
+    engine.camera = camera
+    if mode == "direct":
+        engine.config = cornell_config(max_reflections=3)
+    elif mode == "temporal":
+        engine.config = cornell_config(temporal=True, temporal_samples=2,
+                                       max_reflections=3)
+    elif mode == "filter":
+        engine.config = cornell_config(filter=True, temporal=True,
+                                       temporal_samples=2, max_reflections=3,
+                                       antialiasing="fxaa")
+    elif mode == "rasterizer":
+        engine.config = cornell_config(max_reflections=1)
+    engine.renderer = "rasterizer" if mode == "rasterizer" else "pathtracer"
+    engine.renderer.scheme = "scan"
+    img = None
+    frames = 2 if mode in ("temporal", "filter") else 1
+    for _ in range(frames):
+        img = engine.renderer.render_frame()
+    return img
+
+
+MODES = ["direct", "temporal", "filter", "rasterizer"]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_golden(mode):
+    path = os.path.join(GOLDEN_DIR, f"cornell_{mode}_{SIZE}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden missing: {path} (run tests/test_goldens.py regen)")
+    golden = np.load(path)["img"]
+    img = _render(mode)
+    # Bitwise-stable on the same backend; tolerance covers XLA version drift
+    np.testing.assert_allclose(img, golden, atol=2e-3,
+                               err_msg=f"golden drift in mode {mode}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for mode in MODES:
+            img = _render(mode)
+            np.savez_compressed(
+                os.path.join(GOLDEN_DIR, f"cornell_{mode}_{SIZE}.npz"), img=img)
+            print(f"wrote golden cornell_{mode}_{SIZE}.npz  max={img.max():.4f}")
