@@ -49,12 +49,15 @@ def _quantized_mrt(mrt, height, width):
     return color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q
 
 
-def _filter_chain(config: Config, r0, ip0, oc0, id0, oid):
+def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f):
     """The first/second/final filter ping-pong, index-exact to
     pathtracerWGL2.js:462-549 — including the reference's quirk that the
     first two second-pass originalColor writes land on a nonexistent
     attachment (IdRenderTexture[2/3]) and are dropped, so the second
-    second-pass reads a zero originalColor texture."""
+    second-pass reads a zero originalColor texture.
+
+    `lift` wraps each individual pass — the sharded pipeline injects a
+    ppermute halo exchange per pass here (parallel.halo.with_halo)."""
     zeros = jnp.zeros_like(r0)
     render = {0: r0, 1: zeros, 2: zeros, 3: zeros}
     ip = {0: ip0, 1: zeros, 2: zeros, 3: zeros}
@@ -69,11 +72,11 @@ def _filter_chain(config: Config, r0, ip0, oc0, id0, oid):
             np_ += 2
         inputs = (render[n], ip[n], ocolor[n_original], ids[n_id], oid)
         if i < first:
-            c, p, idout = first_filter(*inputs)
+            c, p, idout = lift(first_filter)(*inputs)
             render[np_], ip[np_] = c, p
             ids[np_] = idout
         else:
-            c, p, oc = second_filter(*inputs)
+            c, p, oc = lift(second_filter)(*inputs)
             render[np_], ip[np_] = c, p
             if i - 2 >= first:
                 ocolor[npo] = oc  # earlier second passes: write dropped
@@ -85,8 +88,8 @@ def _filter_chain(config: Config, r0, ip0, oc0, id0, oid):
     index = 2 + (first + second) % 2
     index_id = first % 2
     index_original = second % 2
-    return final_filter(render[index], ip[index], ocolor[index_original],
-                        ids[index_id], oid, config.hdr)
+    return lift(lambda *xs: final_filter(*xs, config.hdr))(
+        render[index], ip[index], ocolor[index_original], ids[index_id], oid)
 
 
 def postprocess_mrt(mrt, temporal_state: TemporalState, taa_state: TAAState,
@@ -163,9 +166,15 @@ class PathTracer:
         self.canvas_height = int(height)
         self.fps = 0.0
         self.fps_limit = float("inf")
+        # `freeze` pauses accumulation/animation: render_frame returns the
+        # last frame (obj.js:72 references it; implemented in the dead
+        # highpoly.js:490 renderer — here it is first-class).
+        self.freeze = False
         self.scheme = scheme
         self.tile = tile
         self._halt = True
+        self._last_frame = None
+        self._last_frame_time = None
         self._buffers = None
         self._temporal_state = None
         self._taa_state = None
@@ -250,8 +259,15 @@ class PathTracer:
 
     def render_frame(self) -> np.ndarray:
         """Render one frame; returns [H, W, 3] float32 in [0, 1]."""
+        if self.freeze and self._last_frame is not None:
+            return self._last_frame
         if self._halt:
             self.render()
+        # fpsLimit throttling (pathtracerWGL2.js:300-302)
+        if self.fps_limit != float("inf") and self._last_frame_time is not None:
+            wait = 1.0 / self.fps_limit - (time.perf_counter() - self._last_frame_time)
+            if wait > 0:
+                time.sleep(wait)
         self._prepare()
         self._refresh_transforms()
         jitter = (0.0, 0.0)
@@ -270,9 +286,11 @@ class PathTracer:
         self._frame_count += 1
         self._fps_frames += 1
         now = time.perf_counter()
+        self._last_frame_time = now
         elapsed = now - self._fps_window_start
         if elapsed > 0.5:  # 500ms window (pathtracerWGL2.js:293-298)
             self.fps = self._fps_frames / elapsed
             self._fps_window_start = now
             self._fps_frames = 0
-        return np.asarray(display)
+        self._last_frame = np.asarray(display)
+        return self._last_frame

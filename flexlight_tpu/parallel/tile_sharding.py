@@ -106,3 +106,97 @@ def frame_pipeline_sharded(buffers, cam_pos, view, random_seed,
     mrt = render_mrt_sharded(buffers, width, height, cam_pos, view, config,
                              random_seed, mesh, scheme=scheme, tile=tile)
     return postprocess_mrt(mrt, temporal_state, taa_state, width, height, config)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "mesh",
+                                   "scheme", "tile", "halo"))
+def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
+                                temporal_state, taa_state,
+                                width: int, height: int, config, mesh: Mesh,
+                                scheme: str = "scan", tile: int = 1024,
+                                halo: int = 32):
+    """Fully-sharded frame: pathtrace AND post-processing stay strip-sharded.
+
+    Temporal accumulation is pointwise per strip; the denoise stencils and
+    FXAA exchange `halo` boundary rows with mesh neighbors via ppermute
+    (parallel.halo) instead of all_gathering frames. Identical to the
+    single-chip pipeline wherever the per-pixel stencil radius fits the
+    halo. Only the final RGB strips (and updated history strips) are
+    gathered. 1D 'tile' mesh.
+    """
+    from ..models.pathtracer import _filter_chain, _quantized_mrt
+    from ..ops.pathtrace import render_mrt
+    from ..post.common import quantize_rgba8, split_hdr
+    from ..post.fxaa import fxaa
+    from ..post.temporal import TemporalState, push_frame, temporal_average
+    from .halo import with_halo
+
+    n_tile = mesh.shape["tile"]
+    if height % n_tile != 0:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
+    rows_local = height // n_tile
+    # One-hop ppermute reaches at most the adjacent strip
+    halo = min(halo, rows_local)
+    use_aa = config.antialiasing in ("fxaa", "taa")
+    if config.antialiasing == "taa":
+        raise NotImplementedError("sharded-halo TAA: use frame_pipeline_sharded")
+
+    def shard_fn(buffers, cam_pos, view, random_seed, temporal_state, taa_state):
+        ti = jax.lax.axis_index("tile")
+        row0 = ti * rows_local
+        mrt = render_mrt(buffers, width, height, cam_pos, view, config,
+                         random_seed, scheme=scheme, tile=tile,
+                         row0=row0, rows=rows_local)
+        color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q = _quantized_mrt(
+            mrt, rows_local, width)
+
+        # slice this shard's strip of the (replicated) history ring
+        my_state = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, row0, rows_local, axis=1),
+            temporal_state)
+
+        display = None
+        if config.temporal:
+            my_state = push_frame(my_state, color_q, ip_q, id_q, oid_q)
+            t_color, t_glass, center_w = temporal_average(my_state)
+            if config.filter:
+                frac_q, high_q = split_hdr(t_color)
+                r0 = jnp.concatenate([frac_q, center_w[..., None]], axis=-1)
+                ip0 = jnp.concatenate(
+                    [high_q, quantize_rgba8(t_glass)[..., None]], axis=-1)
+                display = _filter_chain(
+                    config, r0, ip0, ocolor_q, id_q, oid_q,
+                    lift=lambda f: with_halo(f, halo, "tile"))
+            else:
+                display = jnp.clip(t_color, 0.0, 1.0)
+                if use_aa:
+                    display = quantize_rgba8(display)
+        elif config.filter:
+            display = _filter_chain(
+                config, color_q, ip_q, ocolor_q, id_q, oid_q,
+                lift=lambda f: with_halo(f, halo, "tile"))
+        else:
+            direct = color * mrt.original_color.reshape(rows_local, width, 3)
+            display = jnp.clip(direct, 0.0, 1.0)
+
+        if config.antialiasing == "fxaa":
+            aa_in = jnp.concatenate(
+                [quantize_rgba8(display),
+                 (alpha.reshape(rows_local, width) > 0).astype(jnp.float32)[..., None]],
+                axis=-1)
+            display = with_halo(fxaa, halo, "tile")(aa_in)[..., 0:3]
+
+        display = jnp.clip(display, 0.0, 1.0)
+        gather = lambda x, axis: jax.lax.all_gather(x, "tile", axis=axis, tiled=True)
+        new_state = jax.tree.map(lambda x: gather(x, 1), my_state)
+        return gather(display, 0), new_state
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    display, new_temporal = fn(buffers, cam_pos, view, random_seed,
+                               temporal_state, taa_state)
+    return display, new_temporal, taa_state

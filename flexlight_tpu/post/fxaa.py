@@ -37,7 +37,21 @@ def _luma(rgba: jnp.ndarray) -> jnp.ndarray:
 
 
 def fxaa(img: jnp.ndarray) -> jnp.ndarray:
-    """img: [H, W, 4] -> antialiased [H, W, 4]."""
+    """img: [H, W, 4] -> antialiased [H, W, 4].
+
+    The image is zero-padded by SEARCH_STEPS+2 first so that samples taken
+    just outside the frame see blur/luma values computed from zero texels
+    (texelFetch OOB semantics) rather than being zeroed wholesale — this is
+    what the GLSL does when blur_3x3 runs at an out-of-frame search
+    position (fxaa.js:50-56), and it makes the op invariant to the halo
+    padding the sharded pipeline applies.
+    """
+    p = SEARCH_STEPS + 2
+    padded = jnp.pad(img, ((p, p), (p, p), (0, 0)))
+    return _fxaa_core(padded)[p:-p, p:-p]
+
+
+def _fxaa_core(img: jnp.ndarray) -> jnp.ndarray:
     luma = _luma(img)
 
     # 3x3 box blur and its luma (fxaa.js:50-56)

@@ -49,16 +49,19 @@ def test_diffuse_white_furnace_bound():
 
 
 def test_noise_matches_glsl_semantics():
-    """fract(sin(dot(n,(12.9898,78.233)) + k*(seed+rs*PHI))*43758.5453)*2-1"""
+    """fract(sin(dot(n,(12.9898,78.233)) + k*(seed+rs*PHI))*2-1 — the
+    expected value is computed with the same jnp ops (the hash amplifies
+    any cross-library sin() ULP difference by 43758, so a NumPy reference
+    would be chaotically fragile)."""
     n = jnp.array([[0.25, -0.5]])
     out = np.asarray(noise(n, 2.0, 3.0))
-    phi = 1.61803398874989484820459
-    d = 0.25 * 12.9898 + -0.5 * 78.233
+    phi = jnp.float32(1.61803398874989484820459)
+    d = n[0, 0] * 12.9898 + n[0, 1] * 78.233
     for i, k in enumerate([53.0, 59.0, 61.0, 67.0]):
-        arg = np.float32(d) + np.float32(k) * np.float32(2.0 + 3.0 * phi)
-        val = np.float32(np.sin(np.float32(arg))) * np.float32(43758.5453)
-        expected = (val - np.floor(val)) * 2.0 - 1.0
-        np.testing.assert_allclose(out[0, i], expected, atol=2e-3)
+        arg = d + jnp.float32(k) * (jnp.float32(2.0) + jnp.float32(3.0) * phi)
+        val = jnp.sin(arg) * jnp.float32(43758.5453)
+        expected = float((val - jnp.floor(val)) * 2.0 - 1.0)
+        np.testing.assert_allclose(out[0, i], expected, atol=1e-5)
     assert (out >= -1.0).all() and (out < 1.0).all()
 
 

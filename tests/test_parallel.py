@@ -37,6 +37,70 @@ def test_sharded_mrt_matches_single_chip():
                                np.asarray(sharded.render_id), atol=1e-5)
 
 
+def test_halo_exchange_matches_padding():
+    import jax.numpy as jnp
+
+    from flexlight_tpu.parallel.halo import exchange_halo
+
+    mesh = make_mesh(4, 1)
+    full = jnp.arange(4 * 8 * 2 * 1, dtype=jnp.float32).reshape(4, 8, 2, 1)
+
+    def fn(strip):
+        return jax.lax.all_gather(exchange_halo(strip, 2, "tile"), "tile",
+                                  axis=0, tiled=True)
+
+    out = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=jax.sharding.PartitionSpec("tile"),
+        out_specs=jax.sharding.PartitionSpec(),
+        check_vma=False)(full.reshape(32, 2, 1))
+    out = np.asarray(out).reshape(4, 12, 2, 1)
+    flat = np.asarray(full).reshape(32, 2, 1)
+    for i in range(4):
+        # interior rows = own strip
+        np.testing.assert_array_equal(out[i, 2:10], flat[i * 8:(i + 1) * 8])
+        # top halo: neighbor above's last rows (zeros at the image border)
+        expected_top = flat[i * 8 - 2:i * 8] if i > 0 else np.zeros((2, 2, 1))
+        np.testing.assert_array_equal(out[i, 0:2], expected_top)
+        expected_bot = (flat[(i + 1) * 8:(i + 1) * 8 + 2] if i < 3
+                        else np.zeros((2, 2, 1)))
+        np.testing.assert_array_equal(out[i, 10:12], expected_bot)
+
+
+def test_sharded_halo_pipeline_matches_single_chip():
+    """Full filter+FXAA pipeline, strips with ppermute halos vs one chip.
+    Low roughness keeps the dynamic stencil radius within the halo, so the
+    results must match exactly."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.models.pathtracer import frame_pipeline
+    from flexlight_tpu.parallel.tile_sharding import frame_pipeline_sharded_halo
+
+    scene, camera = cornell_scene()
+    for group in scene.queue:
+        for obj in group:
+            obj.roughness = 0.05
+    buffers = build_scene_buffers(scene)
+    cfg = Config(temporal=True, temporal_samples=2, filter=True,
+                 antialiasing="fxaa", samples_per_ray=1, max_reflections=2)
+    size = 64  # rows_local 16 >= the low-roughness stencil radius
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    temporal = TemporalState.create(2, size, size)
+    taa = TAAState.create(size, size)
+
+    ref, ref_t, _ = frame_pipeline(buffers, pos, view, jnp.float32(0.0),
+                                   temporal, taa, width=size, height=size,
+                                   config=cfg, scheme="scan")
+    mesh = make_mesh(4, 1)
+    got, got_t, _ = frame_pipeline_sharded_halo(
+        buffers, pos, view, jnp.float32(0.0), temporal, taa,
+        width=size, height=size, config=cfg, mesh=mesh, halo=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(got_t), jax.tree.leaves(ref_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_sharded_full_pipeline_2d_mesh():
     scene, camera = cornell_scene()
     buffers = build_scene_buffers(scene)
