@@ -57,6 +57,7 @@ class FlexLight:
     @camera.setter
     def camera(self, camera):
         self._camera = camera
+        self._scene.camera = camera  # flexlight.js:96 mirrors it onto the scene
         if self._renderer is not None:
             self._renderer.camera = camera
 

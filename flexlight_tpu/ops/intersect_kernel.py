@@ -181,6 +181,17 @@ def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt):
     return per_tile.reshape(rt, wt, clusters_per_tile).any(axis=-1).astype(jnp.int32)
 
 
+def sort_by_octant(direction):
+    """Stable sort permutation by direction octant: groups like directions
+    while preserving (already spatially coherent) pixel order within each
+    octant — incoherent bounce wavefronts then produce much sparser
+    [ray_tile, tri_tile] flag matrices. Returns (perm, inv_perm)."""
+    key = ((direction[:, 0] > 0) * 4 + (direction[:, 1] > 0) * 2
+           + (direction[:, 2] > 0)).astype(jnp.int32)
+    perm = jnp.argsort(key, stable=True)
+    return perm, jnp.argsort(perm)
+
+
 def _prep(origin, direction, max_len):
     n = origin.shape[0]
     pad = (-n) % RAY_TILE
@@ -192,12 +203,16 @@ def _prep(origin, direction, max_len):
     return o, d, ml, n, (n + pad) // RAY_TILE
 
 
-@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile"))
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "sort_rays"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
-                    tri_tile: int = TRI_TILE) -> Hit:
+                    tri_tile: int = TRI_TILE, sort_rays: bool = True) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip."""
+    if sort_rays:
+        perm, inv_perm = sort_by_octant(direction)
+        origin, direction = origin[perm], direction[perm]
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     o, d, ml, n, rt = _prep(origin, direction, max_len)
     wt = w4.shape[1] // tri_tile
@@ -206,6 +221,8 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     s, u, v, col = _intersect(w4, flags, f, ml, cull=False, interpret=interpret,
                               precision=precision, tri_tile=tri_tile)
     s, u, v, col = s[:n], u[:n], v[:n], col[:n]
+    if sort_rays:
+        s, u, v, col = s[inv_perm], u[inv_perm], v[inv_perm], col[inv_perm]
     hit = col >= 0
     tri = jnp.where(hit, ids[jnp.maximum(col, 0)], -1)
     hit &= tri >= 0
@@ -213,12 +230,16 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile"))
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "sort_rays"))
 def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
-                  tri_tile: int = TRI_TILE) -> jnp.ndarray:
+                  tri_tile: int = TRI_TILE, sort_rays: bool = True) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len, fused on-chip."""
+    if sort_rays:
+        perm, inv_perm = sort_by_octant(direction)
+        origin, direction, max_len = origin[perm], direction[perm], max_len[perm]
     o, d, ml, n, rt = _prep(origin, direction, max_len)
     wt = w4.shape[1] // tri_tile
     flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
@@ -226,5 +247,7 @@ def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
     s, u, v, col = _intersect(w4, flags, f, ml, cull=True, interpret=interpret,
                               precision=precision, tri_tile=tri_tile)
     col = col[:n]
+    if sort_rays:
+        col = col[inv_perm]
     tri = jnp.where(col >= 0, ids[jnp.maximum(col, 0)], -1)
     return tri >= 0

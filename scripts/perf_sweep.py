@@ -42,13 +42,15 @@ def measure(name, engine_builder, width, height, config):
     temporal = TemporalState.create(config.temporal_samples, height, width)
     taa = TAAState.create(height, width)
 
-    def frame(pos, view):
+    def frame(pos, view, buffers, temporal, taa):
         out, _, _ = frame_pipeline.__wrapped__(
             buffers, pos, view, jnp.float32(0.0), temporal, taa,
             width=width, height=height, config=config, scheme=scheme)
         return out
 
-    dt = device_time(frame, pos, view, iters=4)
+    # buffers/state ride as arguments (a closure would bake the scene into
+    # the program as padded constant literals)
+    dt = device_time(frame, pos, view, buffers, temporal, taa, iters=4)
     n_rays = width * height * (1 + 2 * config.max_reflections)
     print(f"{name:28s} {width}x{height}  scheme={scheme:8s} "
           f"{dt*1000:9.2f} ms/frame  {1.0/dt:7.1f} fps  "
