@@ -50,10 +50,13 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
         tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
         w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
         interp = _jax.default_backend() == "cpu"
+        sort = (ids.shape[0] // tri_tile) >= 8
         traverse_fn = lambda o, d: traverse_kernel(w4, amin, amax, ids, o, d,
-                                                   interpret=interp, tri_tile=tri_tile)
+                                                   interpret=interp, tri_tile=tri_tile,
+                                                   sort_rays=sort)
         shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
-                                                  interpret=interp, tri_tile=tri_tile)
+                                                  interpret=interp, tri_tile=tri_tile,
+                                                  sort_rays=sort)
     elif scheme == "packet":
         def shadow_fn(o, d, l):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)

@@ -208,7 +208,7 @@ def _prep(origin, direction, max_len):
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
-                    tri_tile: int = TRI_TILE, sort_rays: bool = True) -> Hit:
+                    tri_tile: int = TRI_TILE, sort_rays: bool = False) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip."""
     if sort_rays:
         perm, inv_perm = sort_by_octant(direction)
@@ -235,7 +235,7 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
 def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
-                  tri_tile: int = TRI_TILE, sort_rays: bool = True) -> jnp.ndarray:
+                  tri_tile: int = TRI_TILE, sort_rays: bool = False) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len, fused on-chip."""
     if sort_rays:
         perm, inv_perm = sort_by_octant(direction)

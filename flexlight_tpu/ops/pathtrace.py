@@ -338,14 +338,17 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
         w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
         interp = jax.default_backend() == "cpu"  # Pallas TPU kernels: interpret on CPU
+        # Octant sorting only pays for itself when there are many triangle
+        # tiles to skip (argsort is not free on TPU)
+        sort = (ids.shape[0] // tri_tile) >= 8
 
         def traverse_fn(o, d):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
-                                   tri_tile=tri_tile)
+                                   tri_tile=tri_tile, sort_rays=sort)
 
         def shadow_fn(o, d, l):
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
-                                 tri_tile=tri_tile)
+                                 tri_tile=tri_tile, sort_rays=sort)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .common import INV_256, gather, quantize_rgba8, reinhard_gamma
+from .common import INV_256, gather, gather_multi, quantize_rgba8, reinhard_gamma
 
 # 4-neighborhood (first_filter.glsl:36-40)
 STENCIL1 = np.array([[-1, 0], [0, -1], [0, 1], [1, 0]], dtype=np.int32)
@@ -67,9 +67,8 @@ def first_filter(color, ip, ocolor, ids, oid):
     # --- shadow vote repair (glsl:60-94) ---
     dy = jnp.broadcast_to(STENCIL1[None, None, :, 0], color.shape[:2] + (4,))
     dx = jnp.broadcast_to(STENCIL1[None, None, :, 1], color.shape[:2] + (4,))
-    n_ids = gather(ids, dy, dx)        # [H, W, 4, 4]
-    n_oids = gather(oid, dy, dx)
-    n_ipws = gather(ip, dy, dx)[..., 3]
+    n_ids, n_oids, n_ip = gather_multi((ids, oid, ip), dy, dx)  # [H, W, 4, 4]
+    n_ipws = n_ip[..., 3]
 
     votes = []
     for i in range(4):
@@ -101,10 +100,7 @@ def first_filter(color, ip, ocolor, ids, oid):
     # --- gated disc blur (glsl:96-117) ---
     scale = (1.0 + center_ocolor[..., 3]) ** 2 * 3.5
     dy3, dx3 = _scaled_offsets(STENCIL3, scale)
-    b_id = gather(ids, dy3, dx3)
-    b_oid = gather(oid, dy3, dx3)
-    b_color = gather(color, dy3, dx3)
-    b_ip = gather(ip, dy3, dx3)
+    b_id, b_oid, b_color, b_ip = gather_multi((ids, oid, color, ip), dy3, dx3)
 
     idw = jnp.round(b_id[..., 3] * 255.0).astype(jnp.int32)
     light = idw // 2
@@ -147,11 +143,8 @@ def second_filter(color, ip, ocolor, ids, oid):
 
     scale = 1.0 + 2.0 * jnp.tanh(center_ocolor[..., 3] + center_oid[..., 3] * 4.0)
     dy, dx = _scaled_offsets(STENCIL3_NO_CENTER, scale)
-    b_id = gather(ids, dy, dx)
-    b_oid = gather(oid, dy, dx)
-    b_color = gather(color, dy, dx)
-    b_ip = gather(ip, dy, dx)
-    b_ocolor = gather(ocolor, dy, dx)
+    b_id, b_oid, b_color, b_ip, b_ocolor = gather_multi(
+        (ids, oid, color, ip, ocolor), dy, dx)
 
     oid_xyz_match = jnp.all(b_oid[..., 0:3] == center_oid[..., None, 0:3], axis=-1)
     full_id_match = jnp.all(b_id == center_id[..., None, :], axis=-1)
@@ -191,11 +184,8 @@ def final_filter(color, ip, ocolor, ids, oid, hdr: bool):
 
     scale = 0.7 + 2.0 * jnp.tanh(center_ocolor[..., 3] + center_oid[..., 3] * 4.0)
     dy, dx = _scaled_offsets(STENCIL3, scale)
-    b_id = gather(ids, dy, dx)
-    b_oid = gather(oid, dy, dx)
-    b_color = gather(color, dy, dx)
-    b_ip = gather(ip, dy, dx)
-    b_ocolor = gather(ocolor, dy, dx)
+    b_id, b_oid, b_color, b_ip, b_ocolor = gather_multi(
+        (ids, oid, color, ip, ocolor), dy, dx)
 
     blur_translucent = (jnp.maximum(b_ip[..., 3], center_ip[..., None, 3]) != 0.0) \
         & (jnp.minimum(center_oid[..., None, 3], b_oid[..., 3]) > 0.0)

@@ -114,8 +114,14 @@ def _fxaa_core(img: jnp.ndarray) -> jnp.ndarray:
     kp = jnp.zeros((h, w), dtype=jnp.int32)
 
     def pick(stackv, k):
-        idx = k[..., None, None] if stackv.ndim == 4 else k[..., None]
-        return jnp.take_along_axis(stackv, idx, axis=2).squeeze(2)
+        # static select-sum over the 6 search steps: take_along_axis's
+        # dynamic gather is a TPU slow path
+        out = jnp.zeros(stackv.shape[:2] + stackv.shape[3:], stackv.dtype)
+        for step in range(SEARCH_STEPS):
+            sel = (k == step)
+            sel = sel[..., None] if stackv.ndim == 4 else sel
+            out = jnp.where(sel, stackv[:, :, step], out)
+        return out
 
     for _ in range(SEARCH_STEPS):
         take_n = ~done_n
