@@ -49,7 +49,23 @@ def _quantized_mrt(mrt, height, width):
     return color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q
 
 
-def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f):
+def _filter_passes(post_scheme: str):
+    """Select the denoise-pass implementations: "gather" = jnp dynamic
+    gather (CPU oracle / sharded shards), "kernel" = Pallas TPU kernels
+    (post.filter_kernel), "auto" = kernel unless on the CPU backend."""
+    if post_scheme == "auto":
+        post_scheme = "gather" if jax.default_backend() == "cpu" else "kernel"
+    if post_scheme == "kernel":
+        from ..post.filter_kernel import (final_filter_tpu, first_filter_tpu,
+                                          second_filter_tpu)
+
+        return first_filter_tpu, second_filter_tpu, final_filter_tpu
+    return first_filter, second_filter, final_filter
+
+
+def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f,
+                  post_scheme: str = "gather"):
+    first_fn, second_fn, final_fn = _filter_passes(post_scheme)
     """The first/second/final filter ping-pong, index-exact to
     pathtracerWGL2.js:462-549 — including the reference's quirk that the
     first two second-pass originalColor writes land on a nonexistent
@@ -72,11 +88,11 @@ def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f):
             np_ += 2
         inputs = (render[n], ip[n], ocolor[n_original], ids[n_id], oid)
         if i < first:
-            c, p, idout = lift(first_filter)(*inputs)
+            c, p, idout = lift(first_fn)(*inputs)
             render[np_], ip[np_] = c, p
             ids[np_] = idout
         else:
-            c, p, oc = lift(second_filter)(*inputs)
+            c, p, oc = lift(second_fn)(*inputs)
             render[np_], ip[np_] = c, p
             if i - 2 >= first:
                 ocolor[npo] = oc  # earlier second passes: write dropped
@@ -88,12 +104,13 @@ def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f):
     index = 2 + (first + second) % 2
     index_id = first % 2
     index_original = second % 2
-    return lift(lambda *xs: final_filter(*xs, config.hdr))(
+    return lift(lambda *xs: final_fn(*xs, config.hdr))(
         render[index], ip[index], ocolor[index_original], ids[index_id], oid)
 
 
 def postprocess_mrt(mrt, temporal_state: TemporalState, taa_state: TAAState,
-                    width: int, height: int, config: Config):
+                    width: int, height: int, config: Config,
+                    post_scheme: str = "auto"):
     """temporal -> denoise -> AA, shared by the single-chip and sharded
     pipelines. Returns (display rgb [H,W,3] in [0,1], temporal, taa)."""
     color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q = _quantized_mrt(mrt, height, width)
@@ -109,7 +126,8 @@ def postprocess_mrt(mrt, temporal_state: TemporalState, taa_state: TAAState,
             frac_q, high_q = split_hdr(t_color)
             r0 = jnp.concatenate([frac_q, center_w[..., None]], axis=-1)
             ip0 = jnp.concatenate([high_q, quantize_rgba8(t_glass)[..., None]], axis=-1)
-            display = _filter_chain(config, r0, ip0, ocolor_q, id_q, oid_q)
+            display = _filter_chain(config, r0, ip0, ocolor_q, id_q, oid_q,
+                                    post_scheme=post_scheme)
         else:
             # Temporal-only output is raw (the generated shader's HDR branch
             # is dead code, overwritten at pathtracerWGL2.js:660) and lands
@@ -118,7 +136,8 @@ def postprocess_mrt(mrt, temporal_state: TemporalState, taa_state: TAAState,
             if use_aa:
                 display = quantize_rgba8(display)
     elif config.filter:
-        display = _filter_chain(config, color_q, ip_q, ocolor_q, id_q, oid_q)
+        display = _filter_chain(config, color_q, ip_q, ocolor_q, id_q, oid_q,
+                                post_scheme=post_scheme)
     else:
         # Direct mode (glsl:625-632): fold in first-hit albedo, no tone map.
         direct = color * mrt.original_color.reshape(height, width, 3)

@@ -9,6 +9,7 @@ identically; `gather` reproduces texelFetch's zero result out of bounds.
 
 from __future__ import annotations
 
+import jax.lax
 import jax.numpy as jnp
 
 INV_255 = 1.0 / 255.0
@@ -44,6 +45,20 @@ def gather(img: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
     vals = img.reshape(h * w, -1)[flat_idx.reshape(-1)]
     vals = vals.reshape(h, w, dy.shape[-1], img.shape[-1])
     return jnp.where(inb[..., None], vals, 0.0)
+
+
+def shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[y, x] = img[y+dy, x+dx] with zero out-of-bounds — the static
+    form of `gather` for compile-time offsets (pad + slice, which XLA
+    fuses; never touches the TPU gather path)."""
+    h, w = img.shape[0], img.shape[1]
+    py = (max(-dy, 0), max(dy, 0))
+    px = (max(-dx, 0), max(dx, 0))
+    pad = (py, px) + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, pad)
+    start = (py[0] + dy, px[0] + dx) + (0,) * (img.ndim - 2)
+    limit = (py[0] + dy + h, px[0] + dx + w) + img.shape[2:]
+    return jax.lax.slice(p, start, limit)
 
 
 def gather_multi(imgs, dy: jnp.ndarray, dx: jnp.ndarray):

@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .common import INV_256, gather, gather_multi, quantize_rgba8, reinhard_gamma
+from .common import (INV_256, gather, gather_multi, quantize_rgba8,
+                     reinhard_gamma, shifted)
 
 # 4-neighborhood (first_filter.glsl:36-40)
 STENCIL1 = np.array([[-1, 0], [0, -1], [0, 1], [1, 0]], dtype=np.int32)
@@ -49,26 +50,24 @@ def _scaled_offsets(stencil: np.ndarray, scale: jnp.ndarray):
     return s[..., 0], s[..., 1]
 
 
-def first_filter(color, ip, ocolor, ids, oid):
-    """(color, ip, id) <- shadow-vote repair + gated disc blur."""
-    center_color = color
-    center_ip = ip
-    center_ocolor = ocolor
+def vote_repair(color, ip, ocolor, ids, oid):
+    """Shadow-vote repair on the static 4-neighborhood
+    (first_filter.glsl:60-94) -> (render_id, render_ip_w). Shared by the
+    jnp and Pallas-kernel first-filter paths (the offsets are static, so
+    static shifts are already the fast form everywhere)."""
     center_id = ids
     center_oid = oid
 
-    center_idw = jnp.round(center_id[..., 3] * 255.0).astype(jnp.int32)
-    center_light = center_idw // 2
-    center_shadow = center_idw % 2
-
     render_id = center_id
-    render_ip_w = center_ip[..., 3]
+    render_ip_w = ip[..., 3]
 
-    # --- shadow vote repair (glsl:60-94) ---
-    dy = jnp.broadcast_to(STENCIL1[None, None, :, 0], color.shape[:2] + (4,))
-    dx = jnp.broadcast_to(STENCIL1[None, None, :, 1], color.shape[:2] + (4,))
-    n_ids, n_oids, n_ip = gather_multi((ids, oid, ip), dy, dx)  # [H, W, 4, 4]
-    n_ipws = n_ip[..., 3]
+    # neighbor stacks [H, W, tap, ch] (gather layout)
+    n_ids = jnp.stack([shifted(ids, int(r[0]), int(r[1])) for r in STENCIL1],
+                      axis=2)
+    n_oids = jnp.stack([shifted(oid, int(r[0]), int(r[1])) for r in STENCIL1],
+                       axis=2)
+    n_ipws = jnp.stack(
+        [shifted(ip[..., 3], int(r[0]), int(r[1])) for r in STENCIL1], axis=2)
 
     votes = []
     for i in range(4):
@@ -92,10 +91,26 @@ def first_filter(color, ip, ocolor, ids, oid):
 
     voted_id = jnp.take_along_axis(n_ids, id_number[..., None, None].astype(jnp.int32),
                                    axis=2)[..., 0, :]
-    repair = (center_oid[..., 3] != 0.0) & (center_ip[..., 3] != 0.0)
+    repair = (center_oid[..., 3] != 0.0) & (ip[..., 3] != 0.0)
     render_id = jnp.where(repair[..., None], voted_id, render_id)
     render_ip_w = jnp.where(
         repair, jnp.maximum(1.0 - jnp.sign(max_vote.astype(jnp.float32)), 0.0), render_ip_w)
+    return render_id, render_ip_w
+
+
+def first_filter(color, ip, ocolor, ids, oid):
+    """(color, ip, id) <- shadow-vote repair + gated disc blur."""
+    center_color = color
+    center_ip = ip
+    center_ocolor = ocolor
+    center_id = ids
+    center_oid = oid
+
+    center_idw = jnp.round(center_id[..., 3] * 255.0).astype(jnp.int32)
+    center_light = center_idw // 2
+    center_shadow = center_idw % 2
+
+    render_id, render_ip_w = vote_repair(color, ip, ocolor, ids, oid)
 
     # --- gated disc blur (glsl:96-117) ---
     scale = (1.0 + center_ocolor[..., 3]) ** 2 * 3.5
