@@ -36,8 +36,8 @@ TRI_TILE = 512           # columns per W tile (per MT output)
 CLUSTER = 64             # cluster size for the flag prepass
 
 
-def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
-            *, cull: bool, precision, tri_tile: int):
+def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
+            tri_ref, *, cull: bool, precision, tri_tile: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -51,7 +51,7 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
         s_ref[:] = jnp.full(shp, POW32, dtype=jnp.float32)
         u_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
         v_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
-        col_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
+        tri_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
 
     @pl.when(flag_ref[i, j] != 0)
     def _():
@@ -82,20 +82,26 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, s_ref, u_ref, v_ref, col_ref,
         take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
         tile_u = take(u)
         tile_v = take(v)
+        # resolve the drawable-triangle id in-register: an XLA-side
+        # ids[col] s32 gather runs on the scalar core (~0.5 ms per call)
+        ids_bc = jnp.broadcast_to(idsf_ref[:], (tri_tile, RAY_TILE))
+        tile_tri = take(ids_bc)
 
         prev_s = s_ref[0]                     # [1, 1024]
         better = tile_best_s < prev_s
         s_ref[0] = jnp.where(better, tile_best_s, prev_s)
         u_ref[0] = jnp.where(better, tile_u, u_ref[0])
         v_ref[0] = jnp.where(better, tile_v, v_ref[0])
-        col_ref[0] = jnp.where(better, j * tri_tile + best_row,
-                               col_ref[0]).astype(jnp.int32)
+        tri_ref[0] = jnp.where(better & (tile_best_s < POW32),
+                               tile_tri, tri_ref[0].astype(jnp.float32)
+                               ).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile"))
-def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
+def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE):
-    """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp]."""
+    """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
+    idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     rp = f.shape[0]
     tp = w4.shape[1]
     rt, wt = rp // RAY_TILE, tp // tri_tile
@@ -121,24 +127,27 @@ def _intersect(w4, flags, f, max_len, cull: bool, interpret: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tri_tile, 1), lambda i, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
     )
-    s, u, v, col = pl.pallas_call(
+    s, u, v, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(flags, f.T, w4, max_len.reshape(rt, 1, RAY_TILE))
-    return tuple(x.reshape(-1) for x in (s, u, v, col))
+    )(flags, f.T, w4, max_len.reshape(rt, 1, RAY_TILE), idsf)
+    return tuple(x.reshape(-1) for x in (s, u, v, tri))
 
 
 def pick_tri_tile(num_tris: int) -> int:
-    """Smallest lane-aligned tile that avoids padding waste on small
-    scenes while keeping per-step work meaty on large ones."""
-    for cand in (128, 256):
+    """Smallest tile that avoids padding/epilogue waste on small scenes
+    while keeping per-step work meaty on large ones (the VPU epilogue
+    cost per grid step is proportional to tri_tile)."""
+    for cand in (64, 128, 256):
         if num_tris <= cand * 2:
             return cand
     return TRI_TILE
@@ -218,14 +227,14 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     wt = w4.shape[1] // tri_tile
     flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
     f = _ray_features(o, d)
-    s, u, v, col = _intersect(w4, flags, f, ml, cull=False, interpret=interpret,
-                              precision=precision, tri_tile=tri_tile)
-    s, u, v, col = s[:n], u[:n], v[:n], col[:n]
+    idsf = ids.astype(jnp.float32).reshape(-1, 1)
+    s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=False,
+                              interpret=interpret, precision=precision,
+                              tri_tile=tri_tile)
+    s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
     if sort_rays:
-        s, u, v, col = s[inv_perm], u[inv_perm], v[inv_perm], col[inv_perm]
-    hit = col >= 0
-    tri = jnp.where(hit, ids[jnp.maximum(col, 0)], -1)
-    hit &= tri >= 0
+        s, u, v, tri = s[inv_perm], u[inv_perm], v[inv_perm], tri[inv_perm]
+    hit = tri >= 0
     suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
 
@@ -244,10 +253,11 @@ def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
     wt = w4.shape[1] // tri_tile
     flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
     f = _ray_features(o, d)
-    s, u, v, col = _intersect(w4, flags, f, ml, cull=True, interpret=interpret,
-                              precision=precision, tri_tile=tri_tile)
-    col = col[:n]
+    idsf = ids.astype(jnp.float32).reshape(-1, 1)
+    s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=True,
+                              interpret=interpret, precision=precision,
+                              tri_tile=tri_tile)
+    tri = tri[:n]
     if sort_rays:
-        col = col[inv_perm]
-    tri = jnp.where(col >= 0, ids[jnp.maximum(col, 0)], -1)
+        tri = tri[inv_perm]
     return tri >= 0

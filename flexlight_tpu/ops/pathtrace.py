@@ -103,7 +103,7 @@ def camera_rays(width: int, height: int, position, view_matrix,
     return origin, direction, ndc
 
 
-def reservoir_sample(buffers: SceneBuffers, world_geom, albedo, rme, tpo,
+def reservoir_sample(buffers: SceneBuffers, albedo, rme, tpo,
                      origin, unit_dir, random_vec, n_rough, n_smooth,
                      geometry_offset, random_seed, shadow_fn):
     """Weighted reservoir NEE over all lights + one shadow ray
@@ -143,7 +143,11 @@ def reservoir_sample(buffers: SceneBuffers, world_geom, albedo, rme, tpo,
     base_luminance = jnp.broadcast_to(rme[:, 2:3], (n, 3))
 
     offset_target = origin + geometry_offset[:, None] * n_smooth
-    shadowed = shadow_fn(offset_target, unit_light_dir, jnp.linalg.norm(res_dir, axis=-1))
+    if "shadow" in DEBUG_DISABLE:
+        shadowed = jnp.zeros(n, dtype=bool)
+    else:
+        shadowed = shadow_fn(offset_target, unit_light_dir,
+                             jnp.linalg.norm(res_dir, axis=-1))
 
     in_shadow = ~show_color & (show_shadow | shadowed)
     id_w = (jnp.mod(res_num, 128) * 2).astype(jnp.float32) * INV_255
@@ -153,7 +157,17 @@ def reservoir_sample(buffers: SceneBuffers, world_geom, albedo, rme, tpo,
     return color, id_w
 
 
-def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
+def build_material_table(buffers: SceneBuffers, world_geom) -> jnp.ndarray:
+    """Per-triangle shading row [T, 49]: world geometry (12), attributes
+    (28), forward rotation (9) — one wide row gather per bounce instead of
+    five (geometry/rotations/shifts/world_geom/attributes); TPU gathers
+    move whole rows, so width is nearly free while row count is not."""
+    t_idx = buffers.geometry[:, 9].astype(jnp.int32)
+    rot_f = buffers.rotations[t_idx][:, 0].reshape(-1, 9)
+    return jnp.concatenate([world_geom, buffers.attributes, rot_f], axis=1)
+
+
+def light_trace(buffers: SceneBuffers, mat, hit: trv.Hit,
                 camera_pos, direction, ndc, cos_sample_n, config,
                 random_seed, traverse_fn, shadow_fn, aux):
     """The bounce loop (glsl:464-599), unrolled with kill masks.
@@ -184,31 +198,30 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
         mf = m[:, None]
 
         # NB: gather full rows then slice — a fused row+column-slice gather
-        # (geometry[tri, 9]) falls off TPU's vectorized gather path and
-        # XLA serializes it into a 65k-iteration while loop.
-        t_idx = buffers.geometry[tri][:, 9].astype(jnp.int32)
-        rot_f = buffers.rotations[t_idx][:, 0]  # [N,3,3] forward
-        shift_f = buffers.shifts[t_idx][:, 0]
+        # (mat[tri, 9]) falls off TPU's vectorized gather path and XLA
+        # serializes it into a 65k-iteration while loop.
+        row = mat[tri]                          # [N, 49] one fused gather
+        rot_f = row[:, 40:49].reshape(n, 3, 3)  # forward rotation
 
         new_origin = suv[:, 0:1] * ray_dir + ray_origin
         ray_origin = jnp.where(mf, new_origin, ray_origin)
         uvw = jnp.stack([1.0 - suv[:, 1] - suv[:, 2], suv[:, 1], suv[:, 2]], axis=-1)
 
         # World-space triangle (rTI * verts == world - shift; glsl:492)
-        wrow = world_geom[tri]
-        wverts = wrow[:, 0:9].reshape(n, 3, 3)
+        wverts = row[:, 0:9].reshape(n, 3, 3)
         geometry_normal = normalize(jnp.cross(wverts[:, 0] - wverts[:, 1],
                                               wverts[:, 0] - wverts[:, 2]))
         diffs = jnp.linalg.norm(ray_origin[:, None, :] - wverts, axis=-1)
 
-        attr = buffers.attributes[tri]          # [N, 28]
+        attr = row[:, 12:40]                     # attributes [N, 28]
         vertex_normals = attr[:, 0:9].reshape(n, 3, 3)
         world_normals = jnp.einsum("nij,nvj->nvi", rot_f, vertex_normals)
         smooth_normal = normalize(jnp.einsum("nvi,nv->ni", world_normals, uvw))
         # Geometry-offset against shadow acne (glsl:516-518)
-        angles = jnp.arccos(jnp.abs(jnp.clip(
-            jnp.einsum("ni,nvi->nv", geometry_normal, world_normals), -1.0, 1.0)))
-        angle_tan = jnp.clip(jnp.tan(angles), 0.0, 1.0)
+        # tan(acos(x)) = sqrt(1-x^2)/x — same offset without arccos/tan
+        cos_ang = jnp.abs(jnp.clip(
+            jnp.einsum("ni,nvi->nv", geometry_normal, world_normals), -1.0, 1.0))
+        angle_tan = jnp.clip(jnp.sqrt(1.0 - cos_ang * cos_ang) / cos_ang, 0.0, 1.0)
         geometry_offset = jnp.sum(diffs * angle_tan * uvw, axis=-1)
 
         uv_verts = attr[:, 9:15].reshape(n, 3, 2)
@@ -270,7 +283,7 @@ def light_trace(buffers: SceneBuffers, world_geom, hit: trv.Hit,
             local_color, id_w = jnp.broadcast_to(rme[:, 2:3], (n, 3)), jnp.zeros(n)
         else:
             local_color, id_w = reservoir_sample(
-                buffers, world_geom, albedo, rme, tpo, ray_origin, ray_dir,
+                buffers, albedo, rme, tpo, ray_origin, ray_dir,
                 random_vec, -sign_dir[:, None] * rough_normal,
                 -sign_dir[:, None] * smooth_normal, geometry_offset,
                 random_seed, shadow_fn)
@@ -374,6 +387,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix,
                                          row0=row0, rows=rows)
+    mat = build_material_table(buffers, world_geom)
     n = origin.shape[0]
     primary = traverse_fn(origin, direction)
     covered = primary.triangle != -1
@@ -393,7 +407,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     for s in range(n_local):
         cos_sample_n = jnp.cos(jnp.float32(s) + sample_offset)
         color, original_color, original_tpo_x, aux = light_trace(
-            buffers, world_geom, primary, camera_pos, direction, ndc,
+            buffers, mat, primary, camera_pos, direction, ndc,
             cos_sample_n, config, random_seed, traverse_fn, shadow_fn, aux)
         total = total + color
     final_color = total / config.samples_per_ray

@@ -19,13 +19,20 @@ need 8/128-aligned starts, rotate+static-slice does not), and skips
 pairs whose scale interval does not intersect the tile's [min, max]
 scale range (same flag-skipping idea as ops.intersect_kernel).
 
+Every filter input is an rgba8-quantized image (values k/255 — the
+reference stores every pass in RGBA8 textures), so the four channels
+pack losslessly into one int32 per pixel: the per-pair rotates move 5
+packed channels instead of 20 floats, and the reference's id-equality
+gates become single integer compares. Bytes unpack back to the exact
+quantized floats (k * f32(1/255)), so the arithmetic is unchanged.
+
 Pairs iterate in tap order, so per pixel the accumulation visits taps in
 the same order as the reference's in-shader loop; only reduction
 associativity differs from the jnp gather path (which tree-reduces), and
 outputs are rgba8-quantized between passes, absorbing that.
 
-Layout: channels-first [C, H, W] f32 with zero halo padding (matching
-the gather path's zero out-of-bounds semantics).
+Layout: packed channels-first [5, H, W] int32 with zero halo padding
+(zero = rgba 0, matching the gather path's zero out-of-bounds).
 """
 
 from __future__ import annotations
@@ -47,6 +54,8 @@ TY = 128
 TX = 128
 RX = 64  # lane halo: (TX + 2*RX) must be a multiple of 128
 
+INV_255_F32 = np.float32(1.0 / 255.0)
+
 # scale bounds per filter (see scale formulas in filters.py):
 #   first : (1 + ow)^2 * 3.5, ow in [0, 1]        -> [3.5, 14]
 #   second: 1 + 2*tanh(x), x >= 0                  -> [1, 3)
@@ -54,6 +63,42 @@ RX = 64  # lane halo: (TX + 2*RX) must be a multiple of 128
 FIRST_BOUNDS = (3.5, 14.0)
 SECOND_BOUNDS = (1.0, 3.0)
 FINAL_BOUNDS = (0.7, 2.7)
+
+# packed-channel indices
+ID, OID, COLOR, IP, OCOLOR = range(5)
+
+
+def pack_rgba8(img: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] f32 with values k/255 -> [...] int32 (b0|b1<<8|b2<<16|b3<<24)."""
+    b = jnp.round(img * 255.0).astype(jnp.int32)
+    return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+
+
+def _byte_i(x: jnp.ndarray, i: int) -> jnp.ndarray:
+    return lax.shift_right_logical(x, np.int32(8 * i)) & np.int32(0xFF)
+
+
+def _byte_f(x: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Byte i as the exact quantized float k * f32(1/255)."""
+    return _byte_i(x, i).astype(jnp.float32) * INV_255_F32
+
+
+def _rgb_f(x: jnp.ndarray) -> jnp.ndarray:
+    """[TY, TX] packed -> [3, TY, TX] quantized floats."""
+    return jnp.stack([_byte_f(x, 0), _byte_f(x, 1), _byte_f(x, 2)], axis=0)
+
+
+def _rgba_f(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([_byte_f(x, 0), _byte_f(x, 1), _byte_f(x, 2),
+                      _byte_f(x, 3)], axis=0)
+
+
+_XYZ = np.int32(0x00FFFFFF)
+
+
+def _xyz_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """rgb-equality of two packed pixels (one int compare)."""
+    return (a & _XYZ) == (b & _XYZ)
 
 
 def _halo_ry(r: int) -> int:
@@ -93,15 +138,15 @@ def _pair_table(stencil_key: str, smin: float, smax: float):
 def _disc_kernel(pairs_i_ref, pairs_f_ref, tlohi_ref, win_ref, *refs,
                  scale_fn, init_fn, update_fn, finish_fn, n_pairs: int,
                  ry: int, rx: int):
-    """Generic disc pass: out refs then one [A, TY, TX] scratch ref."""
+    """Generic disc pass: out refs then one [A, TY, TX] f32 scratch ref."""
     acc_ref = refs[-1]
     out_refs = refs[:-1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    win = win_ref[:]                               # [C, TYW, TXW]
-    center = win[:, ry:ry + TY, rx:rx + TX]        # [C, TY, TX]
-    scale = scale_fn(center)                       # [TY, TX]
+    win = win_ref[:]                               # [5, TYW, TXW] int32
+    center = win[:, ry:ry + TY, rx:rx + TX]        # [5, TY, TX]
+    scale = scale_fn(center)                       # [TY, TX] f32
     acc_ref[:] = init_fn(center)
 
     tyw = win.shape[1]
@@ -136,9 +181,10 @@ def _disc_kernel(pairs_i_ref, pairs_f_ref, tlohi_ref, win_ref, *refs,
 
 def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
               scale_fn, init_fn, update_fn, finish_fn, interpret: bool = False):
-    """Drive a disc-filter kernel. imgs_hwc: list of [H, W, 4] f32 whose
-    channel concatenation (channels-first) feeds the kernel. Returns list
-    of [H, W, c] outputs per out_chs."""
+    """Drive a disc-filter kernel over packed rgba8 images.
+
+    imgs_hwc: (ids, oid, color, ip, ocolor) as [H, W, 4] quantized f32.
+    Returns one [H, W, c] f32 output per out_chs entry."""
     h, w = imgs_hwc[0].shape[0], imgs_hwc[0].shape[1]
     pairs_i_np, pairs_f_np, max_r = _pair_table(stencil_key, *bounds)
     ry = _halo_ry(max_r)
@@ -148,14 +194,12 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
 
     hp = -(-h // TY) * TY
     wp = -(-w // TX) * TX
-    chw = jnp.concatenate(
-        [jnp.transpose(im, (2, 0, 1)) for im in imgs_hwc], axis=0)
-    c = chw.shape[0]
-    padded = jnp.pad(chw, ((0, 0), (ry, ry + hp - h), (rx, rx + wp - w)))
+    packed = jnp.stack([pack_rgba8(im) for im in imgs_hwc], axis=0)  # [5,H,W]
+    padded = jnp.pad(packed, ((0, 0), (ry, ry + hp - h), (rx, rx + wp - w)))
 
     # per-tile scale range for pair skipping (zero-padding keeps scale
     # finite; extra activity on edge tiles is harmless)
-    scale_full = scale_fn(jnp.pad(chw, ((0, 0), (0, hp - h), (0, wp - w))))
+    scale_full = scale_fn(jnp.pad(packed, ((0, 0), (0, hp - h), (0, wp - w))))
     s_tiles = scale_full.reshape(hp // TY, TY, wp // TX, TX)
     tlohi = jnp.stack([s_tiles.min(axis=(1, 3)), s_tiles.max(axis=(1, 3))],
                       axis=-1)
@@ -170,7 +214,7 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[pl.BlockSpec(
-            (pl_core.Element(c), pl_core.Element(tyw), pl_core.Element(txw)),
+            (pl_core.Element(5), pl_core.Element(tyw), pl_core.Element(txw)),
             lambda i, j, *_: (0, i * TY, j * TX))],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((n_acc, TY, TX), jnp.float32)],
@@ -193,56 +237,39 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
 # ---------------------------------------------------------------------------
 
 def _first_scale(center):
-    # stack: ids[0:4], oid[4:8], color[8:12], ip[12:16], ocolor_w[16]
-    return (1.0 + center[16]) ** 2 * 3.5
+    return (1.0 + _byte_f(center[OCOLOR], 3)) ** 2 * 3.5
 
 
 def _first_init(center):
-    return jnp.zeros((4, TY, TX), jnp.float32)
+    return jnp.zeros((4,) + center.shape[1:], jnp.float32)
 
 
 def _first_update(acc, center, nb, mask):
-    c_id = center[0:4]
-    c_oid = center[4:8]
-    c_idw = jnp.round(c_id[3] * 255.0).astype(jnp.int32)
-    c_light = c_idw // 2
-    c_shadow = c_idw % 2
-    idw = jnp.round(nb[3] * 255.0).astype(jnp.int32)
-    light = idw // 2
-    shadow = idw % 2
-    id_xyz = (nb[0] == c_id[0]) & (nb[1] == c_id[1]) & (nb[2] == c_id[2])
-    oid_all = ((nb[4] == c_oid[0]) & (nb[5] == c_oid[1])
-               & (nb[6] == c_oid[2]) & (nb[7] == c_oid[3]))
-    gate = (id_xyz & oid_all
-            & ((c_light != light) | (c_shadow == shadow))
+    c_id = center[ID]
+    c_idw = _byte_i(c_id, 3)
+    gate = (_xyz_eq(nb[ID], c_id)
+            & (nb[OID] == center[OID])
+            & (((c_idw >> 1) != (_byte_i(nb[ID], 3) >> 1))
+               | ((c_idw & 1) == (_byte_i(nb[ID], 3) & 1)))
             & mask)
-    contrib = nb[8:11] + nb[12:15] * 256.0
-    add = jnp.concatenate(
-        [jnp.where(gate[None], contrib, 0.0),
-         jnp.where(gate, 1.0, 0.0)[None]], axis=0)
-    return acc + add
+    contrib = _rgb_f(nb[COLOR]) + _rgb_f(nb[IP]) * 256.0
+    gf = gate.astype(jnp.float32)
+    return acc + jnp.concatenate(
+        [jnp.where(gate[None], contrib, 0.0), gf[None]], axis=0)
 
 
-def _first_finish_factory():
-    def finish(acc, center):
-        c_id = center[0:4]
-        c_oid = center[4:8]
-        c_color = center[8:12]
-        c_ip = center[12:16]
-        ocw = center[16]
-
-        # --- shadow-vote repair on the static 4-neighborhood is done in
-        # the jnp path (static offsets are already fast there) ---
-        no_blur = ocw == 0.0
-        out3 = jnp.where(no_blur[None], c_color[0:3], acc[0:3])
-        count = jnp.where(no_blur, 1.0, jnp.maximum(acc[3], 1.0))
-        inv = 1.0 / count[None]
-        sgn = jnp.sign(c_color[3:4])
-        new_color = sgn * jnp.concatenate(
-            [jnp.mod(out3 * inv, 1.0), c_color[3:4]], axis=0)
-        new_ip3 = sgn * jnp.floor(out3 * inv) * INV_256
-        return (quantize_rgba8(new_color), quantize_rgba8(new_ip3))
-    return finish
+def _first_finish(acc, center):
+    c_color = _rgba_f(center[COLOR])
+    ocw = _byte_f(center[OCOLOR], 3)
+    no_blur = ocw == 0.0
+    out3 = jnp.where(no_blur[None], c_color[0:3], acc[0:3])
+    count = jnp.where(no_blur, 1.0, jnp.maximum(acc[3], 1.0))
+    inv = 1.0 / count[None]
+    sgn = jnp.sign(c_color[3:4])
+    new_color = sgn * jnp.concatenate(
+        [jnp.mod(out3 * inv, 1.0), c_color[3:4]], axis=0)
+    new_ip3 = sgn * jnp.floor(out3 * inv) * INV_256
+    return (quantize_rgba8(new_color), quantize_rgba8(new_ip3))
 
 
 def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
@@ -252,12 +279,11 @@ def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
     from .filters import vote_repair
 
     render_id, render_ip_w = vote_repair(color, ip, ocolor, ids, oid)
-    ocw = ocolor[..., 3:4]
     new_color, new_ip3 = _run_disc(
-        [ids, oid, color, ip, ocw], "disc37", FIRST_BOUNDS,
+        (ids, oid, color, ip, ocolor), "disc37", FIRST_BOUNDS,
         n_acc=4, out_chs=(4, 3),
         scale_fn=_first_scale, init_fn=_first_init,
-        update_fn=_first_update, finish_fn=_first_finish_factory(),
+        update_fn=_first_update, finish_fn=_first_finish,
         interpret=interpret)
     sgn = jnp.sign(color[..., 3:4])
     ip_w = quantize_rgba8(sgn * render_ip_w[..., None])
@@ -270,56 +296,50 @@ def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _second_scale(center):
-    # stack: ids[0:4], oid[4:8], color[8:12], ip[12:16], ocolor[16:20]
-    return 1.0 + 2.0 * jnp.tanh(center[19] + center[7] * 4.0)
+    return 1.0 + 2.0 * jnp.tanh(_byte_f(center[OCOLOR], 3)
+                                + _byte_f(center[OID], 3) * 4.0)
 
 
 def _second_init(center):
-    c_color = center[8:12]
-    c_ip = center[12:16]
-    c_ocolor = center[16:20]
+    c_color = _rgba_f(center[COLOR])
+    c_ip = _rgba_f(center[IP])
+    c_ocolor = _rgba_f(center[OCOLOR])
     acc_color = jnp.concatenate(
         [c_color[0:3] + c_ip[0:3] * 256.0, c_color[3:4]], axis=0)
-    ones = jnp.ones((1, TY, TX), jnp.float32)
+    ones = jnp.ones((1,) + c_color.shape[1:], jnp.float32)
     # acc: acc_color[0:4], count[4], ipw[5], acc_ocolor[6:10], ocount[10]
     return jnp.concatenate(
         [acc_color, ones, c_ip[3:4], c_ocolor, ones], axis=0)
 
 
 def _second_update(acc, center, nb, mask):
-    c_id = center[0:4]
-    c_oid = center[4:8]
-    c_ip = center[12:16]
-    b_id = nb[0:4]
-    b_oid = nb[4:8]
-    b_color = nb[8:12]
-    b_ip = nb[12:16]
-    b_ocolor = nb[16:20]
+    c_id = center[ID]
+    c_oid = center[OID]
+    c_ipw = _byte_f(center[IP], 3)
+    b_ipw = _byte_f(nb[IP], 3)
 
-    oid_xyz = ((b_oid[0] == c_oid[0]) & (b_oid[1] == c_oid[1])
-               & (b_oid[2] == c_oid[2]))
-    id_xyz = (b_id[0] == c_id[0]) & (b_id[1] == c_id[1]) & (b_id[2] == c_id[2])
-    full_id = id_xyz & (b_id[3] == c_id[3])
-    glassy = ((jnp.minimum(c_oid[3], b_oid[3]) > 0.1)
-              & (full_id | (jnp.maximum(b_ip[3], c_ip[3]) >= 0.1)))
+    oid_xyz = _xyz_eq(nb[OID], c_oid)
+    full_id = nb[ID] == c_id
+    id_xyz = _xyz_eq(nb[ID], c_id)
+    glassy = ((jnp.minimum(_byte_f(c_oid, 3), _byte_f(nb[OID], 3)) > 0.1)
+              & (full_id | (jnp.maximum(b_ipw, c_ipw) >= 0.1)))
     branch_a = oid_xyz & glassy & mask
-    add_color = (branch_a | (oid_xyz & ~glassy & id_xyz & mask))
+    add_color = branch_a | (oid_xyz & ~glassy & id_xyz & mask)
 
+    b_color = _rgba_f(nb[COLOR])
     contrib = jnp.concatenate(
-        [b_color[0:3] + b_ip[0:3] * 256.0, b_color[3:4]], axis=0)
-    af = add_color[None].astype(jnp.float32)
-    bf = branch_a[None].astype(jnp.float32)
+        [b_color[0:3] + _rgb_f(nb[IP]) * 256.0, b_color[3:4]], axis=0)
     return acc + jnp.concatenate([
         jnp.where(add_color[None], contrib, 0.0),
-        af,
-        jnp.where(branch_a, b_ip[3], 0.0)[None],
-        jnp.where(branch_a[None], b_ocolor, 0.0),
-        bf,
+        add_color[None].astype(jnp.float32),
+        jnp.where(branch_a, b_ipw, 0.0)[None],
+        jnp.where(branch_a[None], _rgba_f(nb[OCOLOR]), 0.0),
+        branch_a[None].astype(jnp.float32),
     ], axis=0)
 
 
 def _second_finish(acc, center):
-    c_color = center[8:12]
+    c_color = _rgba_f(center[COLOR])
     inv = 1.0 / acc[4:5]
     cw = c_color[3:4]
     new_color = cw * jnp.concatenate(
@@ -334,7 +354,7 @@ def _second_finish(acc, center):
 def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
     """Same signature/returns as filters.second_filter."""
     outs = _run_disc(
-        [ids, oid, color, ip, ocolor], "disc36", SECOND_BOUNDS,
+        (ids, oid, color, ip, ocolor), "disc36", SECOND_BOUNDS,
         n_acc=11, out_chs=(4, 4, 4),
         scale_fn=_second_scale, init_fn=_second_init,
         update_fn=_second_update, finish_fn=_second_finish,
@@ -347,53 +367,45 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _final_scale(center):
-    return 0.7 + 2.0 * jnp.tanh(center[19] + center[7] * 4.0)
+    return 0.7 + 2.0 * jnp.tanh(_byte_f(center[OCOLOR], 3)
+                                + _byte_f(center[OID], 3) * 4.0)
 
 
 def _final_init(center):
-    return jnp.zeros((9, TY, TX), jnp.float32)
+    return jnp.zeros((9,) + center.shape[1:], jnp.float32)
 
 
 def _final_update(acc, center, nb, mask):
-    c_id = center[0:4]
-    c_oid = center[4:8]
-    c_ip = center[12:16]
-    b_id = nb[0:4]
-    b_oid = nb[4:8]
-    b_color = nb[8:12]
-    b_ip = nb[12:16]
-    b_ocolor = nb[16:20]
-
-    blur_tr = ((jnp.maximum(b_ip[3], c_ip[3]) != 0.0)
-               & (jnp.minimum(c_oid[3], b_oid[3]) > 0.0))
-    oid_xyz = ((b_oid[0] == c_oid[0]) & (b_oid[1] == c_oid[1])
-               & (b_oid[2] == c_oid[2]))
-    id_xyz = (b_id[0] == c_id[0]) & (b_id[1] == c_id[1]) & (b_id[2] == c_id[2])
+    c_ipw = _byte_f(center[IP], 3)
+    blur_tr = ((jnp.maximum(_byte_f(nb[IP], 3), c_ipw) != 0.0)
+               & (jnp.minimum(_byte_f(center[OID], 3), _byte_f(nb[OID], 3)) > 0.0))
+    oid_xyz = _xyz_eq(nb[OID], center[OID])
+    id_xyz = _xyz_eq(nb[ID], center[ID])
     o_gate = blur_tr & oid_xyz & mask
     c_gate = (blur_tr | id_xyz) & oid_xyz & mask
 
-    contrib = b_color + b_ip * 255.0  # 255, not 256 (final_filter.glsl:51)
+    # 255, not 256 (final_filter.glsl:51)
+    contrib = _rgba_f(nb[COLOR]) + _rgba_f(nb[IP]) * 255.0
     return acc + jnp.concatenate([
         jnp.where(c_gate[None], contrib, 0.0),
         c_gate[None].astype(jnp.float32),
-        jnp.where(o_gate[None], b_ocolor[0:3], 0.0),
+        jnp.where(o_gate[None], _rgb_f(nb[OCOLOR]), 0.0),
         o_gate[None].astype(jnp.float32),
     ], axis=0)
 
 
 def _final_finish_factory(hdr: bool):
     def finish(acc, center):
-        c_color = center[8:12]
-        c_ocolor = center[16:20]
+        c_ocolor = _rgb_f(center[OCOLOR])
         count = acc[4]
         ocount = acc[8]
         final = acc[0:3] / jnp.maximum(count, 1.0)[None]
-        o_final = jnp.where((ocount == 0.0)[None], c_ocolor[0:3],
+        o_final = jnp.where((ocount == 0.0)[None], c_ocolor,
                             acc[5:8] / jnp.maximum(ocount, 1.0)[None])
         final = final * o_final
         if hdr:
             final = reinhard_gamma(final)
-        covered = c_color[3] > 0.0
+        covered = _byte_f(center[COLOR], 3) > 0.0
         return (jnp.where(covered[None], jnp.clip(final, 0.0, 1.0), 0.0),)
     return finish
 
@@ -402,7 +414,7 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
                      interpret=False):
     """Same signature/returns as filters.final_filter."""
     outs = _run_disc(
-        [ids, oid, color, ip, ocolor], "disc37", FINAL_BOUNDS,
+        (ids, oid, color, ip, ocolor), "disc37", FINAL_BOUNDS,
         n_acc=9, out_chs=(3,),
         scale_fn=_final_scale, init_fn=_final_init,
         update_fn=_final_update, finish_fn=_final_finish_factory(hdr),
