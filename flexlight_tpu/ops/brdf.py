@@ -77,3 +77,35 @@ def forward_trace(albedo, rme, light_dir, strength, n, v):
     cook_torrance = ct_num / ct_denom[..., None]
     radiance = kd * lambert + cook_torrance
     return radiance * (n_dot_l * brightness)[..., None]
+
+
+def forward_trace_soa(albedo, rough, metal, emis, light_dir, strength, n, v):
+    """SoA `forward_trace`: albedo/light_dir/n/v are (x,y,z) tuples of [N]
+    arrays, rough/metal [N]. Returns radiance as a 3-tuple. Arithmetic
+    matches the AoS form (glsl:304-334)."""
+    from .vec3 import add3, dot3, norm3, normalize3, scale3
+
+    len_p1 = 1.0 + norm3(light_dir)
+    brightness = strength / (len_p1 * len_p1)
+
+    l = normalize3(light_dir)
+    h = normalize3(add3(v, l))
+
+    v_dot_h = jnp.maximum(dot3(v, h), 0.0)
+    n_dot_l = jnp.maximum(dot3(n, l), 0.0)
+    n_dot_h = jnp.maximum(dot3(n, h), 0.0)
+    n_dot_v = jnp.maximum(dot3(n, v), 0.0)
+
+    alpha = rough * rough
+    brdf = 1.0 + (n_dot_v - 1.0) * metal
+    one_m_theta5 = (1.0 - v_dot_h) ** 5
+    ct = (trowbridge_reitz(alpha, n_dot_h) * smith(alpha, n_dot_v, n_dot_l)
+          / jnp.maximum(4.0 * n_dot_v * n_dot_l, BIAS))
+    gain = n_dot_l * brightness
+    out = []
+    for c in albedo:
+        f0 = c * brdf
+        ks = f0 + (1.0 - f0) * one_m_theta5
+        kd = (1.0 - ks) * (1.0 - metal)
+        out.append((kd * c * INV_PI + ks * ct) * gain)
+    return tuple(out)

@@ -96,5 +96,26 @@ def fetch_tex_val(atlas: jnp.ndarray, uv: jnp.ndarray, tex_num: jnp.ndarray,
     cy = (uv[..., 1] + jnp.floor(tex_num / texture_width)) * height_factor / texture_width
     px = jnp.floor(jnp.mod(cx, 1.0) * w).astype(jnp.int32).clip(0, w - 1)
     py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
-    sampled = atlas[py, px]
+    # flat row gather: a two-axis atlas[py, px] gather leaves the TPU
+    # vectorized gather path
+    sampled = atlas.reshape(h * w, atlas.shape[-1])[py * w + px]
     return jnp.where((tex_num == -1.0)[..., None], default, sampled)
+
+
+def fetch_tex_val_soa(atlas: jnp.ndarray, u, v, tex_num, default3,
+                      texture_width):
+    """SoA `fetch_tex_val`: uv as two [N] arrays, default as a 3-tuple.
+    Skips the gather entirely for the 1x1 placeholder atlas (scene has no
+    textures of this kind)."""
+    h, w = atlas.shape[0], atlas.shape[1]
+    miss = tex_num == -1.0
+    if h * w == 1:
+        return tuple(jnp.where(miss, d, atlas[0, 0, c])
+                     for c, d in enumerate(default3))
+    height_factor = jnp.float32(w) / jnp.float32(h)
+    cx = (u + jnp.mod(tex_num, texture_width)) / texture_width
+    cy = (v + jnp.floor(tex_num / texture_width)) * height_factor / texture_width
+    px = jnp.floor(jnp.mod(cx, 1.0) * w).astype(jnp.int32).clip(0, w - 1)
+    py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
+    sampled = atlas.reshape(h * w, atlas.shape[-1])[py * w + px].T
+    return tuple(jnp.where(miss, d, sampled[c]) for c, d in enumerate(default3))

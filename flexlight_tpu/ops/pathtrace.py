@@ -28,11 +28,12 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from . import traverse as trv
-from .brdf import SQRT3, forward_trace, fresnel, normalize
-from .buffers import SceneBuffers, fetch_tex_val
+from . import vec3 as v3
+from .brdf import SQRT3, forward_trace_soa, normalize
+from .buffers import SceneBuffers, fetch_tex_val_soa
 from .geometry import world_geometry
 from .intersect import BIAS
-from .rng import noise
+from .rng import noise4
 
 INV_255 = 1.0 / 255.0
 INV_PI = 0.3183098861837907
@@ -103,57 +104,61 @@ def camera_rays(width: int, height: int, position, view_matrix,
     return origin, direction, ndc
 
 
-def reservoir_sample(buffers: SceneBuffers, albedo, rme, tpo,
-                     origin, unit_dir, random_vec, n_rough, n_smooth,
-                     geometry_offset, random_seed, shadow_fn):
+def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
+                     origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
+                     geometry_offset, random_seed, shadow_soa):
     """Weighted reservoir NEE over all lights + one shadow ray
-    (glsl:400-461). Returns (color [N,3], id_w [N])."""
-    n = origin.shape[0]
+    (glsl:400-461), SoA form (see ops.vec3). Returns (color 3-tuple, id_w
+    [N])."""
+    n = origin3[0].shape[0]
     num_lights = buffers.lights.shape[0]
+    zero = jnp.zeros((n,), dtype=jnp.float32)
 
-    local_color = jnp.zeros((n, 3), dtype=jnp.float32)
-    res_length = jnp.zeros((n,), dtype=jnp.float32)
-    total_weight = jnp.zeros((n,), dtype=jnp.float32)
+    local_color = (zero, zero, zero)
+    res_length = zero
+    total_weight = zero
     res_num = jnp.zeros((n,), dtype=jnp.int32)
-    res_weight = jnp.zeros((n,), dtype=jnp.float32)
-    res_dir = jnp.zeros((n, 3), dtype=jnp.float32)
-    last_random = noise(random_vec[:, 2:4], BIAS, random_seed)[:, 0:2]
+    res_weight = zero
+    res_dir = (zero, zero, zero)
+    lr = noise4(random_vec4[2], random_vec4[3], BIAS, random_seed)[0:2]
 
-    v = -unit_dir
+    v = v3.neg3(unit_dir3)
     for j in range(num_lights):
         strength = buffers.lights[j, 1, 0]
         variation = buffers.lights[j, 1, 1]
         active = strength > 0.0  # skip dead lights (glsl:415)
-        light = buffers.lights[j, 0] + random_vec[:, 0:3] * variation
-        d = light - origin
-        color_for_light = forward_trace(albedo, rme, d, strength, n_rough, v)
-        weight = jnp.linalg.norm(color_for_light, axis=-1)
-        local_color = jnp.where(active, local_color + color_for_light, local_color)
+        light = tuple(buffers.lights[j, 0, c] + random_vec4[c] * variation
+                      for c in range(3))
+        d = v3.sub3(light, origin3)
+        cfl = forward_trace_soa(albedo3, rough, metal, emis, d, strength,
+                                n_rough3, v)
+        weight = v3.norm3(cfl)
+        local_color = v3.where3(active, v3.add3(local_color, cfl), local_color)
         res_length = jnp.where(active, res_length + 1.0, res_length)
         total_weight = jnp.where(active, total_weight + weight, total_weight)
-        sel = active & (jnp.abs(last_random[:, 1]) * (total_weight) <= weight)
+        sel = active & (jnp.abs(lr[1]) * total_weight <= weight)
         res_num = jnp.where(sel, j, res_num)
         res_weight = jnp.where(sel, weight, res_weight)
-        res_dir = jnp.where(sel[:, None], d, res_dir)
-        last_random = jnp.where(active, noise(last_random, BIAS, random_seed)[:, 2:4], last_random)
+        res_dir = v3.where3(sel, d, res_dir)
+        nxt = noise4(lr[0], lr[1], BIAS, random_seed)[2:4]
+        lr = (jnp.where(active, nxt[0], lr[0]), jnp.where(active, nxt[1], lr[1]))
 
-    unit_light_dir = normalize(res_dir)
+    unit_light_dir = v3.normalize3(res_dir)
     show_color = (res_length == 0.0) | (res_weight == 0.0)
-    show_shadow = _dot(n_smooth, unit_light_dir) <= BIAS
-    base_luminance = jnp.broadcast_to(rme[:, 2:3], (n, 3))
+    show_shadow = v3.dot3(n_smooth3, unit_light_dir) <= BIAS
 
-    offset_target = origin + geometry_offset[:, None] * n_smooth
+    offset_target = v3.add3(origin3, v3.scale3(n_smooth3, geometry_offset))
     if "shadow" in DEBUG_DISABLE:
         shadowed = jnp.zeros(n, dtype=bool)
     else:
-        shadowed = shadow_fn(offset_target, unit_light_dir,
-                             jnp.linalg.norm(res_dir, axis=-1))
+        shadowed = shadow_soa(offset_target, unit_light_dir, v3.norm3(res_dir))
 
     in_shadow = ~show_color & (show_shadow | shadowed)
     id_w = (jnp.mod(res_num, 128) * 2).astype(jnp.float32) * INV_255
     id_w = id_w + jnp.where(in_shadow, INV_255, 0.0)
-    color = jnp.where((show_color | ~in_shadow)[:, None],
-                      local_color + base_luminance, base_luminance)
+    keep = show_color | ~in_shadow
+    color = v3.where3(keep, v3.add3(local_color, (emis, emis, emis)),
+                      (emis, emis, emis))
     return color, id_w
 
 
@@ -167,154 +172,220 @@ def build_material_table(buffers: SceneBuffers, world_geom) -> jnp.ndarray:
     return jnp.concatenate([world_geom, buffers.attributes, rot_f], axis=1)
 
 
-def light_trace(buffers: SceneBuffers, mat, hit: trv.Hit,
-                camera_pos, direction, ndc, cos_sample_n, config,
-                random_seed, traverse_fn, shadow_fn, aux):
-    """The bounce loop (glsl:464-599), unrolled with kill masks.
+def fetch_rows_t(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """mat[idx].T as a physically transposed [C, N] array.
 
-    `aux` carries the shader's globals across samples (glsl:84-89):
-    render_id [N,4], original_id_acc [N,4], glass [N], original_rme_x [N],
-    original_tpo_x [N], first_ray_length [N].
+    The naive gather + .T keeps the row-major layout, so every SoA row
+    read downstream is strided, and XLA decomposes the fused
+    gather-transpose into scalar-core column gathers. For small tables the
+    whole fetch becomes a one-hot MXU matmul (exact: one 1.0 per column);
+    otherwise an optimization barrier forces a real relayout after the
+    vectorized row gather."""
+    import jax
+
+    t = mat.shape[0]
+    n = idx.shape[0]
+    if t <= 256 and n <= 262144:
+        onehot = (idx[None, :] == jnp.arange(t, dtype=idx.dtype)[:, None])
+        return jnp.dot(mat.T, onehot.astype(mat.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.optimization_barrier(mat[idx].T)
+
+
+def combine_normal_rme_soa(n3, rough, metal, emis):
+    """SoA combine_normal_rme -> 3 [N] channels (glsl:97-105)."""
+    phi = jnp.arctan2(n3[2], n3[0]) * INV_PI * 0.5 + 0.5
+    theta = jnp.arctan2(n3[0], n3[1]) * INV_PI * 0.5 + 0.5
+    return (to_4bit_representation(phi, theta), rough,
+            to_4bit_representation(metal, emis))
+
+
+def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
+                direction3, ndc2, cos_sample_n, config, random_seed,
+                traverse_soa, shadow_soa, aux):
+    """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
+    [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
+    3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
+
+    `aux` carries the shader's globals across samples (glsl:84-89).
     """
-    n = direction.shape[0]
+    ps, pu, pv, ptri = primary_parts
+    n = ps.shape[0]
     render_id, original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length = aux
 
+    zero = jnp.zeros((n,), dtype=jnp.float32)
+    one = jnp.ones((n,), dtype=jnp.float32)
     dont_filter = jnp.ones(n, dtype=bool)
-    final_color = jnp.zeros((n, 3), dtype=jnp.float32)
-    importancy = jnp.ones((n, 3), dtype=jnp.float32)
-    original_color = jnp.ones((n, 3), dtype=jnp.float32)
+    final_color = (zero, zero, zero)
+    importancy = (one, one, one)
+    original_color = (one, one, one)
 
-    ray_origin = jnp.broadcast_to(camera_pos, (n, 3)).astype(jnp.float32)
-    ray_dir = direction
+    ray_origin = tuple(jnp.broadcast_to(camera_pos[c], (n,)).astype(jnp.float32)
+                       for c in range(3))
+    ray_dir = direction3
     last_hit_point = ray_origin
-    alive = hit.triangle != -1
-    tri = jnp.maximum(hit.triangle, 0)
-    suv = hit.suv
+    alive = ptri != -1
+    tri = jnp.maximum(ptri, 0)
+    hs, hu, hv = ps, pu, pv
 
     for i in range(config.max_reflections):
-        importance_len = jnp.linalg.norm(importancy * original_color, axis=-1)
+        importance_len = v3.norm3(v3.mul3(importancy, original_color))
         alive = alive & (importance_len >= config.min_importancy * SQRT3)
         m = alive
-        mf = m[:, None]
 
-        # NB: gather full rows then slice — a fused row+column-slice gather
-        # (mat[tri, 9]) falls off TPU's vectorized gather path and XLA
-        # serializes it into a 65k-iteration while loop.
-        row = mat[tri]                          # [N, 49] one fused gather
-        rot_f = row[:, 40:49].reshape(n, 3, 3)  # forward rotation
+        # NB: gather full rows, then transpose once — per-column extracts
+        # from a [N, 49] row-major array re-read whole lane tiles, and a
+        # fused row+column-slice gather falls off TPU's vectorized path.
+        rowt = fetch_rows_t(mat, tri)           # [49, N]
+        rot = tuple(rowt[40 + k] for k in range(9))
 
-        new_origin = suv[:, 0:1] * ray_dir + ray_origin
-        ray_origin = jnp.where(mf, new_origin, ray_origin)
-        uvw = jnp.stack([1.0 - suv[:, 1] - suv[:, 2], suv[:, 1], suv[:, 2]], axis=-1)
+        new_origin = v3.add3(v3.scale3(ray_dir, hs), ray_origin)
+        ray_origin = v3.where3(m, new_origin, ray_origin)
+        uvw = (1.0 - hu - hv, hu, hv)
 
-        # World-space triangle (rTI * verts == world - shift; glsl:492)
-        wverts = row[:, 0:9].reshape(n, 3, 3)
-        geometry_normal = normalize(jnp.cross(wverts[:, 0] - wverts[:, 1],
-                                              wverts[:, 0] - wverts[:, 2]))
-        diffs = jnp.linalg.norm(ray_origin[:, None, :] - wverts, axis=-1)
+        # World-space triangle (glsl:492)
+        wv = [(rowt[3 * k], rowt[3 * k + 1], rowt[3 * k + 2]) for k in range(3)]
+        geometry_normal = v3.normalize3(v3.cross3(
+            v3.sub3(wv[0], wv[1]), v3.sub3(wv[0], wv[2])))
 
-        attr = row[:, 12:40]                     # attributes [N, 28]
-        vertex_normals = attr[:, 0:9].reshape(n, 3, 3)
-        world_normals = jnp.einsum("nij,nvj->nvi", rot_f, vertex_normals)
-        smooth_normal = normalize(jnp.einsum("nvi,nv->ni", world_normals, uvw))
-        # Geometry-offset against shadow acne (glsl:516-518)
-        # tan(acos(x)) = sqrt(1-x^2)/x — same offset without arccos/tan
-        cos_ang = jnp.abs(jnp.clip(
-            jnp.einsum("ni,nvi->nv", geometry_normal, world_normals), -1.0, 1.0))
-        angle_tan = jnp.clip(jnp.sqrt(1.0 - cos_ang * cos_ang) / cos_ang, 0.0, 1.0)
-        geometry_offset = jnp.sum(diffs * angle_tan * uvw, axis=-1)
+        smooth_normal = (zero, zero, zero)
+        geometry_offset = zero
+        bary_u = zero
+        bary_v = zero
+        for k in range(3):
+            vn = (rowt[12 + 3 * k], rowt[13 + 3 * k], rowt[14 + 3 * k])
+            wn = v3.matvec3(rot, vn)
+            smooth_normal = v3.add3(smooth_normal, v3.scale3(wn, uvw[k]))
+            # tan(acos(x)) = sqrt(1-x^2)/x — shadow-acne offset (glsl:516-518)
+            cos_a = jnp.abs(jnp.clip(v3.dot3(geometry_normal, wn), -1.0, 1.0))
+            tan_a = jnp.clip(jnp.sqrt(1.0 - cos_a * cos_a) / cos_a, 0.0, 1.0)
+            diff = v3.norm3(v3.sub3(ray_origin, wv[k]))
+            geometry_offset = geometry_offset + diff * tan_a * uvw[k]
+            bary_u = bary_u + rowt[21 + 2 * k] * uvw[k]
+            bary_v = bary_v + rowt[22 + 2 * k] * uvw[k]
+        smooth_normal = v3.normalize3(smooth_normal)
 
-        uv_verts = attr[:, 9:15].reshape(n, 3, 2)
-        barycentric = jnp.einsum("nvi,nv->ni", uv_verts, uvw)
         if "texfetch" in DEBUG_DISABLE:
-            albedo, rme, tpo = attr[:, 18:21], attr[:, 21:24], attr[:, 24:27]
+            albedo = (rowt[30], rowt[31], rowt[32])
+            rough, metal, emis = rowt[33], rowt[34], rowt[35]
+            tpo = (rowt[36], rowt[37], rowt[38])
         else:
-            albedo = fetch_tex_val(buffers.albedo_atlas, barycentric, attr[:, 15],
-                                   attr[:, 18:21], buffers.texture_width)
-            rme = fetch_tex_val(buffers.pbr_atlas, barycentric, attr[:, 16],
-                                attr[:, 21:24], buffers.texture_width)
-            tpo = fetch_tex_val(buffers.tpo_atlas, barycentric, attr[:, 17],
-                                attr[:, 24:27], buffers.texture_width)
+            albedo = fetch_tex_val_soa(
+                buffers.albedo_atlas, bary_u, bary_v, rowt[27],
+                (rowt[30], rowt[31], rowt[32]), buffers.texture_width)
+            rough, metal, emis = fetch_tex_val_soa(
+                buffers.pbr_atlas, bary_u, bary_v, rowt[28],
+                (rowt[33], rowt[34], rowt[35]), buffers.texture_width)
+            tpo = fetch_tex_val_soa(
+                buffers.tpo_atlas, bary_u, bary_v, rowt[29],
+                (rowt[36], rowt[37], rowt[38]), buffers.texture_width)
 
-        ray_dir = jnp.where(mf, normalize(ray_origin - last_hit_point), ray_dir)
-        sign_dir = jnp.sign(_dot(ray_dir, smooth_normal))
-        smooth_normal = smooth_normal * -sign_dir[:, None]
+        ray_dir = v3.where3(m, v3.normalize3(v3.sub3(ray_origin, last_hit_point)),
+                            ray_dir)
+        sign_dir = jnp.sign(v3.dot3(ray_dir, smooth_normal))
+        smooth_normal = v3.scale3(smooth_normal, -sign_dir)
 
-        random_vec = noise(ndc, jnp.float32(i) + cos_sample_n, random_seed)
-        random_sphere = normalize(smooth_normal + normalize(random_vec[:, 0:3]))
-        brdf = _mix(1.0, jnp.abs(_dot(smooth_normal, ray_dir)), rme[:, 1])
-        roughness_brdf = rme[:, 0] * brdf
-        rough_normal = normalize(_mix(smooth_normal, random_sphere, roughness_brdf[:, None]))
+        rv = noise4(ndc2[0], ndc2[1], jnp.float32(i) + cos_sample_n, random_seed)
+        random_sphere = v3.normalize3(v3.add3(
+            smooth_normal, v3.normalize3((rv[0], rv[1], rv[2]))))
+        brdf = _mix(1.0, jnp.abs(v3.dot3(smooth_normal, ray_dir)), metal)
+        roughness_brdf = rough * brdf
+        rough_normal = v3.normalize3(v3.mix3(smooth_normal, random_sphere,
+                                             roughness_brdf))
 
-        h = normalize(rough_normal - ray_dir)
-        v_dot_h = jnp.maximum(_dot(-ray_dir, h), 0.0)
-        f0 = albedo * brdf[:, None]
-        f = fresnel(f0, v_dot_h[:, None])
-        fresnel_reflect = jnp.max(f, axis=-1)
+        h = v3.normalize3(v3.sub3(rough_normal, ray_dir))
+        v_dot_h = jnp.maximum(-v3.dot3(ray_dir, h), 0.0)
+        one_m_theta5 = (1.0 - v_dot_h) ** 5
+        fresnel_reflect = zero
+        for c in range(3):
+            f0 = albedo[c] * brdf
+            fresnel_reflect = jnp.maximum(
+                fresnel_reflect, f0 + (1.0 - f0) * one_m_theta5)
         # Fresnel-chance solid/translucent decision (glsl:550)
-        is_solid = tpo[:, 0] * fresnel_reflect <= jnp.abs(random_vec[:, 3])
+        is_solid = tpo[0] * fresnel_reflect <= jnp.abs(rv[3])
 
         # First-surface bookkeeping vs importancy accumulation (glsl:553-573)
         df = dont_filter & m
-        original_tpo_x = jnp.where(df, tpo[:, 0], original_tpo_x)
-        original_color = jnp.where(df[:, None], original_color * albedo, original_color)
-        original_rme_x = jnp.where(df, original_rme_x + rme[:, 0], original_rme_x)
-        if "idpack" in DEBUG_DISABLE:
-            id_update = (2.0 ** -i) * jnp.concatenate([smooth_normal, rme[:, :0]], axis=-1)[:, 0:3]
-        else:
-            id_update = (2.0 ** -i) * combine_normal_rme(smooth_normal, rme)
-        render_id = render_id.at[:, 0:3].add(jnp.where(df[:, None], id_update, 0.0))
+        original_tpo_x = jnp.where(df, tpo[0], original_tpo_x)
+        original_color = v3.where3(df, v3.mul3(original_color, albedo),
+                                   original_color)
+        original_rme_x = jnp.where(df, original_rme_x + rough, original_rme_x)
+        idu = combine_normal_rme_soa(smooth_normal, rough, metal, emis)
+        scale_i = 2.0 ** -i
+        render_id = (
+            render_id[0] + jnp.where(df, scale_i * idu[0], 0.0),
+            render_id[1] + jnp.where(df, scale_i * idu[1], 0.0),
+            render_id[2] + jnp.where(df, scale_i * idu[2], 0.0),
+            render_id[3],
+        )
         if i == 0:
-            original_id_acc = original_id_acc.at[:, 0:3].add(
-                jnp.where(df[:, None], id_update, 0.0))
-        new_dont_filter = ((rme[:, 0] < 0.01) & is_solid) | ~is_solid
-        is_glass = is_solid & (tpo[:, 0] > 0.01)
+            original_id_acc = tuple(
+                original_id_acc[c] + jnp.where(df, scale_i * idu[c], 0.0)
+                for c in range(3)) + (original_id_acc[3],)
+        new_dont_filter = ((rough < 0.01) & is_solid) | ~is_solid
+        is_glass = is_solid & (tpo[0] > 0.01)
         glass = jnp.where(df & is_glass, glass + 1.0, glass)
         new_dont_filter = jnp.where(is_glass, False, new_dont_filter)
-        importancy = jnp.where((~dont_filter & m)[:, None], importancy * albedo, importancy)
+        importancy = v3.where3(~dont_filter & m, v3.mul3(importancy, albedo),
+                               importancy)
         dont_filter = jnp.where(df, new_dont_filter, dont_filter)
 
         if i == 1:
-            ratio = (jnp.linalg.norm(ray_origin - last_hit_point, axis=-1)
-                     / jnp.maximum(jnp.linalg.norm(last_hit_point - camera_pos, axis=-1), 1e-30))
-            first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length), first_ray_length)
+            ratio = (v3.norm3(v3.sub3(ray_origin, last_hit_point))
+                     / jnp.maximum(v3.norm3(v3.sub3(
+                         last_hit_point,
+                         tuple(jnp.broadcast_to(camera_pos[c], (n,))
+                               for c in range(3)))), 1e-30))
+            first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length),
+                                         first_ray_length)
 
         if "reservoir" in DEBUG_DISABLE:
-            local_color, id_w = jnp.broadcast_to(rme[:, 2:3], (n, 3)), jnp.zeros(n)
+            local_color, id_w = (emis, emis, emis), zero
         else:
             local_color, id_w = reservoir_sample(
-                buffers, albedo, rme, tpo, ray_origin, ray_dir,
-                random_vec, -sign_dir[:, None] * rough_normal,
-                -sign_dir[:, None] * smooth_normal, geometry_offset,
-                random_seed, shadow_fn)
+                buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
+                rv, v3.scale3(rough_normal, -sign_dir),
+                v3.scale3(smooth_normal, -sign_dir), geometry_offset,
+                random_seed, shadow_soa)
         write_id_w = (dont_filter | (i == 0)) & m
-        render_id = render_id.at[:, 3].set(jnp.where(write_id_w, id_w, render_id[:, 3]))
+        render_id = render_id[0:3] + (
+            jnp.where(write_id_w, id_w, render_id[3]),)
 
-        final_color = jnp.where(mf, final_color + local_color * importancy, final_color)
+        final_color = v3.where3(
+            m, v3.add3(final_color, v3.mul3(local_color, importancy)),
+            final_color)
 
         # Next ray: reflect, or Fresnel-chance refract (glsl:582-589)
-        reflected = ray_dir - 2.0 * _dot(ray_dir, smooth_normal)[:, None] * smooth_normal
-        eta = _mix(1.0 / tpo[:, 2], tpo[:, 2], jnp.maximum(sign_dir, 0.0))
-        n_dot_i = _dot(smooth_normal, ray_dir)
+        n_dot_i = v3.dot3(smooth_normal, ray_dir)
+        reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
+        eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(sign_dir, 0.0))
         k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
-        refracted = jnp.where((k < 0.0)[:, None], 0.0,
-                              eta[:, None] * ray_dir
-                              - (eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0)))[:, None] * smooth_normal)
-        bounce_base = jnp.where(is_solid[:, None], reflected, refracted)
-        new_dir = normalize(_mix(bounce_base, random_sphere, roughness_brdf[:, None]))
-        ray_dir = jnp.where(mf, new_dir, ray_dir)
+        refr_coef = eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))
+        refracted = v3.where3(
+            k < 0.0, (zero, zero, zero),
+            v3.sub3(v3.scale3(ray_dir, eta), v3.scale3(smooth_normal, refr_coef)))
+        bounce_base = v3.where3(is_solid, reflected, refracted)
+        new_dir = v3.normalize3(v3.mix3(bounce_base, random_sphere,
+                                        roughness_brdf))
+        ray_dir = v3.where3(m, new_dir, ray_dir)
 
         if i + 1 < config.max_reflections:
-            nhit = traverse_fn(jnp.where(mf, ray_origin, 0.0),
-                               jnp.where(mf, ray_dir, jnp.array([0.0, 0.0, 1.0])))
-            suv = jnp.where(mf, nhit.suv, suv)
-            new_tri = jnp.where(m, nhit.triangle, -1)
+            zdir = (zero, zero, one)
+            ns, nu, nv, ntri = traverse_soa(
+                v3.where3(m, ray_origin, (zero, zero, zero)),
+                v3.where3(m, ray_dir, zdir))
+            hs = jnp.where(m, ns, hs)
+            hu = jnp.where(m, nu, hu)
+            hv = jnp.where(m, nv, hv)
+            new_tri = jnp.where(m, ntri, -1)
             alive = alive & (new_tri != -1)
             tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
-            last_hit_point = jnp.where(mf, ray_origin, last_hit_point)
+            last_hit_point = v3.where3(m, ray_origin, last_hit_point)
 
-    final_color = final_color + importancy * buffers.ambient
-    aux = (render_id, original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length)
+    final_color = tuple(final_color[c] + importancy[c] * buffers.ambient[c]
+                        for c in range(3))
+    aux = (render_id, original_id_acc, glass, original_rme_x, original_tpo_x,
+           first_ray_length)
     return final_color, original_color, original_tpo_x, aux
 
 
@@ -385,57 +456,77 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         def shadow_fn(o, d, l):
             return trv.shadow_scan(world_geom, o, d, l)
 
+    def traverse_soa(o3, d3):
+        hit = traverse_fn(v3.stack3(o3), v3.stack3(d3))
+        hsuv = hit.suv.T
+        return hsuv[0], hsuv[1], hsuv[2], hit.triangle
+
+    def shadow_soa(o3, d3, max_len):
+        return shadow_fn(v3.stack3(o3), v3.stack3(d3), max_len)
+
     origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix,
                                          row0=row0, rows=rows)
     mat = build_material_table(buffers, world_geom)
     n = origin.shape[0]
     primary = traverse_fn(origin, direction)
     covered = primary.triangle != -1
+    psuv = primary.suv.T
+    primary_parts = (psuv[0], psuv[1], psuv[2], primary.triangle)
+    direction3 = v3.unstack3(direction)
+    ndct = ndc.T
+    ndc2 = (ndct[0], ndct[1])
 
+    zero = jnp.zeros((n,), dtype=jnp.float32)
+    one = jnp.ones((n,), dtype=jnp.float32)
     aux = (
-        jnp.zeros((n, 4), dtype=jnp.float32),   # render_id
-        jnp.zeros((n, 4), dtype=jnp.float32),   # original_id accumulation
-        jnp.zeros((n,), dtype=jnp.float32),     # glassFilter
-        jnp.zeros((n,), dtype=jnp.float32),     # originalRMEx
-        jnp.zeros((n,), dtype=jnp.float32),     # originalTPOx
-        jnp.ones((n,), dtype=jnp.float32),      # firstRayLength
+        (zero, zero, zero, zero),   # render_id
+        (zero, zero, zero, zero),   # original_id accumulation
+        zero,                       # glassFilter
+        zero,                       # originalRMEx
+        zero,                       # originalTPOx
+        one,                        # firstRayLength
     )
-    total = jnp.zeros((n, 3), dtype=jnp.float32)
-    original_color = jnp.ones((n, 3), dtype=jnp.float32)
-    original_tpo_x = jnp.zeros((n,), dtype=jnp.float32)
+    total = (zero, zero, zero)
+    original_color = (one, one, one)
+    original_tpo_x = zero
     n_local = config.samples_per_ray if local_samples is None else local_samples
     for s in range(n_local):
         cos_sample_n = jnp.cos(jnp.float32(s) + sample_offset)
         color, original_color, original_tpo_x, aux = light_trace(
-            buffers, mat, primary, camera_pos, direction, ndc,
-            cos_sample_n, config, random_seed, traverse_fn, shadow_fn, aux)
-        total = total + color
-    final_color = total / config.samples_per_ray
+            buffers, mat, primary_parts, camera_pos, direction3, ndc2,
+            cos_sample_n, config, random_seed, traverse_soa, shadow_soa, aux)
+        total = v3.add3(total, color)
+    final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
 
     render_id, _original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length = aux
-    render_id = render_id.at[:, 3].add(INV_255)  # glsl:637
+    rid3 = render_id[3] + INV_255  # glsl:637
 
     # Primary-hit local position for the location id channel (glsl:641-642)
     ptri = jnp.maximum(primary.triangle, 0)
-    local_verts = buffers.geometry[ptri][:, 0:9].reshape(n, 3, 3)
-    puvw = jnp.stack([1.0 - primary.suv[:, 1] - primary.suv[:, 2],
-                      primary.suv[:, 1], primary.suv[:, 2]], axis=-1)
-    rel_pos = jnp.einsum("nvi,nv->ni", local_verts, puvw)
-    div = 2.0 * jnp.linalg.norm(rel_pos - camera_pos, axis=-1)
-    location_id = jnp.concatenate(
-        [jnp.mod(rel_pos, jnp.maximum(div, 1e-30)[:, None]) / jnp.maximum(div, 1e-30)[:, None],
-         jnp.full((n, 1), INV_255)], axis=-1)
+    lrow = fetch_rows_t(buffers.geometry, ptri)     # [12, N]
+    puvw = (1.0 - psuv[1] - psuv[2], psuv[1], psuv[2])
+    rel_pos = (zero, zero, zero)
+    for k in range(3):
+        lv = (lrow[3 * k], lrow[3 * k + 1], lrow[3 * k + 2])
+        rel_pos = v3.add3(rel_pos, v3.scale3(lv, puvw[k]))
+    cam3 = tuple(jnp.broadcast_to(camera_pos[c], (n,)) for c in range(3))
+    div = jnp.maximum(2.0 * v3.norm3(v3.sub3(rel_pos, cam3)), 1e-30)
+    loc3 = tuple(jnp.mod(rel_pos[c], div) / div for c in range(3))
 
     cov = covered
     covf = cov[:, None]
     zero3 = jnp.zeros((n, 3), dtype=jnp.float32)
+    render_id4 = jnp.stack(
+        [render_id[0], render_id[1], render_id[2], rid3], axis=-1)
+    location_id4 = jnp.stack(
+        [loc3[0], loc3[1], loc3[2], jnp.full((n,), INV_255)], axis=-1)
     return MRT(
-        color=jnp.where(covf, final_color, zero3),
+        color=jnp.where(covf, v3.stack3(final_color), zero3),
         glass=jnp.where(cov, glass, 0.0),
-        original_color=jnp.where(covf, original_color, zero3),
+        original_color=jnp.where(covf, v3.stack3(original_color), zero3),
         original_w=jnp.where(cov, jnp.minimum(original_rme_x, first_ray_length) + INV_255, 0.0),
-        render_id=jnp.where(cov[:, None], render_id, jnp.zeros((n, 4))),
+        render_id=jnp.where(covf, render_id4, jnp.zeros((n, 4))),
         original_id_w=jnp.where(cov, original_tpo_x + INV_255, 0.0),
-        location_id=jnp.where(cov[:, None], location_id, jnp.zeros((n, 4))),
+        location_id=jnp.where(covf, location_id4, jnp.zeros((n, 4))),
         alpha=cov.astype(jnp.float32),
     )

@@ -28,3 +28,13 @@ def noise(n: jnp.ndarray, seed, random_seed) -> jnp.ndarray:
     d = n[..., 0] * _DOT[0] + n[..., 1] * _DOT[1]
     arg = d[..., None] + _OFFSETS * (jnp.float32(seed) + jnp.float32(random_seed) * jnp.float32(PHI))
     return fract(jnp.sin(arg) * jnp.float32(43758.5453)) * 2.0 - 1.0
+
+
+def noise4(n0: jnp.ndarray, n1: jnp.ndarray, seed, random_seed):
+    """SoA form of `noise`: two [N] coordinate components -> four [N]
+    channels (full-lane layout; see ops.vec3)."""
+    d = n0.astype(jnp.float32) * _DOT[0] + n1.astype(jnp.float32) * _DOT[1]
+    t = jnp.float32(seed) + jnp.float32(random_seed) * jnp.float32(PHI)
+    mul = jnp.float32(43758.5453)
+    return tuple(fract(jnp.sin(d + jnp.float32(o) * t) * mul) * 2.0 - 1.0
+                 for o in (53.0, 59.0, 61.0, 67.0))

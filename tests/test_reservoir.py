@@ -16,6 +16,7 @@ from flexlight_tpu.ops.brdf import forward_trace, normalize
 from flexlight_tpu.ops.buffers import SceneBuffers
 from flexlight_tpu.ops.pathtrace import reservoir_sample
 from flexlight_tpu.ops.rng import noise
+from flexlight_tpu.ops.vec3 import stack3, unstack3
 
 
 def _buffers_with_lights(lights):
@@ -51,10 +52,12 @@ def test_reservoir_distribution_proportional_to_weight():
     random_vec = noise(jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32)),
                        0.0, 0.0)
 
-    color, id_w = reservoir_sample(
-        buffers, buffers.geometry, albedo, rme, tpo, origin, unit_dir,
-        random_vec, normal, normal, jnp.zeros(n), 0.0,
-        lambda o, d, l: jnp.zeros(o.shape[0], dtype=bool))  # no occluders
+    color3, id_w = reservoir_sample(
+        buffers, unstack3(albedo), rme[:, 0], rme[:, 1], rme[:, 2],
+        unstack3(origin), unstack3(unit_dir), tuple(random_vec.T),
+        unstack3(normal), unstack3(normal), jnp.zeros(n), 0.0,
+        lambda o, d, l: jnp.zeros(o[0].shape[0], dtype=bool))  # no occluders
+    color = stack3(color3)
 
     idw = np.round(np.asarray(id_w) * 255.0).astype(int)
     assert (idw % 2 == 0).all()  # nothing shadowed
