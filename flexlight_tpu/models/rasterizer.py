@@ -31,45 +31,11 @@ from ..post.fxaa import fxaa
 from ..post.taa import Jitter, TAAState, taa_apply
 
 
-@partial(jax.jit, static_argnames=("width", "height", "config", "scheme", "tile"))
-def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
-                 scheme="scan", tile=1024):
-    world_geom = world_geometry(buffers)
-    if scheme == "mxu":
-        from ..ops.traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
-
-        w = build_tri_matrix(world_geom, buffers.id_buffer)
-        traverse_fn = lambda o, d: traverse_mxu(w, buffers.id_buffer, o, d)
-        shadow_fn = lambda o, d, l: shadow_mxu(w, o, d, l)
-    elif scheme == "kernel":
-        import jax as _jax
-
-        from ..ops.intersect_kernel import (build_w4, pick_tri_tile,
-                                            shadow_kernel, traverse_kernel)
-
-        tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
-        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
-        interp = _jax.default_backend() == "cpu"
-        sort = (ids.shape[0] // tri_tile) >= 8
-        traverse_fn = lambda o, d: traverse_kernel(w4, amin, amax, ids, o, d,
-                                                   interpret=interp, tri_tile=tri_tile,
-                                                   sort_rays=sort)
-        shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
-                                                  interpret=interp, tri_tile=tri_tile,
-                                                  sort_rays=sort)
-    elif scheme == "packet":
-        def shadow_fn(o, d, l):
-            return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
-        traverse_fn = lambda o, d: trv.traverse_coherent(world_geom, o, d, tile=tile)
-    else:
-        def shadow_fn(o, d, l):
-            return trv.shadow_scan(world_geom, o, d, l)
-        traverse_fn = lambda o, d: trv.traverse_scan(world_geom, o, d)
-
-    origin, direction, _ = camera_rays(width, height, cam_pos, view)
-    n = origin.shape[0]
-    hit = traverse_fn(origin, direction)
-    covered = hit.triangle != -1
+def _shade(buffers, cam_pos, hit, shadow_fn, n, config):
+    """Shade one primary-visibility layer (rasterizer_fragment.glsl main):
+    per-light Cook-Torrance + shadow rays, translucency fade, Reinhard.
+    Returns (rgb [N,3] clamped, alpha [N]) — the fragment shader's
+    vec4(finalColor, 1 - 0.5*tpo.x) output (glsl:291)."""
     tri = jnp.maximum(hit.triangle, 0)
     uvw = jnp.stack([1.0 - hit.suv[:, 1] - hit.suv[:, 2],
                      hit.suv[:, 1], hit.suv[:, 2]], axis=-1)
@@ -120,9 +86,122 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
     if config.hdr:
         final = reinhard_gamma(final)
     alpha = 1.0 - 0.5 * tpo[:, 0]
+    return jnp.clip(final, 0.0, 1.0), alpha
 
-    rgb = jnp.where(covered[:, None], jnp.clip(final, 0.0, 1.0), 0.0)
-    a = jnp.where(covered, alpha, 0.0)
+
+def _blend_layers(layers_data):
+    """Simulate the reference's GL raster state — depth test LESS with
+    depth writes AND blending both on (rasterizerWGL2.js:394-399:
+    blendFuncSeparate(ONE, ONE_MINUS_SRC_ALPHA, ONE, ONE)) — over K
+    depth-ordered hit layers per pixel.
+
+    GL processes fragments in triangle draw order (= geometry-slot order,
+    the flattener emits slots in DFS draw order): a fragment passes iff it
+    is strictly closer than every earlier-drawn fragment, then blends
+    dst = src.rgb + dst.rgb * (1 - src.a), dst.a = src.a + dst.a, with the
+    RGBA8 canvas clamping each write. Sorting the layers by slot id and
+    replaying that z-buffer scan reproduces the order-dependent result
+    exactly (for hits beyond the K extracted layers, nothing blends —
+    they are almost always depth-rejected anyway)."""
+    # Static compare-swap sort by draw order (slot id; misses sort last).
+    layers = list(layers_data)
+    k = len(layers)
+    key = [jnp.where(l[4], l[1], jnp.int32(2**30)) for l in layers]
+
+    def _where(cond, a, b):
+        return jnp.where(cond[:, None] if b.ndim == 2 else cond, a, b)
+
+    def swapped(i, j):
+        take = key[j] < key[i]
+        ki, kj = (jnp.where(take, key[j], key[i]),
+                  jnp.where(take, key[i], key[j]))
+        li = tuple(_where(take, b, a) for a, b in zip(layers[i], layers[j]))
+        lj = tuple(_where(take, a, b) for a, b in zip(layers[i], layers[j]))
+        key[i], key[j] = ki, kj
+        layers[i], layers[j] = li, lj
+
+    pairs = {1: [], 2: [(0, 1)], 3: [(0, 1), (1, 2), (0, 1)],
+             4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)]}
+    for i, j in pairs.get(k, [(a, b) for a in range(k) for b in range(a + 1, k)]):
+        swapped(i, j)
+
+    n = layers[0][0].shape[0]
+    z = jnp.full((n,), jnp.inf, dtype=jnp.float32)
+    rgb = jnp.zeros((n, 3), dtype=jnp.float32)
+    a_dst = jnp.zeros((n,), dtype=jnp.float32)
+    for dist, _slot, src_rgb, src_a, covered in layers:
+        passes = covered & (dist < z)
+        blended = jnp.clip(src_rgb + rgb * (1.0 - src_a[:, None]), 0.0, 1.0)
+        rgb = jnp.where(passes[:, None], blended, rgb)
+        a_dst = jnp.where(passes, jnp.clip(src_a + a_dst, 0.0, 1.0), a_dst)
+        z = jnp.where(passes, dist, z)
+    return rgb, a_dst
+
+
+@partial(jax.jit, static_argnames=("width", "height", "config", "scheme",
+                                   "tile", "layers"))
+def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
+                 scheme="scan", tile=1024, layers: int = 1):
+    world_geom = world_geometry(buffers)
+    if scheme == "mxu":
+        from ..ops.traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
+
+        w = build_tri_matrix(world_geom, buffers.id_buffer)
+        traverse_fn = lambda o, d: traverse_mxu(w, buffers.id_buffer, o, d)
+        shadow_fn = lambda o, d, l: shadow_mxu(w, o, d, l)
+    elif scheme == "kernel":
+        import jax as _jax
+
+        from ..ops.intersect_kernel import (build_w4, pick_tri_tile,
+                                            shadow_kernel, traverse_kernel)
+
+        tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
+        w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
+        interp = _jax.default_backend() == "cpu"
+        sort = (ids.shape[0] // tri_tile) >= 8
+        traverse_fn = lambda o, d: traverse_kernel(w4, amin, amax, ids, o, d,
+                                                   interpret=interp, tri_tile=tri_tile,
+                                                   sort_rays=sort)
+        shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
+                                                  interpret=interp, tri_tile=tri_tile,
+                                                  sort_rays=sort)
+    elif scheme == "packet":
+        def shadow_fn(o, d, l):
+            return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
+        traverse_fn = lambda o, d: trv.traverse_coherent(world_geom, o, d, tile=tile)
+    else:
+        def shadow_fn(o, d, l):
+            return trv.shadow_scan(world_geom, o, d, l)
+        traverse_fn = lambda o, d: trv.traverse_scan(world_geom, o, d)
+
+    origin, direction, _ = camera_rays(width, height, cam_pos, view)
+    n = origin.shape[0]
+
+    # Extract up to `layers` hit layers front-to-back by ray continuation
+    # (re-cast from each hit point; s > BIAS rejects the surface itself),
+    # then replay GL's draw-order blending over them. layers == 1 is the
+    # opaque fast path: with everything opaque the blend replay reduces to
+    # the closest hit, so the engine only requests more layers when the
+    # scene has translucent material.
+    layers_data = []
+    o = origin
+    cum = jnp.zeros((n,), dtype=jnp.float32)
+    for layer in range(layers):
+        hit = traverse_fn(o, direction)
+        covered_l = hit.triangle != -1
+        rgb_l, a_l = _shade(buffers, cam_pos, hit, shadow_fn, n, config)
+        dist_l = cum + hit.suv[:, 0]
+        layers_data.append((dist_l, hit.triangle, rgb_l, a_l, covered_l))
+        if layer + 1 < layers:
+            o = o + direction * hit.suv[:, 0:1]
+            cum = dist_l
+
+    if layers == 1:
+        dist0, _slot, rgb_l, a_l, covered = layers_data[0]
+        rgb = jnp.where(covered[:, None], rgb_l, 0.0)
+        a = jnp.where(covered, a_l, 0.0)
+    else:
+        rgb, a = _blend_layers(layers_data)
     display = rgb.reshape(height, width, 3)
     alpha_img = a.reshape(height, width)
 
@@ -153,7 +232,12 @@ class Rasterizer:
         self.fps_limit = float("inf")
         self.scheme = scheme
         self.tile = tile
+        # Max translucency layers blended per pixel (GL blends every
+        # fragment; 4 depth layers cover the examples' glass). Resolved to
+        # 1 when the scene has no translucent material.
+        self.layers = 4
         self._halt = True
+        self._has_translucency = False
         self._buffers = None
         self._taa_state = None
         self._jitter = Jitter()
@@ -174,6 +258,11 @@ class Rasterizer:
 
     def update_scene(self):
         self._buffers = build_scene_buffers(self.scene)
+        # attributes[:, 24] = per-triangle translucency; a non-degenerate
+        # TPO atlas means texture-driven translucency is possible.
+        self._has_translucency = bool(
+            np.any(np.asarray(self._buffers.attributes[:, 24]) > 0.0)
+            or self._buffers.tpo_atlas.size > 3)
 
     def update_primary_light_sources(self):
         if self._buffers is None:
@@ -222,10 +311,11 @@ class Rasterizer:
         if scheme == "auto":
             scheme = ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
                       else "kernel")
+        layers = max(int(self.layers), 1) if self._has_translucency else 1
         display, self._taa_state = raster_frame(
             self._buffers, jnp.asarray(self.camera.position), jnp.asarray(view),
             self._taa_state, width=self.width, height=self.height,
-            config=self.config, scheme=scheme, tile=self.tile)
+            config=self.config, scheme=scheme, tile=self.tile, layers=layers)
         self._fps_frames += 1
         now = time.perf_counter()
         if now - self._fps_window_start > 0.5:

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import BIAS, POW32
 from .traverse import Hit
-from .traverse_mxu import _ray_features, build_tri_matrix
+from .traverse_mxu import _ray_features, tri_rows
 
 RAY_TILE = 1024          # 8 x 128 lanes
 TRI_TILE = 512           # columns per W tile (per MT output)
@@ -159,10 +159,8 @@ def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
     prepass and the padded id map."""
     t = id_buffer.shape[0]
     tp = -(-t // tri_tile) * tri_tile
-    w = build_tri_matrix(world_geometry, id_buffer)        # [16, 4T]
-    w = w.reshape(16, t, 4)
-    w = jnp.pad(w, ((0, 0), (0, tp - t), (0, 0)))
-    w4 = w.transpose(2, 1, 0)                              # [4, Tp, 16]
+    rows = tri_rows(world_geometry, id_buffer)             # 4 x [T, 16]
+    w4 = jnp.stack([jnp.pad(r, ((0, tp - t), (0, 0))) for r in rows])  # [4, Tp, 16]
 
     tris = world_geometry[id_buffer]
     verts = tris[:, 0:9].reshape(t, 3, 3)
@@ -176,17 +174,46 @@ def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
     return w4, aabb_min, aabb_max, ids
 
 
+FLAG_CHUNK = 8  # ray tiles slab-tested per lax.map step
+
+
 def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt):
-    """[RT, WT] int32: ray tile i may hit triangle tile j."""
-    inv_d = 1.0 / direction
-    t0 = (aabb_min[None] - origin[:, None]) * inv_d[:, None]
-    t1 = (aabb_max[None] - origin[:, None]) * inv_d[:, None]
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < max_len[:, None])  # [Rp, K]
+    """[RT, WT] int32: ray tile i may hit triangle tile j.
+
+    Computed in chunks of ray tiles under lax.map: the unchunked form
+    materializes [Rp, K, 3] slab temps — 16+ GB at 1080p x dragon scale
+    (measured RESOURCE_EXHAUSTED); per-chunk the working set stays tens
+    of MB while the reduction result is only [RT, K]."""
     k = aabb_min.shape[0]
-    per_tile = hit.reshape(rt, RAY_TILE, k).any(axis=1)     # [RT, K]
     clusters_per_tile = k // wt
+
+    def chunk_flags(args):
+        o, d, ml = args                       # [C*RAY_TILE, 3] x2, [C*RAY_TILE]
+        inv_d = 1.0 / d
+        t0 = (aabb_min[None] - o[:, None]) * inv_d[:, None]
+        t1 = (aabb_max[None] - o[:, None]) * inv_d[:, None]
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < ml[:, None])
+        return hit.reshape(-1, RAY_TILE, k).any(axis=1)     # [C, K]
+
+    if rt <= FLAG_CHUNK:
+        per_tile = chunk_flags((origin, direction, max_len))
+    else:
+        pad_t = (-rt) % FLAG_CHUNK
+        pad_n = pad_t * RAY_TILE
+        # padded rays: unit +z dir, ml=0 -> no hits contributed
+        o = jnp.pad(origin, ((0, pad_n), (0, 0)))
+        d = jnp.pad(direction, ((0, pad_n), (0, 0)),
+                    constant_values=1.0)
+        ml = jnp.pad(max_len, (0, pad_n))
+        n_chunks = (rt + pad_t) // FLAG_CHUNK
+        per_tile = jax.lax.map(
+            chunk_flags,
+            (o.reshape(n_chunks, FLAG_CHUNK * RAY_TILE, 3),
+             d.reshape(n_chunks, FLAG_CHUNK * RAY_TILE, 3),
+             ml.reshape(n_chunks, FLAG_CHUNK * RAY_TILE)),
+        ).reshape(-1, k)[:rt]                                # [RT, K]
     return per_tile.reshape(rt, wt, clusters_per_tile).any(axis=-1).astype(jnp.int32)
 
 

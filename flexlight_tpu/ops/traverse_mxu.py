@@ -48,9 +48,14 @@ def _skew(v):
     ], axis=-2)
 
 
-def build_tri_matrix(world_geometry: jnp.ndarray, id_buffer: jnp.ndarray) -> jnp.ndarray:
-    """Per-triangle MT constants. Returns W [16, 4T] (det, udet, vdet, sdet
-    interleaved per triangle as the last axis reshaped [T,4])."""
+def tri_rows(world_geometry: jnp.ndarray, id_buffer: jnp.ndarray):
+    """The four MT constant rows (det, udet, vdet, sdet), each [T, 16].
+
+    Built by pure concatenation: `.at[].set()` scatters into a [T,4,16]
+    buffer lower to [T,1,1]-shaped temps with 128x lane padding (tens of MB
+    each at dragon scale, measured) — concat keeps everything in natively
+    tiled [T,16] form, fused by XLA into the per-frame geometry pass.
+    """
     tris = world_geometry[id_buffer]            # [T, 12]
     v0, v1, v2 = tris[:, 0:3], tris[:, 3:6], tris[:, 6:9]
     e1 = v1 - v0
@@ -58,19 +63,28 @@ def build_tri_matrix(world_geometry: jnp.ndarray, id_buffer: jnp.ndarray) -> jnp
     n = jnp.cross(e1, e2)
 
     t = v0.shape[0]
-    w = jnp.zeros((t, 4, 16), dtype=jnp.float32)
+    z1 = jnp.zeros((t, 1), dtype=jnp.float32)
+    z3 = jnp.zeros((t, 3), dtype=jnp.float32)
+    z9 = jnp.zeros((t, 9), dtype=jnp.float32)
     # det = e1 . (d x e2) = d . (e2 x e1) = -d . n
-    w = w.at[:, 0, 4:7].set(-n)
+    det = jnp.concatenate([z1, z3, -n, z9], axis=-1)
     # u*det = sum_ik d_i o_k skew(e2)[i,k]  -  d . cross(e2, v0)
-    w = w.at[:, 1, 7:16].set(_skew(e2).reshape(t, 9))
-    w = w.at[:, 1, 4:7].set(-jnp.cross(e2, v0))
+    udet = jnp.concatenate(
+        [z1, z3, -jnp.cross(e2, v0), _skew(e2).reshape(t, 9)], axis=-1)
     # v*det = -sum_ik d_i o_k skew(e1)[i,k] - d . cross(v0, e1)
-    w = w.at[:, 2, 7:16].set(-_skew(e1).reshape(t, 9))
-    w = w.at[:, 2, 4:7].set(-jnp.cross(v0, e1))
+    vdet = jnp.concatenate(
+        [z1, z3, -jnp.cross(v0, e1), -_skew(e1).reshape(t, 9)], axis=-1)
     # s*det = o . n - v0 . n
-    w = w.at[:, 3, 1:4].set(n)
-    w = w.at[:, 3, 0].set(-jnp.sum(v0 * n, axis=-1))
-    return w.reshape(t * 4, 16).T               # [16, 4T]
+    sdet = jnp.concatenate(
+        [-jnp.sum(v0 * n, axis=-1, keepdims=True), n, z3, z9], axis=-1)
+    return det, udet, vdet, sdet
+
+
+def build_tri_matrix(world_geometry: jnp.ndarray, id_buffer: jnp.ndarray) -> jnp.ndarray:
+    """Per-triangle MT constants. Returns W [16, 4T] (det, udet, vdet, sdet
+    interleaved per triangle as the last axis reshaped [T,4])."""
+    w = jnp.stack(tri_rows(world_geometry, id_buffer), axis=1)  # [T, 4, 16]
+    return w.reshape(-1, 16).T                  # [16, 4T]
 
 
 def _ray_features(origin, direction):
