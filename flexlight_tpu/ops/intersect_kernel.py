@@ -37,14 +37,14 @@ CLUSTER = 64             # cluster size for the flag prepass
 
 
 def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
-            tri_ref, *, cull: bool, precision, tri_tile: int):
+            tri_ref, *, cull: bool, precision, tri_tile: int, ray_tile: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     # Transposed layout: products are [TRI_TILE, RAY_TILE] so the per-ray
     # reductions run along sublanes and land in native (1, RAY_TILE) rows
     # (no lane-crossing reshapes, full lane utilization).
-    shp = (1, 1, RAY_TILE)
+    shp = (1, 1, ray_tile)
 
     @pl.when(j == 0)
     def _():
@@ -74,7 +74,7 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
         s_masked = jnp.where(valid, s, POW32)
 
         tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)  # [1, 1024]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, RAY_TILE), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, ray_tile), 0)
         is_best = s_masked <= tile_best_s
         # lowest row among ties (the argmin)
         best_row = jnp.min(jnp.where(is_best, rows, tri_tile), axis=0, keepdims=True)
@@ -84,7 +84,7 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
         tile_v = take(v)
         # resolve the drawable-triangle id in-register: an XLA-side
         # ids[col] s32 gather runs on the scalar core (~0.5 ms per call)
-        ids_bc = jnp.broadcast_to(idsf_ref[:], (tri_tile, RAY_TILE))
+        ids_bc = jnp.broadcast_to(idsf_ref[:], (tri_tile, ray_tile))
         tile_tri = take(ids_bc)
 
         prev_s = s_ref[0]                     # [1, 1024]
@@ -97,22 +97,24 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
                                ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile"))
+@partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
+                                   "ray_tile"))
 def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
-               precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE):
+               precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
+               ray_tile: int = RAY_TILE):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     rp = f.shape[0]
     tp = w4.shape[1]
-    rt, wt = rp // RAY_TILE, tp // tri_tile
+    rt, wt = rp // ray_tile, tp // tri_tile
     grid = (rt, wt)
     out_shape = [
-        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 1, RAY_TILE), jnp.int32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
     ]
-    out_spec = pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, *_: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     # flags ride in as a scalar-prefetch array (SMEM), indexed by program id
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -120,12 +122,12 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
         grid=grid,
         in_specs=[
             # features transposed: [16, Rp], tile [16, RAY_TILE]
-            pl.BlockSpec((16, RAY_TILE), lambda i, j, *_: (0, i),
+            pl.BlockSpec((16, ray_tile), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
             # W planes transposed: [4, Tp, 16], tile [4, tri_tile, 16]
             pl.BlockSpec((4, tri_tile, 16), lambda i, j, *_: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RAY_TILE), lambda i, j, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tri_tile, 1), lambda i, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -133,13 +135,14 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
         out_specs=[out_spec] * 4,
     )
     s, u, v, tri = pl.pallas_call(
-        partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile),
+        partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
+                ray_tile=ray_tile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(flags, f.T, w4, max_len.reshape(rt, 1, RAY_TILE), idsf)
+    )(flags, f.T, w4, max_len.reshape(rt, 1, ray_tile), idsf)
     return tuple(x.reshape(-1) for x in (s, u, v, tri))
 
 
@@ -177,7 +180,8 @@ def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
 FLAG_CHUNK = 8  # ray tiles slab-tested per lax.map step
 
 
-def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt):
+def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt,
+           ray_tile: int = RAY_TILE):
     """[RT, WT] int32: ray tile i may hit triangle tile j.
 
     Computed in chunks of ray tiles under lax.map: the unchunked form
@@ -195,13 +199,13 @@ def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt):
         tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < ml[:, None])
-        return hit.reshape(-1, RAY_TILE, k).any(axis=1)     # [C, K]
+        return hit.reshape(-1, ray_tile, k).any(axis=1)     # [C, K]
 
     if rt <= FLAG_CHUNK:
         per_tile = chunk_flags((origin, direction, max_len))
     else:
         pad_t = (-rt) % FLAG_CHUNK
-        pad_n = pad_t * RAY_TILE
+        pad_n = pad_t * ray_tile
         # padded rays: unit +z dir, ml=0 -> no hits contributed
         o = jnp.pad(origin, ((0, pad_n), (0, 0)))
         d = jnp.pad(direction, ((0, pad_n), (0, 0)),
@@ -210,9 +214,9 @@ def _flags(aabb_min, aabb_max, origin, direction, max_len, rt, wt):
         n_chunks = (rt + pad_t) // FLAG_CHUNK
         per_tile = jax.lax.map(
             chunk_flags,
-            (o.reshape(n_chunks, FLAG_CHUNK * RAY_TILE, 3),
-             d.reshape(n_chunks, FLAG_CHUNK * RAY_TILE, 3),
-             ml.reshape(n_chunks, FLAG_CHUNK * RAY_TILE)),
+            (o.reshape(n_chunks, FLAG_CHUNK * ray_tile, 3),
+             d.reshape(n_chunks, FLAG_CHUNK * ray_tile, 3),
+             ml.reshape(n_chunks, FLAG_CHUNK * ray_tile)),
         ).reshape(-1, k)[:rt]                                # [RT, K]
     return per_tile.reshape(rt, wt, clusters_per_tile).any(axis=-1).astype(jnp.int32)
 
@@ -228,36 +232,44 @@ def sort_by_octant(direction):
     return perm, jnp.argsort(perm)
 
 
-def _prep(origin, direction, max_len):
+def _prep(origin, direction, max_len, ray_tile: int = RAY_TILE):
     n = origin.shape[0]
-    pad = (-n) % RAY_TILE
+    pad = (-n) % ray_tile
     safe_dir = jnp.where(jnp.linalg.norm(direction, axis=-1, keepdims=True) > 0,
                          direction, jnp.array([0.0, 0.0, 1.0]))
     o = jnp.pad(origin, ((0, pad), (0, 0)))
     d = jnp.pad(safe_dir, ((0, pad), (0, 0)), constant_values=1.0)
     ml = jnp.pad(max_len, (0, pad))
-    return o, d, ml, n, (n + pad) // RAY_TILE
+    return o, d, ml, n, (n + pad) // ray_tile
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "sort_rays"))
+                                   "sort_rays", "ray_tile"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
-                    tri_tile: int = TRI_TILE, sort_rays: bool = False) -> Hit:
-    """Closest hit of N rays against all triangles, fused on-chip."""
+                    tri_tile: int = TRI_TILE, sort_rays: bool = False,
+                    ray_tile: int = RAY_TILE, alive=None) -> Hit:
+    """Closest hit of N rays against all triangles, fused on-chip.
+
+    `alive` (optional bool [N]): dead rays get max_len 0, so whole dead
+    tiles flag off in the cluster prepass and skip all compute — the
+    wavefront thins as the bounce loop kills rays (octant sorting groups
+    the dead rays' sentinel direction into one contiguous run)."""
+    max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
     if sort_rays:
         perm, inv_perm = sort_by_octant(direction)
-        origin, direction = origin[perm], direction[perm]
-    max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
-    o, d, ml, n, rt = _prep(origin, direction, max_len)
+        origin, direction, max_len = origin[perm], direction[perm], max_len[perm]
+    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
     wt = w4.shape[1] // tri_tile
-    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
     f = _ray_features(o, d)
     idsf = ids.astype(jnp.float32).reshape(-1, 1)
     s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=False,
                               interpret=interpret, precision=precision,
-                              tri_tile=tri_tile)
+                              tri_tile=tri_tile, ray_tile=ray_tile)
     s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
     if sort_rays:
         s, u, v, tri = s[inv_perm], u[inv_perm], v[inv_perm], tri[inv_perm]
@@ -267,23 +279,26 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "sort_rays"))
+                                   "sort_rays", "ray_tile"))
 def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
-                  tri_tile: int = TRI_TILE, sort_rays: bool = False) -> jnp.ndarray:
+                  tri_tile: int = TRI_TILE, sort_rays: bool = False,
+                  ray_tile: int = RAY_TILE, alive=None) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len, fused on-chip."""
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
     if sort_rays:
         perm, inv_perm = sort_by_octant(direction)
         origin, direction, max_len = origin[perm], direction[perm], max_len[perm]
-    o, d, ml, n, rt = _prep(origin, direction, max_len)
+    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
     wt = w4.shape[1] // tri_tile
-    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt)
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
     f = _ray_features(o, d)
     idsf = ids.astype(jnp.float32).reshape(-1, 1)
     s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=True,
                               interpret=interpret, precision=precision,
-                              tri_tile=tri_tile)
+                              tri_tile=tri_tile, ray_tile=ray_tile)
     tri = tri[:n]
     if sort_rays:
         tri = tri[inv_perm]

@@ -106,7 +106,7 @@ def camera_rays(width: int, height: int, position, view_matrix,
 
 def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
                      origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
-                     geometry_offset, random_seed, shadow_soa):
+                     geometry_offset, random_seed, shadow_soa, alive_mask=None):
     """Weighted reservoir NEE over all lights + one shadow ray
     (glsl:400-461), SoA form (see ops.vec3). Returns (color 3-tuple, id_w
     [N])."""
@@ -151,7 +151,8 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
     if "shadow" in DEBUG_DISABLE:
         shadowed = jnp.zeros(n, dtype=bool)
     else:
-        shadowed = shadow_soa(offset_target, unit_light_dir, v3.norm3(res_dir))
+        shadowed = shadow_soa(offset_target, unit_light_dir, v3.norm3(res_dir),
+                              alive=alive_mask)
 
     in_shadow = ~show_color & (show_shadow | shadowed)
     id_w = (jnp.mod(res_num, 128) * 2).astype(jnp.float32) * INV_255
@@ -346,7 +347,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
                 rv, v3.scale3(rough_normal, -sign_dir),
                 v3.scale3(smooth_normal, -sign_dir), geometry_offset,
-                random_seed, shadow_soa)
+                random_seed, shadow_soa, alive_mask=m)
         write_id_w = (dont_filter | (i == 0)) & m
         render_id = render_id[0:3] + (
             jnp.where(write_id_w, id_w, render_id[3]),)
@@ -373,7 +374,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             zdir = (zero, zero, one)
             ns, nu, nv, ntri = traverse_soa(
                 v3.where3(m, ray_origin, (zero, zero, zero)),
-                v3.where3(m, ray_dir, zdir))
+                v3.where3(m, ray_dir, zdir), alive=m)
             hs = jnp.where(m, ns, hs)
             hu = jnp.where(m, nu, hu)
             hv = jnp.where(m, nv, hv)
@@ -408,10 +409,10 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         w = build_tri_matrix(world_geom, buffers.id_buffer)
 
-        def traverse_fn(o, d):
+        def traverse_fn(o, d, alive=None):
             return traverse_mxu(w, buffers.id_buffer, o, d)
 
-        def shadow_fn(o, d, l):
+        def shadow_fn(o, d, l, alive=None):
             return shadow_mxu(w, o, d, l)
     elif scheme == "kernel":
         import jax
@@ -426,43 +427,43 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # tiles to skip (argsort is not free on TPU)
         sort = (ids.shape[0] // tri_tile) >= 8
 
-        def traverse_fn(o, d):
+        def traverse_fn(o, d, alive=None):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
-                                   tri_tile=tri_tile, sort_rays=sort)
+                                   tri_tile=tri_tile, sort_rays=sort, alive=alive)
 
-        def shadow_fn(o, d, l):
+        def shadow_fn(o, d, l, alive=None):
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
-                                 tri_tile=tri_tile, sort_rays=sort)
+                                 tri_tile=tri_tile, sort_rays=sort, alive=alive)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 
         clusters = build_clusters(world_geom, buffers.id_buffer)
 
-        def traverse_fn(o, d):
+        def traverse_fn(o, d, alive=None):
             return traverse_clustered(clusters, o, d)
 
-        def shadow_fn(o, d, l):
+        def shadow_fn(o, d, l, alive=None):
             return shadow_clustered(clusters, o, d, l)
     elif scheme == "packet":
-        def traverse_fn(o, d):
+        def traverse_fn(o, d, alive=None):
             return trv.traverse_coherent(world_geom, o, d, tile=tile)
 
-        def shadow_fn(o, d, l):
+        def shadow_fn(o, d, l, alive=None):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
     else:
-        def traverse_fn(o, d):
+        def traverse_fn(o, d, alive=None):
             return trv.traverse_scan(world_geom, o, d)
 
-        def shadow_fn(o, d, l):
+        def shadow_fn(o, d, l, alive=None):
             return trv.shadow_scan(world_geom, o, d, l)
 
-    def traverse_soa(o3, d3):
-        hit = traverse_fn(v3.stack3(o3), v3.stack3(d3))
+    def traverse_soa(o3, d3, alive=None):
+        hit = traverse_fn(v3.stack3(o3), v3.stack3(d3), alive=alive)
         hsuv = hit.suv.T
         return hsuv[0], hsuv[1], hsuv[2], hit.triangle
 
-    def shadow_soa(o3, d3, max_len):
-        return shadow_fn(v3.stack3(o3), v3.stack3(d3), max_len)
+    def shadow_soa(o3, d3, max_len, alive=None):
+        return shadow_fn(v3.stack3(o3), v3.stack3(d3), max_len, alive=alive)
 
     origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix,
                                          row0=row0, rows=rows)

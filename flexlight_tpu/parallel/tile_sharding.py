@@ -138,8 +138,6 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
     # One-hop ppermute reaches at most the adjacent strip
     halo = min(halo, rows_local)
     use_aa = config.antialiasing in ("fxaa", "taa")
-    if config.antialiasing == "taa":
-        raise NotImplementedError("sharded-halo TAA: use frame_pipeline_sharded")
 
     def shard_fn(buffers, cam_pos, view, random_seed, temporal_state, taa_state):
         ti = jax.lax.axis_index("tile")
@@ -179,17 +177,37 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
             direct = color * mrt.original_color.reshape(rows_local, width, 3)
             display = jnp.clip(direct, 0.0, 1.0)
 
-        if config.antialiasing == "fxaa":
+        new_taa = taa_state
+        if use_aa:
             aa_in = jnp.concatenate(
                 [quantize_rgba8(display),
                  (alpha.reshape(rows_local, width) > 0).astype(jnp.float32)[..., None]],
                 axis=-1)
-            display = with_halo(fxaa, halo, "tile")(aa_in)[..., 0:3]
+            if config.antialiasing == "fxaa":
+                display = with_halo(fxaa, halo, "tile")(aa_in)[..., 0:3]
+            else:
+                # TAA: the 3x3 clip-clamp is the only cross-pixel read
+                # (history averaging is pointwise), so only the clamp needs
+                # a 1-row halo; history strips stay local.
+                from ..post.taa import neighborhood_clamp, taa_apply
+                from .halo import exchange_halo
+
+                my_taa = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, row0, rows_local, axis=1), taa_state)
+                padded = exchange_halo(aa_in, 1, "tile")
+                mn, mx = neighborhood_clamp(padded)
+                out, my_taa = taa_apply(my_taa, aa_in,
+                                        clamp=(mn[1:-1], mx[1:-1]))
+                display = out[..., 0:3]
+                new_taa = my_taa
 
         display = jnp.clip(display, 0.0, 1.0)
         gather = lambda x, axis: jax.lax.all_gather(x, "tile", axis=axis, tiled=True)
         new_state = jax.tree.map(lambda x: gather(x, 1), my_state)
-        return gather(display, 0), new_state
+        if config.antialiasing == "taa":
+            new_taa = jax.tree.map(lambda x: gather(x, 1), new_taa)
+        return gather(display, 0), new_state, new_taa
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -197,6 +215,6 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
         out_specs=P(),
         check_vma=False,
     )
-    display, new_temporal = fn(buffers, cam_pos, view, random_seed,
-                               temporal_state, taa_state)
-    return display, new_temporal, taa_state
+    display, new_temporal, new_taa = fn(buffers, cam_pos, view, random_seed,
+                                        temporal_state, taa_state)
+    return display, new_temporal, new_taa

@@ -24,18 +24,28 @@ class TAAState(NamedTuple):
         return TAAState(history=jnp.zeros((FRAMES, height, width, 4), dtype=jnp.float32))
 
 
-def taa_apply(state: TAAState, frame: jnp.ndarray) -> tuple[jnp.ndarray, TAAState]:
-    """Push `frame` [H,W,4] and average clamped history (taa.js:25-58)."""
-    history = jnp.concatenate([frame[None], state.history[:-1]], axis=0)
-    cur = history[0]
+def neighborhood_clamp(cur: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 min/max of the current frame with zero-padded borders (texelFetch
+    out of bounds -> 0), matching the GLSL loop (taa.js:45-52).
 
-    # 3x3 min/max of the current frame with zero-padded borders (texelFetch
-    # out of bounds -> 0), matching the GLSL loop (taa.js:45-52).
+    This is TAA's ONLY cross-pixel read — history averaging is pointwise —
+    so the sharded-halo pipeline computes it over a 1-row halo-exchanged
+    strip and crops, keeping everything else strip-local."""
     pad = jnp.pad(cur, ((1, 1), (1, 1), (0, 0)))
     stac = jnp.stack([pad[1 + dy:pad.shape[0] - 1 + dy, 1 + dx:pad.shape[1] - 1 + dx]
                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)], axis=0)
     min_rgb = jnp.minimum(stac.min(axis=0), 1.0)
     max_rgb = jnp.maximum(stac.max(axis=0), 0.0)
+    return min_rgb, max_rgb
+
+
+def taa_apply(state: TAAState, frame: jnp.ndarray,
+              clamp=None) -> tuple[jnp.ndarray, TAAState]:
+    """Push `frame` [H,W,4] and average clamped history (taa.js:25-58).
+    `clamp` optionally supplies precomputed (min_rgb, max_rgb)."""
+    history = jnp.concatenate([frame[None], state.history[:-1]], axis=0)
+    cur = history[0]
+    min_rgb, max_rgb = neighborhood_clamp(cur) if clamp is None else clamp
 
     out = cur
     for i in range(1, FRAMES):

@@ -119,3 +119,37 @@ def test_sharded_full_pipeline_2d_mesh():
     assert out.shape == (size, size, 3)
     assert np.isfinite(out).all()
     assert out.max() > 0.0
+
+
+def test_sharded_halo_taa_matches_single_chip():
+    """TAA in the fully-sharded pipeline: the 3x3 clip-clamp runs over a
+    1-row halo, history strips stay local — must match the single-chip
+    pipeline exactly, frame after frame (history carried)."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.models.pathtracer import frame_pipeline
+    from flexlight_tpu.parallel.tile_sharding import frame_pipeline_sharded_halo
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    cfg = Config(temporal=False, filter=False, antialiasing="taa",
+                 samples_per_ray=1, max_reflections=2)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    temporal = TemporalState.create(2, size, size)
+    ref_taa = TAAState.create(size, size)
+    got_taa = TAAState.create(size, size)
+    mesh = make_mesh(4, 1)
+
+    for frame in range(3):  # carried history exercises the ring
+        seed = jnp.float32(frame)
+        ref, _, ref_taa = frame_pipeline(
+            buffers, pos, view, seed, temporal, ref_taa,
+            width=size, height=size, config=cfg, scheme="scan")
+        got, _, got_taa = frame_pipeline_sharded_halo(
+            buffers, pos, view, seed, temporal, got_taa,
+            width=size, height=size, config=cfg, mesh=mesh, halo=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_taa.history),
+                                   np.asarray(ref_taa.history), atol=1e-6)
