@@ -117,3 +117,55 @@ def ray_triangle(ray_origin, ray_direction, t_a, t_b, t_c, n) -> float:
     if min(u, v) <= bias or u + v >= 1.0 - bias:
         return np.inf
     return float(s)
+
+
+def gram_schmidt(rows) -> np.ndarray:
+    """Row-wise Gram-Schmidt orthogonalization (math.js:59-69),
+    un-normalized (the reference normalizes afterwards in qr)."""
+    rows = np.asarray(rows, dtype=np.float64)
+    out = []
+    for r in rows:
+        v = r.astype(np.float64).copy()
+        for u in out:
+            uu = np.dot(u, u)
+            if uu > 0:
+                v -= u * (np.dot(u, r) / uu)
+        out.append(v)
+    return np.stack(out)
+
+
+def qr(a):
+    """QR decomposition via Gram-Schmidt on the columns (math.js:78-84).
+    Returns (Q, R) with Q column-orthonormal and R = Q^T A."""
+    a = np.asarray(a, dtype=np.float64)
+    qt = gram_schmidt(a.T)
+    norms = np.linalg.norm(qt, axis=1, keepdims=True)
+    qt = np.divide(qt, norms, out=np.zeros_like(qt), where=norms > 0)
+    return qt.T, qt @ a
+
+
+def regression(points, n: int) -> np.ndarray:
+    """Least-squares polynomial fit of degree n (math.js:103-111):
+    coefficients x solving min |A x - b| with A[i,j] = x_i**j, via the
+    pseudo-inverse (the reference's Math.regression)."""
+    points = np.asarray(points, dtype=np.float64)
+    a = points[:, 0:1] ** np.arange(n + 1, dtype=np.float64)[None, :]
+    return moore_penrose(a) @ points[:, 1]
+
+
+def sigmoid(x):
+    """Logistic sigmoid (math.js:153); stray ANN leftover kept for
+    API parity."""
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
+
+
+def sigmoid_prime(x):
+    """Sigmoid derivative (math.js:169)."""
+    s = sigmoid(x)
+    return s * (1.0 - s)
+
+
+def mod(x, y):
+    """Floored modulo (math.js:171) — JS % is truncated; the reference
+    defines the floored form explicitly."""
+    return x - y * np.floor(x / y)
