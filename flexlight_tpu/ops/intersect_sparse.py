@@ -1,0 +1,417 @@
+"""Sparse wavefront intersection kernel.
+
+The dense fused kernel (ops.intersect_kernel) walks a (ray_tiles x
+tri_tiles) grid and skips flagged-off steps with @pl.when — but a skipped
+Mosaic grid step still costs ~1.7 us, and at dragon scale (2025 x 88
+steps, ~9% flag density) that fixed cost alone is ~310 ms per traversal
+(measured). This kernel inverts the iteration: ONE grid step per ray
+tile, which walks a compacted worklist of just its flagged triangle
+tiles with a dynamic-trip-count loop, double-buffering the tile DMAs from
+HBM behind the MXU/VPU work. Cost per ray tile is proportional to its
+actual candidate count — zero skipped-step overhead — and the finer
+128-triangle tiles sharpen the cluster culling (2 clusters per tile vs 8).
+
+Worklist compaction pads with tile 0: re-evaluating any tile is idempotent
+for a closest-hit/any-hit reduction, so partial chunks need no masking.
+Tie-break semantics match the dense kernel (earlier tile in DFS order
+wins, lowest row within a tile) because the worklist preserves ascending
+tile order.
+
+Triangle identity: the kernel returns the PADDED DRAWABLE index (position
+in the flattened id_buffer order), computed from (worklist tile, row) —
+padded rows have all-zero MT constants (det = 0) and self-reject, so no
+id table rides through the kernel at all. Callers either gather
+id_buffer[drawable] once per traversal or (cheaper) pre-gather their
+per-triangle tables into drawable order once per frame.
+
+Reference parity: same Möller-Trumbore accept window as
+pathtracer_fragment.glsl:123-158 via the MT-as-matmul formulation
+(ops.traverse_mxu).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import BIAS, POW32
+from .traverse import Hit
+from .traverse_mxu import _ray_features, tri_rows
+
+RAY_TILE = 1024
+TRI_TILE = 128           # triangles per worklist tile (2 cull clusters)
+CHUNK = 4                # tri tiles DMA'd + evaluated per inner-loop step
+CLUSTER = 64
+
+
+def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
+    """MT constants in DMA-friendly tile-major layout.
+
+    Returns (w4t [WT, 4, 16, tri_tile], aabb_min/max [K, 3]). One worklist
+    tile = one contiguous [4, 16, tri_tile] HBM block whose minor dim is
+    the native 128-lane axis (a 16-lane minor would make the VMEM scratch
+    lane-padded and its DMA slices illegal).
+    """
+    t = id_buffer.shape[0]
+    tp = -(-t // tri_tile) * tri_tile
+    wt = tp // tri_tile
+    rows = tri_rows(world_geometry, id_buffer)              # 4 x [T, 16]
+    w4 = jnp.stack([jnp.pad(r, ((0, tp - t), (0, 0))) for r in rows])
+    # [4, Tp, 16] -> [WT, 4, 16, tri_tile]
+    w4t = w4.reshape(4, wt, tri_tile, 16).transpose(1, 0, 3, 2)
+
+    tris = world_geometry[id_buffer]
+    verts = tris[:, 0:9].reshape(t, 3, 3)
+    vmin = jnp.pad(verts.min(axis=1), ((0, tp - t), (0, 0)),
+                   constant_values=jnp.inf)
+    vmax = jnp.pad(verts.max(axis=1), ((0, tp - t), (0, 0)),
+                   constant_values=-jnp.inf)
+    cluster = min(CLUSTER, tri_tile)
+    k = tp // cluster
+    aabb_min = vmin.reshape(k, cluster, 3).min(axis=1)
+    aabb_max = vmax.reshape(k, cluster, 3).max(axis=1)
+    return w4t, aabb_min, aabb_max
+
+
+def _compact(flags, chunk: int):
+    """flags [RT, WT] int32 -> (tlist [RT, WTp] int32 active-tile indices
+    first (ascending, pad 0), counts [RT] int32)."""
+    rt, wt = flags.shape
+    order = jnp.argsort(1 - flags, axis=1, stable=True).astype(jnp.int32)
+    counts = flags.sum(axis=1).astype(jnp.int32)
+    # rows padded to a lane multiple: the per-tile worklist row is DMA'd
+    # HBM -> SMEM, and DMA slices must be 128-aligned
+    pad = (-wt) % max(chunk, 128)
+    if pad:
+        order = jnp.pad(order, ((0, 0), (0, pad)))
+    return order, counts
+
+
+def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
+                  k_chunk: int, cpt: int, ray_tile: int):
+    """Per-(ray tile x cluster) slab test, fused in VMEM.
+
+    The XLA formulation materializes [rays, clusters] HBM intermediates
+    (~50 ms per traversal at dragon 1080p, bandwidth-bound); here each
+    grid step keeps one ray tile's [k_chunk, ray_tile] interval temps in
+    VMEM and only the per-tri-tile OR bits ever leave the chip."""
+    o = [rays_ref[0, c:c + 1, :] for c in range(3)]        # [1, R]
+    inv = [rays_ref[0, 3 + c:4 + c, :] for c in range(3)]
+    ml = rays_ref[0, 6:7, :]
+    for kc in range(kp // k_chunk):
+        sl = slice(kc * k_chunk, (kc + 1) * k_chunk)
+        tmin = jnp.full((k_chunk, ray_tile), -jnp.inf, dtype=jnp.float32)
+        tmax = jnp.full((k_chunk, ray_tile), jnp.inf, dtype=jnp.float32)
+        for c in range(3):
+            a = amin_ref[c, sl]                            # [k_chunk, 1]
+            b = amax_ref[c, sl]
+            t0 = (a - o[c]) * inv[c]                       # [k_chunk, R]
+            t1 = (b - o[c]) * inv[c]
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < ml)
+        anyhit = jnp.any(hit, axis=1, keepdims=True)       # [k_chunk, 1]
+        tile = jnp.any(anyhit.reshape(k_chunk // cpt, cpt, 1), axis=1)
+        out_ref[0, kc * (k_chunk // cpt):(kc + 1) * (k_chunk // cpt)] = (
+            tile.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("tri_tile", "ray_tile", "interpret"))
+def flags_sparse(aabb_min, aabb_max, origin, direction, max_len,
+                 tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                 interpret: bool = False):
+    """[RT, WT] int32 tri-tile flags via the fused Pallas slab kernel.
+    origin/direction/max_len must already be padded to ray_tile."""
+    n = origin.shape[0]
+    rt = n // ray_tile
+    k = aabb_min.shape[0]
+    cpt = tri_tile // min(CLUSTER, tri_tile)
+    wt = k // cpt
+    k_chunk = min(256, k) if k % 256 == 0 or k < 256 else 128
+    # pad clusters to a k_chunk multiple with never-hit boxes
+    kp = -(-k // k_chunk) * k_chunk
+    if kp > k:
+        aabb_min = jnp.pad(aabb_min, ((0, kp - k), (0, 0)),
+                           constant_values=jnp.inf)
+        aabb_max = jnp.pad(aabb_max, ((0, kp - k), (0, 0)),
+                           constant_values=-jnp.inf)
+    safe = jnp.where(direction == 0.0, 1e-30, direction)
+    rays = jnp.stack([origin[:, 0], origin[:, 1], origin[:, 2],
+                      1.0 / safe[:, 0], 1.0 / safe[:, 1], 1.0 / safe[:, 2],
+                      max_len, jnp.zeros_like(max_len)], axis=0)
+    rays = rays.reshape(8, rt, ray_tile).transpose(1, 0, 2)   # [rt, 8, R]
+    wtp = kp // cpt
+    out = pl.pallas_call(
+        partial(_flags_kernel, kp=kp, k_chunk=k_chunk, cpt=cpt,
+                ray_tile=ray_tile),
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wtp, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rt, wtp, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(rays, aabb_min.T.reshape(3, kp, 1), aabb_max.T.reshape(3, kp, 1))
+    return out[:, :wt, 0]
+
+
+def sort_spatial(origin, direction, lo, hi, max_len):
+    """Wavefront compaction key: direction octant (high bits) + 5-bit/axis
+    Morton code of the ray origin within the scene bounds.
+
+    Octant-only sorting groups directions but leaves bounce-ray ORIGINS
+    scattered across the whole scene, so a 1024-ray tile still spans huge
+    cluster unions (measured: mean 119/351 tiles at dragon scale).
+    Spatially clustering origins within each octant bounds both ends of
+    the ray. Dead rays (max_len <= 0) sort to the back so whole tiles drop
+    out. Returns (perm, inv_perm)."""
+    oct_key = ((direction[:, 0] > 0) * 4 + (direction[:, 1] > 0) * 2
+               + (direction[:, 2] > 0)).astype(jnp.int32)
+    span = jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip((origin - lo) / span * 31.0, 0.0, 31.0).astype(jnp.int32)
+
+    def spread(x):  # 5-bit Morton spread to every 3rd bit
+        x = (x | (x << 8)) & 0x100F
+        x = (x | (x << 4)) & 0x10C3
+        x = (x | (x << 2)) & 0x1249
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    key = (oct_key << 15) | morton
+    key = jnp.where(max_len > 0.0, key, jnp.int32(1) << 20)
+    perm = jnp.argsort(key, stable=True)
+    return perm, jnp.argsort(perm)
+
+
+def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
+            s_ref, u_ref, v_ref, tri_ref, w_s, tl_s, sem_w, sem_tl,
+            *, cull: bool, precision, tri_tile: int, ray_tile: int,
+            chunk: int):
+    i = pl.program_id(0)
+    m = chunk * tri_tile
+
+    shp = (1, 1, ray_tile)
+    s_ref[:] = jnp.full(shp, POW32, dtype=jnp.float32)
+    u_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
+    v_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
+    tri_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
+
+    cnt = cnt_ref[i]
+    nch = pl.cdiv(cnt, chunk)
+
+    # This tile's worklist row: HBM -> SMEM (the full [RT, WTp] list is
+    # megabytes — beyond the 1 MB SMEM scalar-prefetch budget)
+    tl_dma = pltpu.make_async_copy(tlist_hbm.at[i], tl_s, sem_tl)  # [1, wtp]
+
+    def w_dma(slot, c, k):
+        return pltpu.make_async_copy(
+            w_hbm.at[tl_s[0, c * chunk + k]],
+            w_s.at[slot, k], sem_w.at[slot, k])
+
+    def start_chunk(slot, c):
+        for k in range(chunk):
+            w_dma(slot, c, k).start()
+
+    def wait_chunk(slot, c):
+        for k in range(chunk):
+            w_dma(slot, c, k).wait()
+
+    @pl.when(cnt > 0)
+    def _():
+        tl_dma.start()
+        tl_dma.wait()
+        start_chunk(0, 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < nch)
+            def _():
+                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
+
+            wait_chunk(slot, c)
+            ft = f_ref[:]                       # [16, ray_tile]
+            dn = (((0,), (0,)), ((), ()))       # contract both dim 0
+
+            def plane(p):
+                # per-k transposed-lhs matmuls, concat along sublanes
+                parts = [jax.lax.dot_general(
+                    w_s[slot, k, p], ft, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32, precision=precision)
+                    for k in range(chunk)]      # each [tri_tile, ray_tile]
+                return jnp.concatenate(parts, axis=0) if chunk > 1 else parts[0]
+
+            det = plane(0)                      # [m, ray_tile]
+            udet = plane(1)
+            vdet = plane(2)
+            sdet = plane(3)
+            inv = 1.0 / det
+            u = udet * inv
+            v = vdet * inv
+            s = sdet * inv
+            ml = ml_ref[0]                      # [1, ray_tile]
+            # Padded triangles have all-zero W rows -> det == 0 -> invalid.
+            valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
+            valid &= (u >= BIAS) & (u <= 1.0)
+            valid &= (v >= BIAS) & (u + v <= 1.0)
+            valid &= (s > BIAS) & (s <= ml)
+            s_masked = jnp.where(valid, s, POW32)
+
+            tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (m, ray_tile), 0)
+            is_best = s_masked <= tile_best_s
+            best_row = jnp.min(jnp.where(is_best, rows, m), axis=0,
+                               keepdims=True)
+            onehot = (rows == best_row) & valid
+            take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0,
+                                     keepdims=True)
+            tile_u = take(u)
+            tile_v = take(v)
+            # global drawable index = tile * tri_tile + row-within-tile,
+            # built as a tiny [m, 1] vector from the prefetched worklist
+            rows_m1 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+            gidx = rows_m1
+            for k in range(chunk):
+                t_k = tl_s[0, c * chunk + k]
+                in_k = (rows_m1 >= k * tri_tile) & (rows_m1 < (k + 1) * tri_tile)
+                gidx = gidx + jnp.where(in_k, (t_k - k) * tri_tile, 0)
+            tile_tri = take(jnp.broadcast_to(gidx.astype(jnp.float32),
+                                             (m, ray_tile)))
+
+            prev_s = s_ref[0]
+            better = tile_best_s < prev_s
+            s_ref[0] = jnp.where(better, tile_best_s, prev_s)
+            u_ref[0] = jnp.where(better, tile_u, u_ref[0])
+            v_ref[0] = jnp.where(better, tile_v, v_ref[0])
+            tri_ref[0] = jnp.where(better & (tile_best_s < POW32),
+                                   tile_tri, tri_ref[0].astype(jnp.float32)
+                                   ).astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
+
+
+@partial(jax.jit, static_argnames=("cull", "interpret", "precision",
+                                   "tri_tile", "ray_tile", "chunk"))
+def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
+                      interpret: bool = False,
+                      precision=jax.lax.Precision.HIGHEST,
+                      tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                      chunk: int = CHUNK):
+    rp = f.shape[0]
+    rt = rp // ray_tile
+    out_shape = [
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+    ]
+    out_spec = pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    wtp = tlist.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                  # counts
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((16, ray_tile), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tlist rows in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # w4t stays in HBM
+        ],
+        out_specs=[out_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 4, 16, tri_tile), jnp.float32),
+            pltpu.SMEM((1, wtp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    s, u, v, tri = pl.pallas_call(
+        partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
+                ray_tile=ray_tile, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(counts, f.T, max_len.reshape(rt, 1, ray_tile),
+      tlist.reshape(rt, 1, -1), w4t)
+    return tuple(x.reshape(-1) for x in (s, u, v, tri))
+
+
+def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
+         interpret, precision, tri_tile, ray_tile, chunk, sort_rays):
+    from .intersect_kernel import _flags, _prep
+
+    if sort_rays:
+        lo = jnp.min(aabb_min, axis=0)
+        hi = jnp.max(aabb_max, axis=0)
+        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len)
+        origin, direction, max_len = origin[perm], direction[perm], max_len[perm]
+    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
+    wt = w4t.shape[0]
+    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
+    tlist, counts = _compact(flags, chunk)
+    f = _ray_features(o, d)
+    s, u, v, tri = _intersect_sparse(w4t, tlist, counts, f, ml,
+                                     cull=cull, interpret=interpret,
+                                     precision=precision, tri_tile=tri_tile,
+                                     ray_tile=ray_tile, chunk=chunk)
+    s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
+    if sort_rays:
+        s, u, v, tri = s[inv_perm], u[inv_perm], v[inv_perm], tri[inv_perm]
+    return s, u, v, tri
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile", "chunk", "sort_rays"))
+def traverse_sparse(w4t, aabb_min, aabb_max, origin, direction,
+                    interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST,
+                    tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                    chunk: int = CHUNK, sort_rays: bool = False,
+                    alive=None) -> Hit:
+    """Closest hit of N rays against all triangles; worklist-sparse.
+
+    Hit.triangle is the DRAWABLE index (position in id_buffer order), not
+    the geometry slot — map with id_buffer[tri] or use drawable-ordered
+    tables downstream.
+    """
+    max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
+    s, u, v, tri = _run(w4t, aabb_min, aabb_max, origin, direction,
+                        max_len, False, interpret, precision, tri_tile,
+                        ray_tile, chunk, sort_rays)
+    hit = tri >= 0
+    suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
+    return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile", "chunk", "sort_rays"))
+def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
+                  interpret: bool = False,
+                  precision=jax.lax.Precision.HIGHEST,
+                  tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                  chunk: int = CHUNK, sort_rays: bool = False,
+                  alive=None) -> jnp.ndarray:
+    """Front-face-culled any-hit within max_len; worklist-sparse."""
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
+    _, _, _, tri = _run(w4t, aabb_min, aabb_max, origin, direction,
+                        max_len, True, interpret, precision, tri_tile,
+                        ray_tile, chunk, sort_rays)
+    return tri >= 0

@@ -42,6 +42,10 @@ INV_PI = 0.3183098861837907
 # parts of the bounce body. Empty in production.
 DEBUG_DISABLE: set = set()
 
+# Scenes below this triangle count have too few triangle tiles for cluster
+# culling to matter; block-tiled ray order is skipped (tests lower it).
+BLOCK_TILE_MIN_TRIS = 2048
+
 
 class MRT(NamedTuple):
     """Flat per-pixel render targets, fp32 (glsl:74-79)."""
@@ -390,6 +394,35 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     return final_color, original_color, original_tpo_x, aux
 
 
+def _pick_block(rows: int, width: int):
+    """Squarest pixel block of 1024 rays that tiles the image exactly."""
+    for bh, bw in ((32, 32), (16, 64), (8, 128)):
+        if rows % bh == 0 and width % bw == 0:
+            return bh, bw
+    return None
+
+
+def block_tile(x, rows: int, width: int, bh: int, bw: int):
+    """Reorder flat row-major pixels into bh x bw block order.
+
+    Ray tiles (1024 consecutive rays) are the unit of cluster culling in
+    the Pallas kernel; in row-major order a tile is a half-row sliver of
+    the image whose frustum spans the whole scene. As a square-ish pixel
+    block the same 1024 rays form a tight frustum, so the per-tile cluster
+    unions (and the flag matrix) collapse. Pure reshape/transpose — a
+    static relayout, no gathers; shading is pointwise so the entire bounce
+    pipeline runs in block order and only the MRT assembly un-tiles."""
+    lead = x.shape[1:]
+    x = x.reshape(rows // bh, bh, width // bw, bw, *lead)
+    return jnp.swapaxes(x, 1, 2).reshape(rows * width, *lead)
+
+
+def block_untile(x, rows: int, width: int, bh: int, bw: int):
+    lead = x.shape[1:]
+    x = x.reshape(rows // bh, width // bw, bh, bw, *lead)
+    return jnp.swapaxes(x, 1, 2).reshape(rows * width, *lead)
+
+
 def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                view_matrix, config, random_seed, scheme: str = "scan",
                tile: int = 1024, row0=0, rows: int | None = None,
@@ -414,6 +447,26 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_mxu(w, o, d, l)
+    elif scheme == "sparse":
+        import jax
+
+        from .intersect_sparse import build_w4_tiled, shadow_sparse, traverse_sparse
+
+        w4t, amin, amax = build_w4_tiled(world_geom, buffers.id_buffer)
+        interp = jax.default_backend() == "cpu"
+        sort = w4t.shape[0] >= 8
+
+        def traverse_fn(o, d, alive=None):
+            # NB: returns DRAWABLE indices; the material/location tables
+            # below are pre-gathered into drawable order for this scheme.
+            return traverse_sparse(w4t, amin, amax, o, d,
+                                   interpret=interp, sort_rays=sort,
+                                   alive=alive)
+
+        def shadow_fn(o, d, l, alive=None):
+            return shadow_sparse(w4t, amin, amax, o, d, l,
+                                 interpret=interp, sort_rays=sort,
+                                 alive=alive)
     elif scheme == "kernel":
         import jax
 
@@ -467,7 +520,25 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix,
                                          row0=row0, rows=rows)
+    # Block-tiled ray order: big-scene cluster culling needs tight per-tile
+    # frusta (see block_tile). Small scenes have nothing to cull.
+    n_rows = height if rows is None else rows
+    block = _pick_block(n_rows, width)
+    blocked = (scheme in ("kernel", "clustered", "sparse") and block is not None
+               and buffers.id_buffer.shape[0] >= BLOCK_TILE_MIN_TRIS)
+    if blocked:
+        bh, bw = block
+        origin = block_tile(origin, n_rows, width, bh, bw)
+        direction = block_tile(direction, n_rows, width, bh, bw)
+        ndc = block_tile(ndc, n_rows, width, bh, bw)
     mat = build_material_table(buffers, world_geom)
+    loc_geometry = buffers.geometry
+    if scheme == "sparse":
+        # the sparse kernel reports drawable indices (id_buffer order);
+        # re-gather the per-triangle tables once per frame instead of
+        # mapping every traversal result back to geometry slots
+        mat = mat[buffers.id_buffer]
+        loc_geometry = buffers.geometry[buffers.id_buffer]
     n = origin.shape[0]
     primary = traverse_fn(origin, direction)
     covered = primary.triangle != -1
@@ -504,7 +575,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     # Primary-hit local position for the location id channel (glsl:641-642)
     ptri = jnp.maximum(primary.triangle, 0)
-    lrow = fetch_rows_t(buffers.geometry, ptri)     # [12, N]
+    lrow = fetch_rows_t(loc_geometry, ptri)     # [12, N]
     puvw = (1.0 - psuv[1] - psuv[2], psuv[1], psuv[2])
     rel_pos = (zero, zero, zero)
     for k in range(3):
@@ -521,7 +592,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         [render_id[0], render_id[1], render_id[2], rid3], axis=-1)
     location_id4 = jnp.stack(
         [loc3[0], loc3[1], loc3[2], jnp.full((n,), INV_255)], axis=-1)
-    return MRT(
+    mrt = MRT(
         color=jnp.where(covf, v3.stack3(final_color), zero3),
         glass=jnp.where(cov, glass, 0.0),
         original_color=jnp.where(covf, v3.stack3(original_color), zero3),
@@ -531,3 +602,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         location_id=jnp.where(covf, location_id4, jnp.zeros((n, 4))),
         alpha=cov.astype(jnp.float32),
     )
+    if blocked:
+        import jax as _jax
+
+        mrt = _jax.tree.map(
+            lambda x: block_untile(x, n_rows, width, bh, bw), mrt)
+    return mrt

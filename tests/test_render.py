@@ -109,3 +109,48 @@ def test_emissive_surface_glows():
     engine.renderer = "pathtracer"
     img = engine.renderer.render_frame()
     assert img.max() > 0.5
+
+
+def test_block_tile_roundtrip():
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.pathtrace import block_tile, block_untile
+
+    rows, width, bh, bw = 64, 128, 32, 32
+    x = jnp.arange(rows * width, dtype=jnp.float32)
+    t = block_tile(x, rows, width, bh, bw)
+    np.testing.assert_array_equal(np.asarray(block_untile(t, rows, width, bh, bw)),
+                                  np.asarray(x))
+    xc = jnp.stack([x, x * 2], axis=-1)
+    tc = block_tile(xc, rows, width, bh, bw)
+    np.testing.assert_array_equal(np.asarray(block_untile(tc, rows, width, bh, bw)),
+                                  np.asarray(xc))
+    # first block really is the top-left 32x32 pixel block
+    img = np.asarray(x).reshape(rows, width)
+    np.testing.assert_array_equal(np.asarray(t)[:bh * bw].reshape(bh, bw),
+                                  img[:bh, :bw])
+
+
+def test_block_tiled_render_matches_unblocked():
+    """Forcing block tiling on (threshold lowered) must not change the MRT."""
+    import flexlight_tpu.ops.pathtrace as pt
+    import jax.numpy as jnp
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+
+    from scenes import cornell_config, cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    cfg = cornell_config(max_reflections=2)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    ref = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0, scheme="kernel")
+    old = pt.BLOCK_TILE_MIN_TRIS
+    try:
+        pt.BLOCK_TILE_MIN_TRIS = 1
+        got = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0, scheme="kernel")
+    finally:
+        pt.BLOCK_TILE_MIN_TRIS = old
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
