@@ -218,6 +218,10 @@ class PathTracer:
     def update_scene(self):
         self._buffers = build_scene_buffers(self.scene)
 
+    # Above this triangle count the sparse worklist kernel's prepass
+    # overhead (flags + compaction) pays for itself over the dense grid.
+    SPARSE_MIN_TRIS = 4096
+
     def _resolved_scheme(self) -> str:
         if self.scheme != "auto":
             return self.scheme
@@ -226,7 +230,8 @@ class PathTracer:
             # XLA formulations there.
             return ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
                     else "clustered")
-        return "kernel"
+        return ("sparse" if self._buffers.id_buffer.shape[0] >= self.SPARSE_MIN_TRIS
+                else "kernel")
 
     def update_primary_light_sources(self):
         if self._buffers is None:

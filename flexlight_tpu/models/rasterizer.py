@@ -165,6 +165,36 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
         shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
                                                   interpret=interp, tri_tile=tri_tile,
                                                   sort_rays=sort)
+    elif scheme == "sparse":
+        import jax as _jax
+
+        from ..ops.intersect_sparse import (build_w4_tiled, shadow_sparse,
+                                            traverse_sparse)
+
+        w4t, amin, amax = build_w4_tiled(world_geom, buffers.id_buffer)
+        interp = _jax.default_backend() == "cpu"
+        sort = w4t.shape[0] >= 8
+        idb = buffers.id_buffer
+
+        def traverse_fn(o, d):
+            hit = traverse_sparse(w4t, amin, amax, o, d, interpret=interp,
+                                  sort_rays=sort)
+            # sparse reports drawable indices; shading tables are
+            # slot-indexed here, so map back through id_buffer
+            slot = jnp.where(hit.triangle >= 0,
+                             idb[jnp.maximum(hit.triangle, 0)], -1)
+            return hit._replace(triangle=slot.astype(jnp.int32))
+
+        def shadow_fn(o, d, l):
+            return shadow_sparse(w4t, amin, amax, o, d, l, interpret=interp,
+                                 sort_rays=sort)
+    elif scheme == "clustered":
+        from ..ops.traverse_clustered import (build_clusters, shadow_clustered,
+                                              traverse_clustered)
+
+        clusters = build_clusters(world_geom, buffers.id_buffer)
+        traverse_fn = lambda o, d: traverse_clustered(clusters, o, d)
+        shadow_fn = lambda o, d, l: shadow_clustered(clusters, o, d, l)
     elif scheme == "packet":
         def shadow_fn(o, d, l):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
@@ -309,8 +339,13 @@ class Rasterizer:
         view = self.camera.view_matrix(self.width, self.height, jitter)
         scheme = self.scheme
         if scheme == "auto":
-            scheme = ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
-                      else "kernel")
+            n_tris = self._buffers.id_buffer.shape[0]
+            if jax.default_backend() == "cpu":
+                scheme = "mxu" if n_tris <= self.MXU_MAX_TRIS else "clustered"
+            elif n_tris >= 4096:
+                scheme = "sparse"
+            else:
+                scheme = "kernel"
         layers = max(int(self.layers), 1) if self._has_translucency else 1
         display, self._taa_state = raster_frame(
             self._buffers, jnp.asarray(self.camera.position), jnp.asarray(view),

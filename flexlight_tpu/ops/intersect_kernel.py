@@ -106,6 +106,14 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     rp = f.shape[0]
     tp = w4.shape[1]
+    kdim = w4.shape[2]
+    if w4.dtype == jnp.bfloat16:
+        from .intersect_sparse import pack_rhs_x6
+
+        ft = pack_rhs_x6(f.T)
+        precision = jax.lax.Precision.DEFAULT  # single bf16 K=96 pass
+    else:
+        ft = f.T
     rt, wt = rp // ray_tile, tp // tri_tile
     grid = (rt, wt)
     out_shape = [
@@ -121,11 +129,11 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            # features transposed: [16, Rp], tile [16, RAY_TILE]
-            pl.BlockSpec((16, ray_tile), lambda i, j, *_: (0, i),
+            # features transposed: [K, Rp], tile [K, RAY_TILE]
+            pl.BlockSpec((kdim, ray_tile), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            # W planes transposed: [4, Tp, 16], tile [4, tri_tile, 16]
-            pl.BlockSpec((4, tri_tile, 16), lambda i, j, *_: (0, j, 0),
+            # W planes transposed: [4, Tp, K], tile [4, tri_tile, K]
+            pl.BlockSpec((4, tri_tile, kdim), lambda i, j, *_: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -142,7 +150,7 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(flags, f.T, w4, max_len.reshape(rt, 1, ray_tile), idsf)
+    )(flags, ft, w4, max_len.reshape(rt, 1, ray_tile), idsf)
     return tuple(x.reshape(-1) for x in (s, u, v, tri))
 
 
@@ -156,7 +164,8 @@ def pick_tri_tile(num_tris: int) -> int:
     return TRI_TILE
 
 
-def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
+def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE,
+             x6: bool = True):
     """W as [4, Tp, 16] (det/udet/vdet/sdet split into separate planes),
     padded to a tri_tile multiple; plus per-cluster AABBs for the flag
     prepass and the padded id map."""
@@ -164,6 +173,10 @@ def build_w4(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
     tp = -(-t // tri_tile) * tri_tile
     rows = tri_rows(world_geometry, id_buffer)             # 4 x [T, 16]
     w4 = jnp.stack([jnp.pad(r, ((0, tp - t), (0, 0))) for r in rows])  # [4, Tp, 16]
+    if x6:
+        from .intersect_sparse import pack_lhs_x6
+
+        w4 = pack_lhs_x6(w4, axis=-1)                      # [4, Tp, 96] bf16
 
     tris = world_geometry[id_buffer]
     verts = tris[:, 0:9].reshape(t, 3, 3)

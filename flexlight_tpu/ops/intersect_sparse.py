@@ -48,12 +48,47 @@ CHUNK = 4                # tri tiles DMA'd + evaluated per inner-loop step
 CLUSTER = 64
 
 
-def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
+"""bf16x6 packing: fp32 matmul at HIGHEST precision lowers to 6 MXU
+passes over bf16 limb pairs (A1B1, A1B2, A2B1, A2B2, A1B3, A3B1 with
+A = A1+A2+A3 split into 8-bit-mantissa limbs). The MT feature dim is only
+16, so all 6 limb pairs fit ONE K=96 pass: stack the lhs limbs as
+[A1,A1,A2,A2,A1,A3] and the rhs as [B1,B2,B1,B2,B3,B1] — identical terms,
+one pass instead of six, no accuracy loss."""
+_LHS_ORDER = (0, 0, 1, 1, 0, 2)
+_RHS_ORDER = (0, 1, 0, 1, 2, 0)
+
+
+def _limbs(x, n: int = 3):
+    out = []
+    r = x
+    for _ in range(n):
+        # barrier: --xla_allow_excess_precision (set in this env) lets XLA
+        # cancel the f32->bf16->f32 round-trip, zeroing limbs 2..n
+        l = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
+        out.append(l)
+        r = r - l.astype(jnp.float32)
+    return out
+
+
+def pack_lhs_x6(w, axis: int = -2):
+    """[..., 16, ...] f32 -> [..., 96, ...] bf16 limb stack."""
+    limbs = _limbs(w)
+    return jnp.concatenate([limbs[i] for i in _LHS_ORDER], axis=axis)
+
+
+def pack_rhs_x6(f, axis: int = 0):
+    limbs = _limbs(f)
+    return jnp.concatenate([limbs[i] for i in _RHS_ORDER], axis=axis)
+
+
+def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE,
+                   x6: bool = True):
     """MT constants in DMA-friendly tile-major layout.
 
-    Returns (w4t [WT, 4, 16, tri_tile], aabb_min/max [K, 3]). One worklist
-    tile = one contiguous [4, 16, tri_tile] HBM block whose minor dim is
-    the native 128-lane axis (a 16-lane minor would make the VMEM scratch
+    Returns (w4t [WT, 4, K, tri_tile], aabb_min/max [K, 3]) with
+    K = 96 bf16 limb rows (x6 packing, default) or 16 f32 rows. One
+    worklist tile = one contiguous HBM block whose minor dim is the
+    native 128-lane axis (a 16-lane minor would make the VMEM scratch
     lane-padded and its DMA slices illegal).
     """
     t = id_buffer.shape[0]
@@ -61,8 +96,11 @@ def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE):
     wt = tp // tri_tile
     rows = tri_rows(world_geometry, id_buffer)              # 4 x [T, 16]
     w4 = jnp.stack([jnp.pad(r, ((0, tp - t), (0, 0))) for r in rows])
-    # [4, Tp, 16] -> [WT, 4, 16, tri_tile]
-    w4t = w4.reshape(4, wt, tri_tile, 16).transpose(1, 0, 3, 2)
+    if x6:
+        w4 = pack_lhs_x6(w4, axis=-1)                       # [4, Tp, 96] bf16
+    kdim = w4.shape[-1]
+    # [4, Tp, K] -> [WT, 4, K, tri_tile]
+    w4t = w4.reshape(4, wt, tri_tile, kdim).transpose(1, 0, 3, 2)
 
     tris = world_geometry[id_buffer]
     verts = tris[:, 0:9].reshape(t, 3, 3)
@@ -301,6 +339,132 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
         jax.lax.fori_loop(0, nch, body, 0)
 
 
+def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
+                   hit_ref, w_s, tl_s, sem_w, sem_tl,
+                   *, precision, tri_tile: int, ray_tile: int, chunk: int):
+    """Any-hit specialization: no closest-hit bookkeeping (one reduction
+    instead of five + onehot), and the worklist loop exits as soon as
+    every live ray in the tile is occluded — shadow rays in penumbra-free
+    regions stop after their first chunk."""
+    i = pl.program_id(0)
+    m = chunk * tri_tile
+
+    hit_ref[:] = jnp.zeros((1, 1, ray_tile), dtype=jnp.int32)
+    cnt = cnt_ref[i]
+    nch = pl.cdiv(cnt, chunk)
+    ml = ml_ref[0]                              # [1, ray_tile]
+    dead = ml <= 0.0
+
+    tl_dma = pltpu.make_async_copy(tlist_hbm.at[i], tl_s, sem_tl)
+
+    def w_dma(slot, c, k):
+        return pltpu.make_async_copy(
+            w_hbm.at[tl_s[0, c * chunk + k]],
+            w_s.at[slot, k], sem_w.at[slot, k])
+
+    def start_chunk(slot, c):
+        for k in range(chunk):
+            w_dma(slot, c, k).start()
+
+    def wait_chunk(slot, c):
+        for k in range(chunk):
+            w_dma(slot, c, k).wait()
+
+    @pl.when(cnt > 0)
+    def _():
+        tl_dma.start()
+        tl_dma.wait()
+        start_chunk(0, 0)
+
+        def body(carry):
+            c, _ = carry
+            slot = jax.lax.rem(c, 2)
+            wait_chunk(slot, c)
+            ft = f_ref[:]
+            dn = (((0,), (0,)), ((), ()))
+
+            def plane(p):
+                parts = [jax.lax.dot_general(
+                    w_s[slot, k, p], ft, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32, precision=precision)
+                    for k in range(chunk)]
+                return jnp.concatenate(parts, axis=0) if chunk > 1 else parts[0]
+
+            det = plane(0)
+            udet = plane(1)
+            vdet = plane(2)
+            sdet = plane(3)
+            inv = 1.0 / det
+            u = udet * inv
+            v = vdet * inv
+            s = sdet * inv
+            valid = (det >= BIAS)               # front-face cull (glsl:143)
+            valid &= (u >= BIAS) & (u <= 1.0)
+            valid &= (v >= BIAS) & (u + v <= 1.0)
+            valid &= (s > BIAS) & (s <= ml)
+            newhit = jnp.any(valid, axis=0, keepdims=True)
+            hit_ref[0] = jnp.where(newhit, 1, hit_ref[0])
+            done = jnp.all((hit_ref[0] > 0) | dead)
+            cont = jnp.logical_and(jnp.logical_not(done), c + 1 < nch)
+
+            @pl.when(cont)
+            def _():
+                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
+
+            return (c + 1, cont)
+
+        jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile", "chunk"))
+def _any_hit_sparse(w4t, tlist, counts, f, max_len,
+                    interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST,
+                    tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                    chunk: int = CHUNK):
+    rp = f.shape[0]
+    rt = rp // ray_tile
+    kdim = w4t.shape[2]
+    if w4t.dtype == jnp.bfloat16:
+        ft = pack_rhs_x6(f.T)
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        ft = f.T
+    wtp = tlist.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((kdim, ray_tile), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 4, kdim, tri_tile), w4t.dtype),
+            pltpu.SMEM((1, wtp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    hit = pl.pallas_call(
+        partial(_shadow_kernel, precision=precision, tri_tile=tri_tile,
+                ray_tile=ray_tile, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(counts, ft, max_len.reshape(rt, 1, ray_tile),
+      tlist.reshape(rt, 1, -1), w4t)
+    return hit.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision",
                                    "tri_tile", "ray_tile", "chunk"))
 def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
@@ -310,6 +474,12 @@ def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
                       chunk: int = CHUNK):
     rp = f.shape[0]
     rt = rp // ray_tile
+    kdim = w4t.shape[2]
+    if w4t.dtype == jnp.bfloat16:
+        ft = pack_rhs_x6(f.T)                   # [96, Rp] bf16
+        precision = jax.lax.Precision.DEFAULT   # single bf16 pass
+    else:
+        ft = f.T
     out_shape = [
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
@@ -323,7 +493,7 @@ def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
         num_scalar_prefetch=1,                  # counts
         grid=(rt,),
         in_specs=[
-            pl.BlockSpec((16, ray_tile), lambda i, *_: (0, i),
+            pl.BlockSpec((kdim, ray_tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -332,7 +502,7 @@ def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
         ],
         out_specs=[out_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, 4, 16, tri_tile), jnp.float32),
+            pltpu.VMEM((2, chunk, 4, kdim, tri_tile), w4t.dtype),
             pltpu.SMEM((1, wtp), jnp.int32),
             pltpu.SemaphoreType.DMA((2, chunk)),
             pltpu.SemaphoreType.DMA(()),
@@ -346,9 +516,19 @@ def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(counts, f.T, max_len.reshape(rt, 1, ray_tile),
+    )(counts, ft, max_len.reshape(rt, 1, ray_tile),
       tlist.reshape(rt, 1, -1), w4t)
     return tuple(x.reshape(-1) for x in (s, u, v, tri))
+
+
+def _apply_perm_rays(origin, direction, max_len, perm):
+    """Permute rays with ONE row gather: [N]-shaped 1-D gathers run on the
+    scalar core (~27 ms per 2M rays, measured); [N, C] row gathers are
+    vectorized (~1 ms)."""
+    packed = jnp.concatenate(
+        [origin, direction, max_len[:, None]], axis=1)[perm]
+    packed = jax.lax.optimization_barrier(packed)  # keep slice out of gather
+    return packed[:, 0:3], packed[:, 3:6], packed[:, 6]
 
 
 def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
@@ -359,10 +539,15 @@ def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
         lo = jnp.min(aabb_min, axis=0)
         hi = jnp.max(aabb_max, axis=0)
         perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len)
-        origin, direction, max_len = origin[perm], direction[perm], max_len[perm]
+        origin, direction, max_len = _apply_perm_rays(
+            origin, direction, max_len, perm)
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
     wt = w4t.shape[0]
-    flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
+    if interpret:
+        flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
+    else:
+        flags = flags_sparse(aabb_min, aabb_max, o, d, ml,
+                             tri_tile=tri_tile, ray_tile=ray_tile)
     tlist, counts = _compact(flags, chunk)
     f = _ray_features(o, d)
     s, u, v, tri = _intersect_sparse(w4t, tlist, counts, f, ml,
@@ -371,7 +556,11 @@ def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
                                      ray_tile=ray_tile, chunk=chunk)
     s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
     if sort_rays:
-        s, u, v, tri = s[inv_perm], u[inv_perm], v[inv_perm], tri[inv_perm]
+        packed = jnp.stack(
+            [s, u, v, tri.astype(jnp.float32)], axis=1)[inv_perm]
+        packed = jax.lax.optimization_barrier(packed)
+        s, u, v = packed[:, 0], packed[:, 1], packed[:, 2]
+        tri = packed[:, 3].astype(jnp.int32)   # drawable ids < 2^24: exact
     return s, u, v, tri
 
 
@@ -408,10 +597,32 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                   tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                   chunk: int = CHUNK, sort_rays: bool = False,
                   alive=None) -> jnp.ndarray:
-    """Front-face-culled any-hit within max_len; worklist-sparse."""
+    """Front-face-culled any-hit within max_len; worklist-sparse with
+    per-tile early exit (see _shadow_kernel)."""
+    from .intersect_kernel import _flags, _prep
+
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
-    _, _, _, tri = _run(w4t, aabb_min, aabb_max, origin, direction,
-                        max_len, True, interpret, precision, tri_tile,
-                        ray_tile, chunk, sort_rays)
-    return tri >= 0
+    if sort_rays:
+        lo = jnp.min(aabb_min, axis=0)
+        hi = jnp.max(aabb_max, axis=0)
+        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len)
+        origin, direction, max_len = _apply_perm_rays(
+            origin, direction, max_len, perm)
+    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
+    wt = w4t.shape[0]
+    if interpret:
+        flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
+    else:
+        flags = flags_sparse(aabb_min, aabb_max, o, d, ml,
+                             tri_tile=tri_tile, ray_tile=ray_tile)
+    tlist, counts = _compact(flags, chunk)
+    f = _ray_features(o, d)
+    hit = _any_hit_sparse(w4t, tlist, counts, f, ml, interpret=interpret,
+                          precision=precision, tri_tile=tri_tile,
+                          ray_tile=ray_tile, chunk=chunk)[:n]
+    if sort_rays:
+        # 4-wide row gather instead of a scalar-core 1-D gather
+        hit4 = jnp.tile(hit[:, None].astype(jnp.float32), (1, 4))[inv_perm]
+        hit = jax.lax.optimization_barrier(hit4)[:, 0]
+    return hit > 0
