@@ -28,6 +28,7 @@ class FlexLight:
         self._renderer = None
         self._io_name = "web"
         self._io = None
+        self._ui = None
 
     # --- properties mirroring flexlight.js:39-104 ---
     @property
@@ -79,6 +80,18 @@ class FlexLight:
     def scene(self, scene):
         self._scene = scene
         self._renderer = None
+
+    @property
+    def ui(self):
+        """Center-ray object picker (flexlight.js:36 instantiates UI;
+        modules/ui.js). Tracks the current scene/camera."""
+        if self._ui is None:
+            from .interaction import UI
+
+            self._ui = UI(self._scene, self._camera)
+        self._ui.scene = self._scene
+        self._ui.camera = self._camera
+        return self._ui
 
     @property
     def io(self):

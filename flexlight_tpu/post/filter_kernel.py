@@ -110,11 +110,19 @@ def _halo_ry(r: int) -> int:
 def _pair_table(stencil_key: str, smin: float, smax: float):
     """Enumerate (tap, offset) pairs: all integer offsets each stencil tap
     can produce for scale in [smin, smax], with the scale interval over
-    which it produces them. Returns (pairs_i [P,2] int32 (oy, ox),
-    pairs_f [P,6] f32 (sy, sx, oyf, oxf, lo, hi), max_radius)."""
+    which it produces them.
+
+    Pairs are sorted by row offset ``oy`` so the kernel can hoist the
+    (expensive, full-window) sublane roll to once per oy-group; the head
+    pair of each group carries the group's union scale interval for
+    group-level skipping.
+
+    Returns (pairs_i [P,3] int32 (oy, ox, is_group_head),
+    pairs_f [P,8] f32 (sy, sx, oyf, oxf, lo, hi, group_lo, group_hi),
+    max_radius)."""
     stencil = {"disc37": STENCIL3, "disc36": STENCIL3_NO_CENTER}[stencil_key]
     ts = np.linspace(smin, smax, 400001).astype(np.float32)
-    pairs_i, pairs_f = [], []
+    raw = []
     max_r = 0
     for sy, sx in stencil.astype(np.float32):
         dy = np.trunc(sy * ts).astype(np.int64)
@@ -127,10 +135,23 @@ def _pair_table(stencil_key: str, smin: float, smax: float):
         margin = float(ts[1] - ts[0]) * 2.0
         for s0, s1 in zip(starts, ends):
             oy, ox = int(dy[s0]), int(dx[s0])
-            pairs_i.append((oy, ox))
-            pairs_f.append((float(sy), float(sx), float(oy), float(ox),
-                            float(ts[s0]) - margin, float(ts[s1]) + margin))
+            raw.append((oy, ox, float(sy), float(sx),
+                        float(ts[s0]) - margin, float(ts[s1]) + margin))
             max_r = max(max_r, abs(oy), abs(ox))
+    raw.sort(key=lambda r: (r[0], r[1], r[4]))
+    groups = {}
+    for oy, ox, sy, sx, lo, hi in raw:
+        g = groups.setdefault(oy, [np.inf, -np.inf])
+        g[0] = min(g[0], lo)
+        g[1] = max(g[1], hi)
+    pairs_i, pairs_f = [], []
+    prev_oy = None
+    for oy, ox, sy, sx, lo, hi in raw:
+        head = 1 if oy != prev_oy else 0
+        prev_oy = oy
+        glo, ghi = groups[oy]
+        pairs_i.append((oy, ox, head))
+        pairs_f.append((sy, sx, float(oy), float(ox), lo, hi, glo, ghi))
     return (np.array(pairs_i, dtype=np.int32),
             np.array(pairs_f, dtype=np.float32), max_r)
 
@@ -138,9 +159,16 @@ def _pair_table(stencil_key: str, smin: float, smax: float):
 def _disc_kernel(pairs_i_ref, pairs_f_ref, tlohi_ref, win_ref, *refs,
                  scale_fn, init_fn, update_fn, finish_fn, n_pairs: int,
                  ry: int, rx: int):
-    """Generic disc pass: out refs then one [A, TY, TX] f32 scratch ref."""
-    acc_ref = refs[-1]
-    out_refs = refs[:-1]
+    """Generic disc pass: out refs, then [A, TY, TX] f32 accumulator and
+    [5, TY, TXW] int32 row scratch.
+
+    Pairs arrive sorted by oy; the sublane roll (full [5, TYW, TXW]
+    window — the expensive move) runs once per oy-group into row_ref,
+    skipped when the group's union scale interval misses the tile. Pairs
+    then only lane-roll the [5, TY, TXW] row."""
+    acc_ref = refs[-2]
+    row_ref = refs[-1]
+    out_refs = refs[:-2]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -155,6 +183,16 @@ def _disc_kernel(pairs_i_ref, pairs_f_ref, tlohi_ref, win_ref, *refs,
     tmax = tlohi_ref[i, j, 1]
 
     def body(p, _):
+        active_group = (tmax >= pairs_f_ref[p, 6]) & (tmin <= pairs_f_ref[p, 7])
+
+        @pl.when((pairs_i_ref[p, 2] != 0) & active_group)
+        def _():
+            oy = pairs_i_ref[p, 0]
+            # negative dynamic rotates miscompile on sublanes; cyclic
+            # equivalence keeps shifts non-negative
+            sh_y = jnp.where(oy > 0, tyw - oy, -oy)
+            row_ref[:] = pltpu.roll(win, sh_y, axis=1)[:, ry:ry + TY, :]
+
         lo = pairs_f_ref[p, 4]
         hi = pairs_f_ref[p, 5]
 
@@ -162,14 +200,9 @@ def _disc_kernel(pairs_i_ref, pairs_f_ref, tlohi_ref, win_ref, *refs,
         def _():
             mask = ((jnp.trunc(pairs_f_ref[p, 0] * scale) == pairs_f_ref[p, 2])
                     & (jnp.trunc(pairs_f_ref[p, 1] * scale) == pairs_f_ref[p, 3]))
-            oy = pairs_i_ref[p, 0]
             ox = pairs_i_ref[p, 1]
-            # negative dynamic rotates miscompile on sublanes; cyclic
-            # equivalence keeps shifts non-negative
-            sh_y = jnp.where(oy > 0, tyw - oy, -oy)
             sh_x = jnp.where(ox > 0, txw - ox, -ox)
-            nb = pltpu.roll(win, sh_y, axis=1)[:, ry:ry + TY, :]
-            nb = pltpu.roll(nb, sh_x, axis=2)[:, :, rx:rx + TX]
+            nb = pltpu.roll(row_ref[:], sh_x, axis=2)[:, :, rx:rx + TX]
             acc_ref[:] = update_fn(acc_ref[:], center, nb, mask)
         return 0
 
@@ -217,7 +250,8 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
             (pl_core.Element(5), pl_core.Element(tyw), pl_core.Element(txw)),
             lambda i, j, *_: (0, i * TY, j * TX))],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((n_acc, TY, TX), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_acc, TY, TX), jnp.float32),
+                        pltpu.VMEM((5, TY, txw), jnp.int32)],
     )
     outs = pl.pallas_call(
         partial(_disc_kernel, scale_fn=scale_fn, init_fn=init_fn,
