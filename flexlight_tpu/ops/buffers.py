@@ -117,5 +117,6 @@ def fetch_tex_val_soa(atlas: jnp.ndarray, u, v, tex_num, default3,
     cy = (v + jnp.floor(tex_num / texture_width)) * height_factor / texture_width
     px = jnp.floor(jnp.mod(cx, 1.0) * w).astype(jnp.int32).clip(0, w - 1)
     py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
-    sampled = atlas.reshape(h * w, atlas.shape[-1])[py * w + px].T
+    sampled = jnp.moveaxis(
+        atlas.reshape(h * w, atlas.shape[-1])[py * w + px], -1, 0)
     return tuple(jnp.where(miss, d, sampled[c]) for c, d in enumerate(default3))

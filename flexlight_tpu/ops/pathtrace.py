@@ -114,14 +114,14 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
     """Weighted reservoir NEE over all lights + one shadow ray
     (glsl:400-461), SoA form (see ops.vec3). Returns (color 3-tuple, id_w
     [N])."""
-    n = origin3[0].shape[0]
+    shp = origin3[0].shape
     num_lights = buffers.lights.shape[0]
-    zero = jnp.zeros((n,), dtype=jnp.float32)
+    zero = jnp.zeros(shp, dtype=jnp.float32)
 
     local_color = (zero, zero, zero)
     res_length = zero
     total_weight = zero
-    res_num = jnp.zeros((n,), dtype=jnp.int32)
+    res_num = jnp.zeros(shp, dtype=jnp.int32)
     res_weight = zero
     res_dir = (zero, zero, zero)
     lr = noise4(random_vec4[2], random_vec4[3], BIAS, random_seed)[0:2]
@@ -153,7 +153,7 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
 
     offset_target = v3.add3(origin3, v3.scale3(n_smooth3, geometry_offset))
     if "shadow" in DEBUG_DISABLE:
-        shadowed = jnp.zeros(n, dtype=bool)
+        shadowed = jnp.zeros(shp, dtype=bool)
     else:
         shadowed = shadow_soa(offset_target, unit_light_dir, v3.norm3(res_dir),
                               alive=alive_mask)
@@ -178,23 +178,32 @@ def build_material_table(buffers: SceneBuffers, world_geom) -> jnp.ndarray:
 
 
 def fetch_rows_t(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """mat[idx].T as a physically transposed [C, N] array.
+    """mat[idx] transposed to a leading channel axis: [C, *idx.shape].
 
     The naive gather + .T keeps the row-major layout, so every SoA row
     read downstream is strided, and XLA decomposes the fused
     gather-transpose into scalar-core column gathers. For small tables the
     whole fetch becomes a one-hot MXU matmul (exact: one 1.0 per column);
     otherwise an optimization barrier forces a real relayout after the
-    vectorized row gather."""
+    vectorized row gather.
+
+    With 2-D [G, 1024] ray shapes the result is [C, G, 1024]: row reads
+    are then leading-dim slices of a natively tiled array. Extracting a
+    row of a [C, N] array compiles to a degenerate [1, N] -> [N] relayout
+    that costs ~8 ms per 2M rays (measured) — never do that in a loop."""
     import jax
 
     t = mat.shape[0]
-    n = idx.shape[0]
+    flat = idx.reshape(-1)
+    n = flat.shape[0]
     if t <= 256 and n <= 262144:
-        onehot = (idx[None, :] == jnp.arange(t, dtype=idx.dtype)[:, None])
-        return jnp.dot(mat.T, onehot.astype(mat.dtype),
-                       precision=jax.lax.Precision.HIGHEST)
-    return jax.lax.optimization_barrier(mat[idx].T)
+        onehot = (flat[None, :] == jnp.arange(t, dtype=flat.dtype)[:, None])
+        out = jnp.dot(mat.T, onehot.astype(mat.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+        return out.reshape((mat.shape[1],) + idx.shape)
+    rows = jax.lax.optimization_barrier(mat[flat])
+    rows = rows.reshape(idx.shape + (mat.shape[1],))
+    return jnp.moveaxis(rows, -1, 0)
 
 
 def combine_normal_rme_soa(n3, rough, metal, emis):
@@ -215,17 +224,17 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     `aux` carries the shader's globals across samples (glsl:84-89).
     """
     ps, pu, pv, ptri = primary_parts
-    n = ps.shape[0]
+    shp = ps.shape
     render_id, original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length = aux
 
-    zero = jnp.zeros((n,), dtype=jnp.float32)
-    one = jnp.ones((n,), dtype=jnp.float32)
-    dont_filter = jnp.ones(n, dtype=bool)
+    zero = jnp.zeros(shp, dtype=jnp.float32)
+    one = jnp.ones(shp, dtype=jnp.float32)
+    dont_filter = jnp.ones(shp, dtype=bool)
     final_color = (zero, zero, zero)
     importancy = (one, one, one)
     original_color = (one, one, one)
 
-    ray_origin = tuple(jnp.broadcast_to(camera_pos[c], (n,)).astype(jnp.float32)
+    ray_origin = tuple(jnp.broadcast_to(camera_pos[c], shp).astype(jnp.float32)
                        for c in range(3))
     ray_dir = direction3
     last_hit_point = ray_origin
@@ -253,22 +262,27 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
         geometry_normal = v3.normalize3(v3.cross3(
             v3.sub3(wv[0], wv[1]), v3.sub3(wv[0], wv[2])))
 
-        smooth_normal = (zero, zero, zero)
-        geometry_offset = zero
-        bary_u = zero
-        bary_v = zero
-        for k in range(3):
-            vn = (rowt[12 + 3 * k], rowt[13 + 3 * k], rowt[14 + 3 * k])
-            wn = v3.matvec3(rot, vn)
-            smooth_normal = v3.add3(smooth_normal, v3.scale3(wn, uvw[k]))
-            # tan(acos(x)) = sqrt(1-x^2)/x — shadow-acne offset (glsl:516-518)
-            cos_a = jnp.abs(jnp.clip(v3.dot3(geometry_normal, wn), -1.0, 1.0))
-            tan_a = jnp.clip(jnp.sqrt(1.0 - cos_a * cos_a) / cos_a, 0.0, 1.0)
-            diff = v3.norm3(v3.sub3(ray_origin, wv[k]))
-            geometry_offset = geometry_offset + diff * tan_a * uvw[k]
-            bary_u = bary_u + rowt[21 + 2 * k] * uvw[k]
-            bary_v = bary_v + rowt[22 + 2 * k] * uvw[k]
-        smooth_normal = v3.normalize3(smooth_normal)
+        if "interp" in DEBUG_DISABLE:
+            smooth_normal = geometry_normal
+            geometry_offset = zero
+            bary_u, bary_v = hu, hv
+        else:
+            smooth_normal = (zero, zero, zero)
+            geometry_offset = zero
+            bary_u = zero
+            bary_v = zero
+            for k in range(3):
+                vn = (rowt[12 + 3 * k], rowt[13 + 3 * k], rowt[14 + 3 * k])
+                wn = v3.matvec3(rot, vn)
+                smooth_normal = v3.add3(smooth_normal, v3.scale3(wn, uvw[k]))
+                # tan(acos(x)) = sqrt(1-x^2)/x — shadow-acne offset (glsl:516-518)
+                cos_a = jnp.abs(jnp.clip(v3.dot3(geometry_normal, wn), -1.0, 1.0))
+                tan_a = jnp.clip(jnp.sqrt(1.0 - cos_a * cos_a) / cos_a, 0.0, 1.0)
+                diff = v3.norm3(v3.sub3(ray_origin, wv[k]))
+                geometry_offset = geometry_offset + diff * tan_a * uvw[k]
+                bary_u = bary_u + rowt[21 + 2 * k] * uvw[k]
+                bary_v = bary_v + rowt[22 + 2 * k] * uvw[k]
+            smooth_normal = v3.normalize3(smooth_normal)
 
         if "texfetch" in DEBUG_DISABLE:
             albedo = (rowt[30], rowt[31], rowt[32])
@@ -311,6 +325,8 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
 
         # First-surface bookkeeping vs importancy accumulation (glsl:553-573)
         df = dont_filter & m
+        if "idchannels" in DEBUG_DISABLE:
+            df = df & (i == 0)
         original_tpo_x = jnp.where(df, tpo[0], original_tpo_x)
         original_color = v3.where3(df, v3.mul3(original_color, albedo),
                                    original_color)
@@ -339,7 +355,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             ratio = (v3.norm3(v3.sub3(ray_origin, last_hit_point))
                      / jnp.maximum(v3.norm3(v3.sub3(
                          last_hit_point,
-                         tuple(jnp.broadcast_to(camera_pos[c], (n,))
+                         tuple(jnp.broadcast_to(camera_pos[c], shp)
                                for c in range(3)))), 1e-30))
             first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length),
                                          first_ray_length)
@@ -361,6 +377,21 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             final_color)
 
         # Next ray: reflect, or Fresnel-chance refract (glsl:582-589)
+        if "nextdir" in DEBUG_DISABLE:
+            ray_dir = v3.where3(m, v3.neg3(ray_dir), ray_dir)
+            if i + 1 < config.max_reflections:
+                zdir = (zero, zero, one)
+                ns, nu, nv, ntri = traverse_soa(
+                    v3.where3(m, ray_origin, (zero, zero, zero)),
+                    v3.where3(m, ray_dir, zdir), alive=m)
+                hs = jnp.where(m, ns, hs)
+                hu = jnp.where(m, nu, hu)
+                hv = jnp.where(m, nv, hv)
+                new_tri = jnp.where(m, ntri, -1)
+                alive = alive & (new_tri != -1)
+                tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
+                last_hit_point = v3.where3(m, ray_origin, last_hit_point)
+            continue
         n_dot_i = v3.dot3(smooth_normal, ray_dir)
         reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
         eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(sign_dir, 0.0))
@@ -510,14 +541,6 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         def shadow_fn(o, d, l, alive=None):
             return trv.shadow_scan(world_geom, o, d, l)
 
-    def traverse_soa(o3, d3, alive=None):
-        hit = traverse_fn(v3.stack3(o3), v3.stack3(d3), alive=alive)
-        hsuv = hit.suv.T
-        return hsuv[0], hsuv[1], hsuv[2], hit.triangle
-
-    def shadow_soa(o3, d3, max_len, alive=None):
-        return shadow_fn(v3.stack3(o3), v3.stack3(d3), max_len, alive=alive)
-
     origin, direction, ndc = camera_rays(width, height, camera_pos, view_matrix,
                                          row0=row0, rows=rows)
     # Block-tiled ray order: big-scene cluster culling needs tight per-tile
@@ -542,14 +565,57 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     n = origin.shape[0]
     primary = traverse_fn(origin, direction)
     covered = primary.triangle != -1
-    psuv = primary.suv.T
-    primary_parts = (psuv[0], psuv[1], psuv[2], primary.triangle)
-    direction3 = v3.unstack3(direction)
-    ndct = ndc.T
-    ndc2 = (ndct[0], ndct[1])
 
-    zero = jnp.zeros((n,), dtype=jnp.float32)
-    one = jnp.ones((n,), dtype=jnp.float32)
+    # Large material tables (> one-hot threshold) fetch via row gathers;
+    # consuming rows of the resulting [C, N] table costs a degenerate
+    # [1, N] -> [N] relayout per row (~8 ms per 2M rays, measured). For
+    # those scenes shading runs on [G, 1024] 2-D shapes where [C, G, 1024]
+    # row reads are free leading-dim slices (dragon 1080p: 1.50 -> 1.05 s).
+    # Small tables use the one-hot MXU fetch whose [C, N] output is
+    # consumed best flat — 2-D there costs boundary relayouts for nothing.
+    use2d = mat.shape[0] > 256
+    if use2d:
+        pad2 = (-n) % 1024
+        g2 = (n + pad2) // 1024
+
+        def to2d(x, fill=0.0):
+            return jnp.pad(x, (0, pad2), constant_values=fill).reshape(g2, 1024)
+
+        def to1d(x):
+            return x.reshape(-1)[:n]
+    else:
+        pad2, g2 = 0, n
+        to2d = lambda x, fill=0.0: x
+        to1d = lambda x: x
+
+    psuv = primary.suv.T
+    # padded rays: tri = -1 -> dead from the first bounce
+    primary_parts = (to2d(psuv[0]), to2d(psuv[1]), to2d(psuv[2]),
+                     to2d(primary.triangle, -1))
+    dflat = v3.unstack3(direction)
+    direction3 = tuple(to2d(c) for c in dflat)
+    ndct = ndc.T
+    ndc2 = (to2d(ndct[0]), to2d(ndct[1]))
+
+    def _flat3(x3):
+        return jnp.stack([c.reshape(-1) for c in x3], axis=-1)
+
+    rshape = (g2, 1024) if use2d else (n,)
+
+    def traverse_soa(o3, d3, alive=None):
+        al = None if alive is None else alive.reshape(-1)
+        hit = traverse_fn(_flat3(o3), _flat3(d3), alive=al)
+        hsuv = hit.suv.T
+        return (hsuv[0].reshape(rshape), hsuv[1].reshape(rshape),
+                hsuv[2].reshape(rshape), hit.triangle.reshape(rshape))
+
+    def shadow_soa(o3, d3, max_len, alive=None):
+        al = None if alive is None else alive.reshape(-1)
+        return shadow_fn(_flat3(o3), _flat3(d3), max_len.reshape(-1),
+                         alive=al).reshape(rshape)
+
+    zero = jnp.zeros(rshape, dtype=jnp.float32)
+    one = jnp.ones(rshape, dtype=jnp.float32)
     aux = (
         (zero, zero, zero, zero),   # render_id
         (zero, zero, zero, zero),   # original_id accumulation
@@ -574,16 +640,26 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     rid3 = render_id[3] + INV_255  # glsl:637
 
     # Primary-hit local position for the location id channel (glsl:641-642)
-    ptri = jnp.maximum(primary.triangle, 0)
-    lrow = fetch_rows_t(loc_geometry, ptri)     # [12, N]
-    puvw = (1.0 - psuv[1] - psuv[2], psuv[1], psuv[2])
+    ptri = jnp.maximum(primary_parts[3], 0)
+    lrow = fetch_rows_t(loc_geometry, ptri)     # [12, G, 1024]
+    puvw = (1.0 - primary_parts[1] - primary_parts[2],
+            primary_parts[1], primary_parts[2])
     rel_pos = (zero, zero, zero)
     for k in range(3):
         lv = (lrow[3 * k], lrow[3 * k + 1], lrow[3 * k + 2])
         rel_pos = v3.add3(rel_pos, v3.scale3(lv, puvw[k]))
-    cam3 = tuple(jnp.broadcast_to(camera_pos[c], (n,)) for c in range(3))
+    cam3 = tuple(jnp.broadcast_to(camera_pos[c], rshape) for c in range(3))
     div = jnp.maximum(2.0 * v3.norm3(v3.sub3(rel_pos, cam3)), 1e-30)
-    loc3 = tuple(jnp.mod(rel_pos[c], div) / div for c in range(3))
+    loc3 = tuple(to1d(jnp.mod(rel_pos[c], div) / div) for c in range(3))
+
+    final_color = tuple(to1d(c) for c in final_color)
+    original_color = tuple(to1d(c) for c in original_color)
+    render_id = tuple(to1d(c) for c in render_id)
+    rid3 = to1d(rid3)
+    glass = to1d(glass)
+    original_rme_x = to1d(original_rme_x)
+    original_tpo_x = to1d(original_tpo_x)
+    first_ray_length = to1d(first_ray_length)
 
     cov = covered
     covf = cov[:, None]

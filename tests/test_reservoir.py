@@ -56,7 +56,7 @@ def test_reservoir_distribution_proportional_to_weight():
         buffers, unstack3(albedo), rme[:, 0], rme[:, 1], rme[:, 2],
         unstack3(origin), unstack3(unit_dir), tuple(random_vec.T),
         unstack3(normal), unstack3(normal), jnp.zeros(n), 0.0,
-        lambda o, d, l: jnp.zeros(o[0].shape[0], dtype=bool))  # no occluders
+        lambda o, d, l, alive=None: jnp.zeros(o[0].shape, dtype=bool))  # no occluders
     color = stack3(color3)
 
     idw = np.round(np.asarray(id_w) * 255.0).astype(int)
