@@ -260,6 +260,9 @@ class Rasterizer:
         self.canvas_height = int(height)
         self.fps = 0.0
         self.fps_limit = float("inf")
+        # `freeze` pauses rendering: render_frame returns the last frame
+        # (reference surface per obj.js:72 / highpoly.js:490).
+        self.freeze = False
         self.scheme = scheme
         self.tile = tile
         # Max translucency layers blended per pixel (GL blends every
@@ -272,6 +275,8 @@ class Rasterizer:
         self._taa_state = None
         self._jitter = Jitter()
         self._prepared_shape = None
+        self._last_frame = None
+        self._last_frame_time = None
         self._fps_window_start = time.perf_counter()
         self._fps_frames = 0
 
@@ -325,8 +330,15 @@ class Rasterizer:
             self._prepared_shape = shape
 
     def render_frame(self) -> np.ndarray:
+        if self.freeze and self._last_frame is not None:
+            return self._last_frame
         if self._halt:
             self.render()
+        # fpsLimit throttling (rasterizerWGL2.js:248-250)
+        if self.fps_limit != float("inf") and self._last_frame_time is not None:
+            wait = 1.0 / self.fps_limit - (time.perf_counter() - self._last_frame_time)
+            if wait > 0:
+                time.sleep(wait)
         self._prepare()
         from ..scene.transform import global_registry
 
@@ -353,8 +365,10 @@ class Rasterizer:
             config=self.config, scheme=scheme, tile=self.tile, layers=layers)
         self._fps_frames += 1
         now = time.perf_counter()
+        self._last_frame_time = now
         if now - self._fps_window_start > 0.5:
             self.fps = self._fps_frames / (now - self._fps_window_start)
             self._fps_window_start = now
             self._fps_frames = 0
-        return np.asarray(display)
+        self._last_frame = np.asarray(display)
+        return self._last_frame

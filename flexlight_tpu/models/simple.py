@@ -57,8 +57,13 @@ class SimplePathTracer:
         self.canvas_height = int(height)
         self.fps = 0.0
         self.fps_limit = float("inf")
+        # `freeze` pauses rendering: render_frame returns the last frame
+        # (reference surface per obj.js:72 / highpoly.js:490).
+        self.freeze = False
         self._halt = True
         self._buffers = None
+        self._last_frame = None
+        self._last_frame_time = None
         self._fps_window_start = time.perf_counter()
         self._fps_frames = 0
 
@@ -86,21 +91,38 @@ class SimplePathTracer:
     updateScene = update_scene
     updatePrimaryLightSources = update_primary_light_sources
 
+    @property
+    def fpsLimit(self):
+        return self.fps_limit
+
+    @fpsLimit.setter
+    def fpsLimit(self, value):
+        self.fps_limit = value
+
     def render(self):
         self._halt = False
         if self._buffers is None:
             self.update_scene()
 
     def render_frame(self) -> np.ndarray:
+        if self.freeze and self._last_frame is not None:
+            return self._last_frame
         if self._buffers is None:
             self.update_scene()
+        # fpsLimit throttling (pathtracerWGPU.js frameCycle cadence)
+        if self.fps_limit != float("inf") and self._last_frame_time is not None:
+            wait = 1.0 / self.fps_limit - (time.perf_counter() - self._last_frame_time)
+            if wait > 0:
+                time.sleep(wait)
         view = self.camera.view_matrix(self.width, self.height)
         out = simple_frame(self._buffers, jnp.asarray(self.camera.position),
                            jnp.asarray(view), width=self.width, height=self.height)
         self._fps_frames += 1
         now = time.perf_counter()
+        self._last_frame_time = now
         if now - self._fps_window_start > 0.5:
             self.fps = self._fps_frames / (now - self._fps_window_start)
             self._fps_window_start = now
             self._fps_frames = 0
-        return np.asarray(out)
+        self._last_frame = np.asarray(out)
+        return self._last_frame

