@@ -32,11 +32,18 @@ def run(engine: FlexLight, name: str, default_frames: int = 4,
     """CLI runner: <frames> <size applied via canvas> <out.png>.
 
     `animate(t)` is called before each frame with the frame index —
-    the setInterval-animation analogue.
+    the setInterval-animation analogue. When FLEXLIGHT_SETTINGS names a
+    file, persisted knobs are restored before the run and saved after
+    (the loader.js localStorage analogue).
     """
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else default_frames
     size = int(sys.argv[2]) if len(sys.argv) > 2 else default_size
     out = sys.argv[3] if len(sys.argv) > 3 else f"{name}_out.png"
+    persist = os.environ.get("FLEXLIGHT_SETTINGS")
+    if persist:
+        from flexlight_tpu.utils.settings import apply_settings
+
+        apply_settings(engine, persist)
     engine.canvas = (size, size)
     engine.renderer.render()
     img = None
@@ -46,5 +53,10 @@ def run(engine: FlexLight, name: str, default_frames: int = 4,
             engine.renderer.update_primary_light_sources()
         img = engine.renderer.render_frame()
     write_png(out, img)
+    if persist:
+        from flexlight_tpu.utils.settings import save_settings
+
+        save_settings(engine.config, renderer=engine.renderer.type,
+                      path=persist)
     print(f"wrote {out}  fps={engine.renderer.fps:.2f}")
     return img

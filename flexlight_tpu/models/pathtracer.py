@@ -307,6 +307,9 @@ class PathTracer:
             width=self.width, height=self.height, config=self.config,
             scheme=self._resolved_scheme(), tile=self.tile)
 
+        from ..utils.debug import assert_finite
+
+        assert_finite((display, self._temporal_state), "pathtracer.frame")
         self._frame_count += 1
         self._fps_frames += 1
         now = time.perf_counter()

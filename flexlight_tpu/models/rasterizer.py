@@ -363,6 +363,9 @@ class Rasterizer:
             self._buffers, jnp.asarray(self.camera.position), jnp.asarray(view),
             self._taa_state, width=self.width, height=self.height,
             config=self.config, scheme=scheme, tile=self.tile, layers=layers)
+        from ..utils.debug import assert_finite
+
+        assert_finite(display, "rasterizer.frame")
         self._fps_frames += 1
         now = time.perf_counter()
         self._last_frame_time = now

@@ -457,7 +457,8 @@ def block_untile(x, rows: int, width: int, bh: int, bw: int):
 def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                view_matrix, config, random_seed, scheme: str = "scan",
                tile: int = 1024, row0=0, rows: int | None = None,
-               sample_offset=0.0, local_samples: int | None = None) -> MRT:
+               sample_offset=0.0, local_samples: int | None = None,
+               with_raw_aux: bool = False):
     """Full primary+bounce render to the 6-channel MRT contract
     (glsl:601-646). Returns flat [N=rows*W] per-pixel outputs.
 
@@ -465,6 +466,11 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     `local_samples` render a slice of the per-pixel sample loop (sample
     sharding): global sample index i uses cos(i) as its noise phase
     (glsl:611-612), so shards pass sample_offset = axis_index * local.
+
+    `with_raw_aux` additionally returns (original_rme_x, first_ray_length)
+    unmixed: MRT.original_w folds them as min(rme, frl) (glsl:635), but
+    rme sums across samples while frl is a running min, so sample shards
+    must combine the raw channels before folding (parallel.tile_sharding).
     """
     world_geom = world_geometry(buffers)
 
@@ -683,4 +689,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         mrt = _jax.tree.map(
             lambda x: block_untile(x, n_rows, width, bh, bw), mrt)
+    if with_raw_aux:
+        raw = (original_rme_x, first_ray_length)
+        if blocked:
+            raw = tuple(block_untile(x, n_rows, width, bh, bw) for x in raw)
+        return mrt, raw
     return mrt

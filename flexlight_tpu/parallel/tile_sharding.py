@@ -55,25 +55,51 @@ def render_mrt_sharded(buffers, width: int, height: int, camera_pos,
     def shard_fn(buffers, camera_pos, view_matrix, random_seed):
         ti = jax.lax.axis_index("tile")
         si = jax.lax.axis_index("sample")
-        mrt = render_mrt(
+        mrt, (rme_x, frl) = render_mrt(
             buffers, width, height, camera_pos, view_matrix, config,
             random_seed, scheme=scheme, tile=tile,
             row0=ti * rows_local, rows=rows_local,
             sample_offset=si.astype(jnp.float32) * samples_local,
-            local_samples=samples_local)
-        # Radiance: sum of per-shard partial averages == full average
-        color = jax.lax.psum(mrt.color, "sample")
-        # Aux channels follow the reference's sequential-sample semantics;
-        # take the first sample shard's values (exact when n_sample == 1).
-        first = (si == 0).astype(jnp.float32)
-        aux = jax.tree.map(
-            lambda x: jax.lax.psum(x * (first if x.ndim == 1 else first[..., None]),
-                                   "sample"),
-            MRT(color=mrt.color, glass=mrt.glass,
-                original_color=mrt.original_color, original_w=mrt.original_w,
-                render_id=mrt.render_id, original_id_w=mrt.original_id_w,
-                location_id=mrt.location_id, alpha=mrt.alpha))
-        out = aux._replace(color=color)
+            local_samples=samples_local, with_raw_aux=True)
+
+        # Cross-sample combine matching the reference's sequential sample
+        # loop over shader globals (glsl:84-89, 555-576):
+        #  - renderId.xyz, originalId.w base (originalTPOx is overwrite —
+        #    see below), glassFilter, originalRMEx: `+=` across samples
+        #  - originalColor, originalTPOx, renderId.w: overwritten each
+        #    sample -> the globally-last sample (shard n_sample-1) wins
+        #  - firstRayLength: running min across samples
+        # The coverage mask and location channels are sample-independent.
+        def sum_s(x):
+            return jax.lax.psum(x, "sample")
+
+        def last_s(x):
+            sel = (si == n_sample - 1).astype(x.dtype)
+            return jax.lax.psum(x * (sel if x.ndim == 1 else sel[..., None]),
+                                "sample")
+
+        color = sum_s(mrt.color)
+        glass = sum_s(mrt.glass)
+        cov = mrt.alpha > 0.0
+        # original_w = min(rme accumulated over ALL samples, min frl)
+        # (glsl:635) — folded here from the raw channels.
+        rme_total = sum_s(rme_x)
+        frl_min = jax.lax.pmin(frl, "sample")
+        original_w = jnp.where(
+            cov, jnp.minimum(rme_total, frl_min) + np.float32(1.0 / 255.0), 0.0)
+        render_id = jnp.concatenate(
+            [sum_s(mrt.render_id[..., 0:3]), last_s(mrt.render_id[..., 3:4])],
+            axis=-1)
+        out = MRT(
+            color=color,
+            glass=glass,
+            original_color=last_s(mrt.original_color),
+            original_w=original_w,
+            render_id=render_id,
+            original_id_w=last_s(mrt.original_id_w),
+            location_id=last_s(mrt.location_id),
+            alpha=last_s(mrt.alpha),
+        )
         # Assemble image strips across the tile axis (ICI all_gather)
         return jax.tree.map(
             lambda x: jax.lax.all_gather(x, "tile", axis=0, tiled=True), out)

@@ -3,33 +3,38 @@
 The reference filters (pathtracer_{first,second,final}_filter.glsl) take
 37 disc taps at per-pixel offsets ``ivec2(stencil * scale(pixel))`` — a
 dynamic gather, which on TPU runs at ~2.5 cycles/row (77M rows per 1080p
-pass). These kernels replace the gather with an exact decomposition: the
-offset of tap ``k`` is ``trunc(s_k * scale)`` with ``scale`` bounded per
-filter, so each tap can only land on a small set of integer offsets (the
-staircase of its stencil ray). Enumerating all (tap, offset) pairs at
-trace time, a pair's contribution is
+pass). These kernels replace the gather with an exact decomposition over
+the *integer offsets* the stencil can produce: ``scale`` is bounded per
+filter, so tap ``k``'s offset ``trunc(s_k * scale)`` ranges over a small
+static set (the staircase of its stencil ray). Enumerating the distinct
+reachable offsets at trace time, the contribution of offset ``o`` is
 
-    mask = (trunc(sy*scale) == oy) & (trunc(sx*scale) == ox)
-    acc += where(mask, gate(center, img[p + (oy,ox)]) * contrib, 0)
+    w    = #taps k with trunc(s_k * scale) == o      (per-pixel count)
+    acc += gate(center, img[p + o]) * w * contrib(img[p + o])
 
-i.e. a *static* shifted read + select — the TPU-fast form. The kernel
-keeps an image tile + halo resident in VMEM, realizes each shifted read
-as two in-register rotates (``pltpu.roll``; dynamic sublane/lane slices
-need 8/128-aligned starts, rotate+static-slice does not), and skips
-pairs whose scale interval does not intersect the tile's [min, max]
-scale range (same flag-skipping idea as ops.intersect_kernel).
+(the reference's gate depends only on the neighbor pixel, never the tap,
+so taps landing on the same offset share one gated read). Each offset is
+a *compile-time constant*, so the shifted read is a static VMEM slice —
+the TPU-fast form; no dynamic rolls. The tap counts come from shared
+"staircase" arrays ``trunc(s * scale)`` computed once per tile for the
+few distinct stencil magnitudes (s ∈ {1, 2, 3}), making each tap test two
+integer compares. Offsets whose scale interval does not intersect the
+tile's [min, max] scale range are skipped at run time (same flag-skipping
+idea as ops.intersect_kernel); the first filter additionally excludes its
+passthrough pixels (originalColor.w == 0, first_filter.glsl:96-98) from
+the tile range, so fully-passthrough tiles skip every offset.
 
 Every filter input is an rgba8-quantized image (values k/255 — the
 reference stores every pass in RGBA8 textures), so the four channels
-pack losslessly into one int32 per pixel: the per-pair rotates move 5
-packed channels instead of 20 floats, and the reference's id-equality
+pack losslessly into one int32 per pixel; the reference's id-equality
 gates become single integer compares. Bytes unpack back to the exact
 quantized floats (k * f32(1/255)), so the arithmetic is unchanged.
 
-Pairs iterate in tap order, so per pixel the accumulation visits taps in
-the same order as the reference's in-shader loop; only reduction
-associativity differs from the jnp gather path (which tree-reduces), and
-outputs are rgba8-quantized between passes, absorbing that.
+vs the reference's per-tap loop, two float deviations remain, both
+absorbed by the rgba8 quantization between passes: the tree-reduction
+order of the accumulator differs, and coincident taps add ``w * x``
+instead of ``x + ... + x`` (≤1 ulp, only when several taps truncate onto
+one offset).
 
 Layout: packed channels-first [5, H, W] int32 with zero halo padding
 (zero = rgba 0, matching the gather path's zero out-of-bounds).
@@ -84,7 +89,7 @@ def _byte_f(x: jnp.ndarray, i: int) -> jnp.ndarray:
 
 
 def _rgb_f(x: jnp.ndarray) -> jnp.ndarray:
-    """[TY, TX] packed -> [3, TY, TX] quantized floats."""
+    """[...] packed -> [3, ...] quantized floats."""
     return jnp.stack([_byte_f(x, 0), _byte_f(x, 1), _byte_f(x, 2)], axis=0)
 
 
@@ -107,162 +112,299 @@ def _halo_ry(r: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def _pair_table(stencil_key: str, smin: float, smax: float):
-    """Enumerate (tap, offset) pairs: all integer offsets each stencil tap
-    can produce for scale in [smin, smax], with the scale interval over
-    which it produces them.
+def _offset_table(stencil_key: str, smin: float, smax: float):
+    """Enumerate the distinct integer offsets the scaled stencil can
+    produce for scale in [smin, smax].
 
-    Pairs are sorted by row offset ``oy`` so the kernel can hoist the
-    (expensive, full-window) sublane roll to once per oy-group; the head
-    pair of each group carries the group's union scale interval for
-    group-level skipping.
+    Each tap's offset trunc(s * scale) is a monotone staircase of scale,
+    so a tap reaches each offset over one contiguous scale interval; the
+    table records, per offset, the taps that can reach it and the union
+    of their intervals (used only for conservative run-time skipping —
+    the in-kernel tap masks are exact).
 
-    Returns (pairs_i [P,3] int32 (oy, ox, is_group_head),
-    pairs_f [P,8] f32 (sy, sx, oyf, oxf, lo, hi, group_lo, group_hi),
-    max_radius)."""
+    Returns (entries, max_radius, svals): entries = tuple of
+    (oy, ox, union_lo, union_hi, taps) sorted by (oy, ox) with taps a
+    tuple of (sy, sx, tap_lo, tap_hi); svals = distinct |s| stencil
+    magnitudes."""
     stencil = {"disc37": STENCIL3, "disc36": STENCIL3_NO_CENTER}[stencil_key]
     ts = np.linspace(smin, smax, 400001).astype(np.float32)
-    raw = []
+    margin = float(ts[1] - ts[0]) * 2.0
+    offs = {}
     max_r = 0
     for sy, sx in stencil.astype(np.float32):
         dy = np.trunc(sy * ts).astype(np.int64)
         dx = np.trunc(sx * ts).astype(np.int64)
         code = dy * 100000 + dx
-        # first/last scale at which this tap yields each offset
         change = np.flatnonzero(np.diff(code)) + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change - 1, [len(ts) - 1]])
-        margin = float(ts[1] - ts[0]) * 2.0
         for s0, s1 in zip(starts, ends):
             oy, ox = int(dy[s0]), int(dx[s0])
-            raw.append((oy, ox, float(sy), float(sx),
-                        float(ts[s0]) - margin, float(ts[s1]) + margin))
+            lo, hi = float(ts[s0]) - margin, float(ts[s1]) + margin
+            e = offs.setdefault((oy, ox), [np.inf, -np.inf, []])
+            e[0] = min(e[0], lo)
+            e[1] = max(e[1], hi)
+            e[2].append((int(sy), int(sx), lo, hi))
             max_r = max(max_r, abs(oy), abs(ox))
-    raw.sort(key=lambda r: (r[0], r[1], r[4]))
-    groups = {}
-    for oy, ox, sy, sx, lo, hi in raw:
-        g = groups.setdefault(oy, [np.inf, -np.inf])
-        g[0] = min(g[0], lo)
-        g[1] = max(g[1], hi)
-    pairs_i, pairs_f = [], []
-    prev_oy = None
-    for oy, ox, sy, sx, lo, hi in raw:
-        head = 1 if oy != prev_oy else 0
-        prev_oy = oy
-        glo, ghi = groups[oy]
-        pairs_i.append((oy, ox, head))
-        pairs_f.append((sy, sx, float(oy), float(ox), lo, hi, glo, ghi))
-    return (np.array(pairs_i, dtype=np.int32),
-            np.array(pairs_f, dtype=np.float32), max_r)
+    entries = tuple(
+        (oy, ox, lo, hi, tuple(taps))
+        for (oy, ox), (lo, hi, taps) in sorted(offs.items()))
+    svals = tuple(sorted({abs(int(s)) for s in stencil.flatten() if s != 0}))
+    return entries, max_r, svals
 
 
-def _disc_kernel(pairs_i_ref, pairs_f_ref, tlohi_ref, win_ref, *refs,
-                 scale_fn, init_fn, update_fn, finish_fn, n_pairs: int,
-                 ry: int, rx: int):
-    """Generic disc pass: out refs, then [A, TY, TX] f32 accumulator and
-    [5, TY, TXW] int32 row scratch.
+@lru_cache(maxsize=None)
+def _banded_entries(stencil_key: str, smin: float, smax: float,
+                    edges: tuple):
+    """Partition the offset table into scale bands [e_i, e_{i+1}).
 
-    Pairs arrive sorted by oy; the sublane roll (full [5, TYW, TXW]
-    window — the expensive move) runs once per oy-group into row_ref,
-    skipped when the group's union scale interval misses the tile. Pairs
-    then only lane-roll the [5, TY, TXW] row."""
-    acc_ref = refs[-2]
-    row_ref = refs[-1]
-    out_refs = refs[:-2]
+    A tap joins every band its scale interval intersects; the per-pixel
+    band-membership mask applied in the kernel makes each (pixel, tap)
+    fire in exactly one band, so the bands' partial accumulators sum to
+    the unbanded result. Returns a list of (band_lo, band_hi, entries)."""
+    entries, _, _ = _offset_table(stencil_key, smin, smax)
+    cuts = [-np.inf] + list(edges) + [np.inf]
+    bands = []
+    for blo, bhi in zip(cuts[:-1], cuts[1:]):
+        clo = max(blo, smin)
+        chi = min(bhi, smax)
+        band = []
+        for oy, ox, _, _, taps in entries:
+            kept = tuple(t for t in taps if t[2] < chi and t[3] > clo)
+            if kept:
+                ulo = min(t[2] for t in kept)
+                uhi = max(t[3] for t in kept)
+                band.append((oy, ox, max(ulo, blo), min(uhi, bhi), kept))
+        bands.append((blo, bhi, tuple(band)))
+    return bands
+
+
+def _group_by_oy(entries):
+    """entries (sorted by (oy, ox)) -> [(oy, lo, hi, [(ox, lo, hi, taps)])]
+    with per-group union intervals, for the row-hoisted kernel loop."""
+    groups = []
+    for oy, ox, lo, hi, taps in entries:
+        if not groups or groups[-1][0] != oy:
+            groups.append([oy, lo, hi, []])
+        g = groups[-1]
+        g[1] = min(g[1], lo)
+        g[2] = max(g[2], hi)
+        g[3].append((ox, lo, hi, taps))
+    return [(oy, lo, hi, tuple(items)) for oy, lo, hi, items in groups]
+
+
+class _Nb:
+    """Lane slicer over one hoisted window row, handed to update fns."""
+
+    __slots__ = ("_row", "_planes", "_x", "_tx")
+
+    def __init__(self, row, planes, ox, rx, tx):
+        self._row = row
+        self._planes = planes
+        self._x = rx + ox
+        self._tx = tx
+
+    def ch(self, c: int):
+        """Packed int32 channel c of the row at this lane offset."""
+        return self._row[c, :, self._x:self._x + self._tx]
+
+    def plane(self, k: int):
+        """Prepared row plane k ([ty, TXW] or [C, ty, TXW]) at this offset."""
+        return self._planes[k][..., self._x:self._x + self._tx]
+
+
+def _gated_weight(gate, w):
+    """Per-pixel f32 multiplicity of gated taps. ``w`` is None (exactly
+    one always-firing tap), bool (one conditional tap) or f32 (count)."""
+    if w is None:
+        return gate.astype(jnp.float32)
+    if w.dtype == jnp.bool_:
+        return (gate & w).astype(jnp.float32)
+    return jnp.where(gate, w, 0.0)
+
+
+def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
+                 init_fn, update_fn, finish_fn, entries, svals,
+                 ry: int, rx: int, ty: int, tx: int, band=None):
+    """Generic disc pass: out refs, then [A, ty, tx] f32 accumulator.
+
+    The offset loop is fully unrolled at trace time, hoisted by row: each
+    active oy-group loads its window row once (one static ref slice) and
+    unpacks its prep planes; each active offset then takes static lane
+    slices of that row — the TPU-fast shifted-read form. Tap tests are
+    two compares against the shared staircase arrays. Groups and offsets
+    are predicated on the tile's scale range. (Slicing rows from the ref
+    per group, instead of hundreds of distinct 2-D slices from one big
+    window value, is what keeps Mosaic compile time linear.)"""
+    acc_ref = refs[-1]
+    out_refs = refs[:-1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    win = win_ref[:]                               # [5, TYW, TXW] int32
-    center = win[:, ry:ry + TY, rx:rx + TX]        # [5, TY, TX]
-    scale = scale_fn(center)                       # [TY, TX] f32
+    center = win_ref[:, ry:ry + ty, rx:rx + tx]    # [5, ty, tx]
+    scale = scale_fn(center)                       # [ty, tx] f32
     acc_ref[:] = init_fn(center)
+    ctx = ctx_fn(center)
 
-    tyw = win.shape[1]
-    txw = win.shape[2]
+    # staircases trunc(s * scale) for the distinct stencil magnitudes;
+    # trunc(-s * scale) == -trunc(s * scale) (GLSL float->int truncates
+    # toward zero), so negatives reuse them with a negated target.
+    stair = {s: jnp.trunc(np.float32(s) * scale) for s in svals}
     tmin = tlohi_ref[i, j, 0]
     tmax = tlohi_ref[i, j, 1]
+    # scale-band membership: each (pixel, tap) fires in exactly one band
+    # of a banded run (see _banded_entries)
+    bandm = None
+    if band is not None:
+        blo, bhi = band
+        if np.isfinite(blo) and np.isfinite(bhi):
+            bandm = (scale >= np.float32(blo)) & (scale < np.float32(bhi))
+        elif np.isfinite(bhi):
+            bandm = scale < np.float32(bhi)
+        elif np.isfinite(blo):
+            bandm = scale >= np.float32(blo)
 
-    def body(p, _):
-        active_group = (tmax >= pairs_f_ref[p, 6]) & (tmin <= pairs_f_ref[p, 7])
+    def axis_mask(s: int, o: int):
+        if s == 0:
+            return o == 0  # static: zero-component taps only reach o == 0
+        if s > 0:
+            return stair[s] == np.float32(o)
+        return stair[-s] == np.float32(-o)
 
-        @pl.when((pairs_i_ref[p, 2] != 0) & active_group)
-        def _():
-            oy = pairs_i_ref[p, 0]
-            # negative dynamic rotates miscompile on sublanes; cyclic
-            # equivalence keeps shifts non-negative
-            sh_y = jnp.where(oy > 0, tyw - oy, -oy)
-            row_ref[:] = pltpu.roll(win, sh_y, axis=1)[:, ry:ry + TY, :]
+    for oy, grp_lo, grp_hi, items in _group_by_oy(entries):
+        @pl.when((tmax >= grp_lo) & (tmin <= grp_hi))
+        def _(oy=oy, items=items):
+            row = win_ref[:, ry + oy:ry + oy + ty, :]   # [5, ty, TXW]
+            planes = prep_fn(row)
+            for ox, olo, ohi, taps in items:
+                @pl.when((tmax >= olo) & (tmin <= ohi))
+                def _(ox=ox, taps=taps, row=row, planes=planes):
+                    masks = []
+                    for sy, sx, _tlo, _thi in taps:
+                        my = axis_mask(sy, oy)
+                        mx = axis_mask(sx, ox)
+                        if my is False or mx is False:
+                            continue
+                        if my is True and mx is True:
+                            masks.append(None)
+                        elif my is True:
+                            masks.append(mx)
+                        elif mx is True:
+                            masks.append(my)
+                        else:
+                            masks.append(my & mx)
+                    if not masks:
+                        return
+                    if len(masks) == 1:
+                        w = masks[0]
+                    else:
+                        # None = always-firing tap (s == 0 both axes): 1
+                        const = float(sum(1 for m in masks if m is None))
+                        arrs = [m.astype(jnp.float32) for m in masks
+                                if m is not None]
+                        w = arrs[0] if arrs else jnp.zeros_like(scale)
+                        for m in arrs[1:]:
+                            w = w + m
+                        if const:
+                            w = w + np.float32(const)
+                    if bandm is not None:
+                        if w is None:
+                            w = bandm
+                        elif w.dtype == jnp.bool_:
+                            w = w & bandm
+                        else:
+                            w = jnp.where(bandm, w, 0.0)
+                    nb = _Nb(row, planes, ox, rx, tx)
+                    acc_ref[:] = update_fn(acc_ref[:], ctx, nb, w)
 
-        lo = pairs_f_ref[p, 4]
-        hi = pairs_f_ref[p, 5]
-
-        @pl.when((tmax >= lo) & (tmin <= hi))
-        def _():
-            mask = ((jnp.trunc(pairs_f_ref[p, 0] * scale) == pairs_f_ref[p, 2])
-                    & (jnp.trunc(pairs_f_ref[p, 1] * scale) == pairs_f_ref[p, 3]))
-            ox = pairs_i_ref[p, 1]
-            sh_x = jnp.where(ox > 0, txw - ox, -ox)
-            nb = pltpu.roll(row_ref[:], sh_x, axis=2)[:, :, rx:rx + TX]
-            acc_ref[:] = update_fn(acc_ref[:], center, nb, mask)
-        return 0
-
-    lax.fori_loop(0, n_pairs, body, 0, unroll=False)
     outs = finish_fn(acc_ref[:], center)
     for ref, val in zip(out_refs, outs):
         ref[:] = val
 
 
 def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
-              scale_fn, init_fn, update_fn, finish_fn, interpret: bool = False):
+              scale_fn, prep_fn, ctx_fn, init_fn, update_fn, finish_fn,
+              valid_fn=None, interpret: bool = False,
+              ty: int = TY, tx: int = TX, band_edges=None):
     """Drive a disc-filter kernel over packed rgba8 images.
 
     imgs_hwc: (ids, oid, color, ip, ocolor) as [H, W, 4] quantized f32.
+    valid_fn: optional per-pixel predicate over the packed image selecting
+    pixels whose blur output is actually consumed; excluded pixels do not
+    widen the tile scale range (their output must not depend on acc).
+    ty/tx: tile shape — smaller ty tightens the per-tile scale range (more
+    offset skipping) at the cost of halo overhead.
+    band_edges: split the offset table into scale bands compiled as
+    separate kernels (bounds Mosaic code size for wide-scale filters);
+    the band partials sum in XLA and finish_fn runs there.
     Returns one [H, W, c] f32 output per out_chs entry."""
     h, w = imgs_hwc[0].shape[0], imgs_hwc[0].shape[1]
-    pairs_i_np, pairs_f_np, max_r = _pair_table(stencil_key, *bounds)
+    entries, max_r, svals = _offset_table(stencil_key, *bounds)
     ry = _halo_ry(max_r)
     rx = RX
     assert max_r <= rx, (max_r, rx)
-    n_pairs = pairs_i_np.shape[0]
 
-    hp = -(-h // TY) * TY
-    wp = -(-w // TX) * TX
+    hp = -(-h // ty) * ty
+    wp = -(-w // tx) * tx
     packed = jnp.stack([pack_rgba8(im) for im in imgs_hwc], axis=0)  # [5,H,W]
     padded = jnp.pad(packed, ((0, 0), (ry, ry + hp - h), (rx, rx + wp - w)))
 
-    # per-tile scale range for pair skipping (zero-padding keeps scale
+    # per-tile scale range for offset skipping (zero-padding keeps scale
     # finite; extra activity on edge tiles is harmless)
-    scale_full = scale_fn(jnp.pad(packed, ((0, 0), (0, hp - h), (0, wp - w))))
-    s_tiles = scale_full.reshape(hp // TY, TY, wp // TX, TX)
-    tlohi = jnp.stack([s_tiles.min(axis=(1, 3)), s_tiles.max(axis=(1, 3))],
-                      axis=-1)
+    packed_full = jnp.pad(packed, ((0, 0), (0, hp - h), (0, wp - w)))
+    scale_full = scale_fn(packed_full)
+    if valid_fn is not None:
+        valid = valid_fn(packed_full)
+        s_min = jnp.where(valid, scale_full, np.float32(np.inf))
+        s_max = jnp.where(valid, scale_full, -np.float32(np.inf))
+    else:
+        s_min = s_max = scale_full
+    s_min = s_min.reshape(hp // ty, ty, wp // tx, tx).min(axis=(1, 3))
+    s_max = s_max.reshape(hp // ty, ty, wp // tx, tx).max(axis=(1, 3))
+    tlohi = jnp.stack([s_min, s_max], axis=-1)
 
-    grid = (hp // TY, wp // TX)
-    out_shape = [jax.ShapeDtypeStruct((oc, hp, wp), jnp.float32)
-                 for oc in out_chs]
-    out_specs = [pl.BlockSpec((oc, TY, TX), lambda i, j, *_: (0, i, j))
-                 for oc in out_chs]
-    tyw, txw = TY + 2 * ry, TX + 2 * rx
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=grid,
-        in_specs=[pl.BlockSpec(
-            (pl_core.Element(5), pl_core.Element(tyw), pl_core.Element(txw)),
-            lambda i, j, *_: (0, i * TY, j * TX))],
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((n_acc, TY, TX), jnp.float32),
-                        pltpu.VMEM((5, TY, txw), jnp.int32)],
-    )
-    outs = pl.pallas_call(
-        partial(_disc_kernel, scale_fn=scale_fn, init_fn=init_fn,
-                update_fn=update_fn, finish_fn=finish_fn, n_pairs=n_pairs,
-                ry=ry, rx=rx),
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=interpret,
-    )(jnp.asarray(pairs_i_np), jnp.asarray(pairs_f_np), tlohi, padded)
+    grid = (hp // ty, wp // tx)
+    tyw, txw = ty + 2 * ry, tx + 2 * rx
+
+    def call(kernel_entries, band, chans, kinit, kfinish):
+        out_shape = [jax.ShapeDtypeStruct((oc, hp, wp), jnp.float32)
+                     for oc in chans]
+        out_specs = [pl.BlockSpec((oc, ty, tx), lambda i, j, *_: (0, i, j))
+                     for oc in chans]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pl.BlockSpec(
+                (pl_core.Element(5), pl_core.Element(tyw), pl_core.Element(txw)),
+                lambda i, j, *_: (0, i * ty, j * tx))],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((n_acc, ty, tx), jnp.float32)],
+        )
+        return pl.pallas_call(
+            partial(_disc_kernel, scale_fn=scale_fn, prep_fn=prep_fn,
+                    ctx_fn=ctx_fn, init_fn=kinit, update_fn=update_fn,
+                    finish_fn=kfinish, entries=kernel_entries, svals=svals,
+                    ry=ry, rx=rx, ty=ty, tx=tx, band=band),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(tlohi, padded)
+
+    if band_edges is None:
+        outs = call(entries, None, out_chs, init_fn, finish_fn)
+    else:
+        bands = _banded_entries(stencil_key, *bounds, tuple(band_edges))
+        zero_init = lambda c: jnp.zeros((n_acc,) + c.shape[1:], jnp.float32)
+        emit_acc = lambda acc, c: (acc,)
+        acc = init_fn(packed_full)
+        for blo, bhi, bentries in bands:
+            if not bentries:
+                continue
+            acc = acc + call(bentries, (blo, bhi), (n_acc,),
+                             zero_init, emit_acc)[0]
+        outs = finish_fn(acc, packed_full)
     return [jnp.transpose(o, (1, 2, 0))[:h, :w] for o in outs]
 
 
@@ -274,22 +416,38 @@ def _first_scale(center):
     return (1.0 + _byte_f(center[OCOLOR], 3)) ** 2 * 3.5
 
 
+def _first_valid(packed):
+    # originalColor.w == 0 pixels pass through (first_filter.glsl:96-98);
+    # their blur accumulator is never read.
+    return _byte_i(packed[OCOLOR], 3) != 0
+
+
+def _first_prep(win):
+    # window planes: blurred contribution + the light/shadow key halves of
+    # id.w (first_filter.glsl:104: skip taps whose shadow bit disagrees
+    # within the same light index)
+    contrib = _rgb_f(win[COLOR]) + _rgb_f(win[IP]) * 256.0
+    idw = _byte_i(win[ID], 3)
+    return (contrib, idw >> 1, idw & 1)
+
+
+def _first_ctx(center):
+    c_idw = _byte_i(center[ID], 3)
+    return (center[ID], center[OID], c_idw >> 1, c_idw & 1)
+
+
 def _first_init(center):
     return jnp.zeros((4,) + center.shape[1:], jnp.float32)
 
 
-def _first_update(acc, center, nb, mask):
-    c_id = center[ID]
-    c_idw = _byte_i(c_id, 3)
-    gate = (_xyz_eq(nb[ID], c_id)
-            & (nb[OID] == center[OID])
-            & (((c_idw >> 1) != (_byte_i(nb[ID], 3) >> 1))
-               | ((c_idw & 1) == (_byte_i(nb[ID], 3) & 1)))
-            & mask)
-    contrib = _rgb_f(nb[COLOR]) + _rgb_f(nb[IP]) * 256.0
-    gf = gate.astype(jnp.float32)
+def _first_update(acc, ctx, nb, w):
+    c_id, c_oid, c_hi, c_lo = ctx
+    gate = (_xyz_eq(nb.ch(ID), c_id)
+            & (nb.ch(OID) == c_oid)
+            & ((c_hi != nb.plane(1)) | (c_lo == nb.plane(2))))
+    wf = _gated_weight(gate, w)
     return acc + jnp.concatenate(
-        [jnp.where(gate[None], contrib, 0.0), gf[None]], axis=0)
+        [nb.plane(0) * wf[None], wf[None]], axis=0)
 
 
 def _first_finish(acc, center):
@@ -306,6 +464,13 @@ def _first_finish(acc, center):
     return (quantize_rgba8(new_color), quantize_rgba8(new_ip3))
 
 
+# The first filter's scale spans [3.5, 14] -> 705 reachable offsets; one
+# kernel at that size compiles for tens of minutes. Four scale bands keep
+# each kernel ~<=300 offsets; band partials sum exactly (per-pixel band
+# membership masks).
+FIRST_BAND_EDGES = (5.5, 8.0, 11.0)
+
+
 def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
     """first_filter with the dynamic disc blur in a Pallas kernel; the
     static-stencil vote repair stays in XLA (already fast there).
@@ -316,9 +481,10 @@ def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
     new_color, new_ip3 = _run_disc(
         (ids, oid, color, ip, ocolor), "disc37", FIRST_BOUNDS,
         n_acc=4, out_chs=(4, 3),
-        scale_fn=_first_scale, init_fn=_first_init,
-        update_fn=_first_update, finish_fn=_first_finish,
-        interpret=interpret)
+        scale_fn=_first_scale, prep_fn=_first_prep, ctx_fn=_first_ctx,
+        init_fn=_first_init, update_fn=_first_update,
+        finish_fn=_first_finish, valid_fn=_first_valid,
+        interpret=interpret, band_edges=FIRST_BAND_EDGES)
     sgn = jnp.sign(color[..., 3:4])
     ip_w = quantize_rgba8(sgn * render_ip_w[..., None])
     new_ip = jnp.concatenate([new_ip3, ip_w], axis=-1)
@@ -334,6 +500,19 @@ def _second_scale(center):
                                 + _byte_f(center[OID], 3) * 4.0)
 
 
+def _second_prep(win):
+    c = _rgba_f(win[COLOR])
+    contrib = jnp.concatenate([c[0:3] + _rgb_f(win[IP]) * 256.0, c[3:4]],
+                              axis=0)
+    return (contrib, _byte_f(win[IP], 3), _byte_f(win[OID], 3),
+            _rgba_f(win[OCOLOR]))
+
+
+def _second_ctx(center):
+    return (center[ID], center[OID], _byte_f(center[IP], 3),
+            _byte_f(center[OID], 3))
+
+
 def _second_init(center):
     c_color = _rgba_f(center[COLOR])
     c_ip = _rgba_f(center[IP])
@@ -346,29 +525,27 @@ def _second_init(center):
         [acc_color, ones, c_ip[3:4], c_ocolor, ones], axis=0)
 
 
-def _second_update(acc, center, nb, mask):
-    c_id = center[ID]
-    c_oid = center[OID]
-    c_ipw = _byte_f(center[IP], 3)
-    b_ipw = _byte_f(nb[IP], 3)
+def _second_update(acc, ctx, nb, w):
+    c_id, c_oid, c_ipw, c_oidw = ctx
+    b_id = nb.ch(ID)
+    b_ipw = nb.plane(1)
 
-    oid_xyz = _xyz_eq(nb[OID], c_oid)
-    full_id = nb[ID] == c_id
-    id_xyz = _xyz_eq(nb[ID], c_id)
-    glassy = ((jnp.minimum(_byte_f(c_oid, 3), _byte_f(nb[OID], 3)) > 0.1)
+    oid_xyz = _xyz_eq(nb.ch(OID), c_oid)
+    full_id = b_id == c_id
+    id_xyz = _xyz_eq(b_id, c_id)
+    glassy = ((jnp.minimum(c_oidw, nb.plane(2)) > 0.1)
               & (full_id | (jnp.maximum(b_ipw, c_ipw) >= 0.1)))
-    branch_a = oid_xyz & glassy & mask
-    add_color = branch_a | (oid_xyz & ~glassy & id_xyz & mask)
+    branch_a = oid_xyz & glassy
+    add_color = branch_a | (oid_xyz & ~glassy & id_xyz)
 
-    b_color = _rgba_f(nb[COLOR])
-    contrib = jnp.concatenate(
-        [b_color[0:3] + _rgb_f(nb[IP]) * 256.0, b_color[3:4]], axis=0)
+    wa = _gated_weight(branch_a, w)
+    wc = _gated_weight(add_color, w)
     return acc + jnp.concatenate([
-        jnp.where(add_color[None], contrib, 0.0),
-        add_color[None].astype(jnp.float32),
-        jnp.where(branch_a, b_ipw, 0.0)[None],
-        jnp.where(branch_a[None], _rgba_f(nb[OCOLOR]), 0.0),
-        branch_a[None].astype(jnp.float32),
+        nb.plane(0) * wc[None],
+        wc[None],
+        (b_ipw * wa)[None],
+        nb.plane(3) * wa[None],
+        wa[None],
     ], axis=0)
 
 
@@ -390,9 +567,9 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc36", SECOND_BOUNDS,
         n_acc=11, out_chs=(4, 4, 4),
-        scale_fn=_second_scale, init_fn=_second_init,
-        update_fn=_second_update, finish_fn=_second_finish,
-        interpret=interpret)
+        scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
+        init_fn=_second_init, update_fn=_second_update,
+        finish_fn=_second_finish, interpret=interpret)
     return outs[0], outs[1], outs[2]
 
 
@@ -405,26 +582,35 @@ def _final_scale(center):
                                 + _byte_f(center[OID], 3) * 4.0)
 
 
+def _final_prep(win):
+    # 255, not 256 (final_filter.glsl:51)
+    contrib = _rgba_f(win[COLOR]) + _rgba_f(win[IP]) * 255.0
+    return (contrib, _byte_f(win[IP], 3), _byte_f(win[OID], 3),
+            _rgb_f(win[OCOLOR]))
+
+
+def _final_ctx(center):
+    return (center[ID], center[OID], _byte_f(center[IP], 3),
+            _byte_f(center[OID], 3))
+
+
 def _final_init(center):
     return jnp.zeros((9,) + center.shape[1:], jnp.float32)
 
 
-def _final_update(acc, center, nb, mask):
-    c_ipw = _byte_f(center[IP], 3)
-    blur_tr = ((jnp.maximum(_byte_f(nb[IP], 3), c_ipw) != 0.0)
-               & (jnp.minimum(_byte_f(center[OID], 3), _byte_f(nb[OID], 3)) > 0.0))
-    oid_xyz = _xyz_eq(nb[OID], center[OID])
-    id_xyz = _xyz_eq(nb[ID], center[ID])
-    o_gate = blur_tr & oid_xyz & mask
-    c_gate = (blur_tr | id_xyz) & oid_xyz & mask
-
-    # 255, not 256 (final_filter.glsl:51)
-    contrib = _rgba_f(nb[COLOR]) + _rgba_f(nb[IP]) * 255.0
+def _final_update(acc, ctx, nb, w):
+    c_id, c_oid, c_ipw, c_oidw = ctx
+    blur_tr = ((jnp.maximum(nb.plane(1), c_ipw) != 0.0)
+               & (jnp.minimum(c_oidw, nb.plane(2)) > 0.0))
+    oid_xyz = _xyz_eq(nb.ch(OID), c_oid)
+    id_xyz = _xyz_eq(nb.ch(ID), c_id)
+    wo = _gated_weight(blur_tr & oid_xyz, w)
+    wc = _gated_weight((blur_tr | id_xyz) & oid_xyz, w)
     return acc + jnp.concatenate([
-        jnp.where(c_gate[None], contrib, 0.0),
-        c_gate[None].astype(jnp.float32),
-        jnp.where(o_gate[None], _rgb_f(nb[OCOLOR]), 0.0),
-        o_gate[None].astype(jnp.float32),
+        nb.plane(0) * wc[None],
+        wc[None],
+        nb.plane(3) * wo[None],
+        wo[None],
     ], axis=0)
 
 
@@ -450,7 +636,7 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc37", FINAL_BOUNDS,
         n_acc=9, out_chs=(3,),
-        scale_fn=_final_scale, init_fn=_final_init,
-        update_fn=_final_update, finish_fn=_final_finish_factory(hdr),
-        interpret=interpret)
+        scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
+        init_fn=_final_init, update_fn=_final_update,
+        finish_fn=_final_finish_factory(hdr), interpret=interpret)
     return outs[0]

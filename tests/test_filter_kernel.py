@@ -1,0 +1,109 @@
+"""Pallas disc-filter kernels vs the jnp gather oracle (interpret mode).
+
+Both paths quantize to rgba8 between passes, so agreement is exact up to
+summation-order sensitivity: the HDR fract/floor split (mod(x, 1) of a
+~100-magnitude accumulator, first_filter.glsl:121) amplifies 1-ulp
+reduction-order differences into isolated single-step (1/255) flips.
+The bound is therefore an outlier budget at exactly one quantization
+step, not an atol."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from flexlight_tpu.post import filter_kernel as K
+from flexlight_tpu.post import filters as F
+
+
+def _q(x):
+    return np.round(np.clip(x, 0, 1) * 255) / 255.0
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(7)
+    h, w = 40, 64
+    ids = jnp.asarray(_q(rng.uniform(0, 1, (6, 4)))[rng.integers(0, 6, (h, w))],
+                      jnp.float32)
+    oid = jnp.asarray(_q(rng.uniform(0, 1, (4, 4)))[rng.integers(0, 4, (h, w))],
+                      jnp.float32)
+    color = jnp.asarray(_q(rng.uniform(0, 1, (h, w, 4))), jnp.float32)
+    ip = jnp.asarray(_q(np.where(rng.uniform(size=(h, w, 4)) < 0.3,
+                                 rng.uniform(0, 0.3, (h, w, 4)), 0)), jnp.float32)
+    ocw = _q(np.where(rng.uniform(size=(h, w)) < 0.5,
+                      rng.uniform(0, 1, (h, w)), 0))
+    ocolor = jnp.asarray(
+        np.concatenate([_q(rng.uniform(0, 1, (h, w, 3))), ocw[..., None]], -1),
+        jnp.float32)
+    return color, ip, ocolor, ids, oid
+
+
+def _check(ref_outs, got_outs, budget=0.02):
+    if not isinstance(ref_outs, tuple):
+        ref_outs, got_outs = (ref_outs,), (got_outs,)
+    for i, (a, b) in enumerate(zip(ref_outs, got_outs)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert float(d.max()) <= 1.5 / 255.0, (i, d.max())
+        assert float((d > 1e-6).mean()) <= budget, (i, (d > 1e-6).mean())
+
+
+@pytest.mark.slow
+def test_first_filter_kernel_matches_gather(imgs):
+    color, ip, ocolor, ids, oid = imgs
+    _check(F.first_filter(color, ip, ocolor, ids, oid),
+           K.first_filter_tpu(color, ip, ocolor, ids, oid, interpret=True))
+
+
+@pytest.mark.slow
+def test_second_filter_kernel_matches_gather(imgs):
+    color, ip, ocolor, ids, oid = imgs
+    _check(F.second_filter(color, ip, ocolor, ids, oid),
+           K.second_filter_tpu(color, ip, ocolor, ids, oid, interpret=True))
+
+
+@pytest.mark.slow
+def test_final_filter_kernel_matches_gather(imgs):
+    color, ip, ocolor, ids, oid = imgs
+    _check(F.final_filter(color, ip, ocolor, ids, oid, hdr=True),
+           K.final_filter_tpu(color, ip, ocolor, ids, oid, True,
+                              interpret=True))
+
+
+def test_offset_table_covers_all_taps():
+    """Every (tap, scale) combination must map to exactly one table offset
+    whose tap list contains it — checked densely over the scale range."""
+    for key, (lo, hi) in [("disc37", K.FIRST_BOUNDS),
+                          ("disc36", K.SECOND_BOUNDS),
+                          ("disc37", K.FINAL_BOUNDS)]:
+        entries, max_r, _ = K._offset_table(key, lo, hi)
+        table = {}
+        for oy, ox, _, _, taps in entries:
+            for sy, sx, tlo, thi in taps:
+                table.setdefault((oy, ox), set()).add((sy, sx))
+        from flexlight_tpu.post.filters import STENCIL3, STENCIL3_NO_CENTER
+
+        stencil = STENCIL3 if key == "disc37" else STENCIL3_NO_CENTER
+        for s in np.linspace(lo, hi, 997, dtype=np.float32):
+            for sy, sx in stencil.astype(np.float32):
+                o = (int(np.trunc(sy * s)), int(np.trunc(sx * s)))
+                assert (int(sy), int(sx)) in table.get(o, set()), (key, s, o)
+
+
+def test_banded_entries_partition_taps():
+    """Band membership masks make each (pixel, tap) fire exactly once:
+    every tap interval must be covered by the union of its bands."""
+    bands = K._banded_entries("disc37", *K.FIRST_BOUNDS, K.FIRST_BAND_EDGES)
+    per_tap = {}
+    for blo, bhi, entries in bands:
+        for oy, ox, _, _, taps in entries:
+            for sy, sx, tlo, thi in taps:
+                per_tap.setdefault((oy, ox, sy, sx), []).append((blo, bhi))
+    full, _, _ = K._offset_table("disc37", *K.FIRST_BOUNDS)
+    for oy, ox, _, _, taps in full:
+        for sy, sx, tlo, thi in taps:
+            spans = per_tap[(oy, ox, sy, sx)]
+            lo = min(b[0] for b in spans)
+            hi = max(b[1] for b in spans)
+            assert lo <= tlo and hi >= thi, (oy, ox, sy, sx)

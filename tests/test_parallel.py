@@ -20,6 +20,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+@pytest.mark.slow
 def test_sharded_mrt_matches_single_chip():
     scene, camera = cornell_scene()
     buffers = build_scene_buffers(scene)
@@ -67,6 +68,7 @@ def test_halo_exchange_matches_padding():
         np.testing.assert_array_equal(out[i, 10:12], expected_bot)
 
 
+@pytest.mark.slow
 def test_sharded_halo_pipeline_matches_single_chip():
     """Full filter+FXAA pipeline, strips with ppermute halos vs one chip.
     Low roughness keeps the dynamic stencil radius within the halo, so the
@@ -101,6 +103,63 @@ def test_sharded_halo_pipeline_matches_single_chip():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
+def test_sample_sharded_aux_matches_sequential():
+    """Sample-axis sharding must reproduce the reference's sequential
+    sample-loop semantics on EVERY MRT channel: renderId.xyz / glass /
+    originalRMEx sum across samples, originalColor / originalTPOx /
+    renderId.w take the last sample, firstRayLength is a min — combined
+    in parallel.tile_sharding from the raw aux (glsl:84-89, 555-576)."""
+    scene, camera = cornell_scene()
+    # roughness/translucency variation makes the aux channels non-trivial
+    for group in scene.queue:
+        for obj in group:
+            obj.roughness = 0.4
+    buffers = build_scene_buffers(scene)
+    cfg = cornell_config(samples_per_ray=2, max_reflections=3)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    single = render_mrt(buffers, size, size, pos, view, cfg, 0.0)
+    mesh = make_mesh(4, 2)
+    sharded = render_mrt_sharded(buffers, size, size, pos, view, cfg, 0.0,
+                                 mesh)
+    for field in single._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(single, field)),
+            np.asarray(getattr(sharded, field)),
+            rtol=1e-4, atol=1e-5, err_msg=f"MRT channel {field}")
+
+
+@pytest.mark.slow
+def test_sample_sharded_full_pipeline_matches_single_chip():
+    """mesh (4 tile x 2 sample) full pipeline (temporal + filter, where
+    the aux channels are consumed) vs the single-chip pipeline."""
+    from flexlight_tpu.models.pathtracer import frame_pipeline
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    cfg = Config(temporal=True, temporal_samples=2, filter=True,
+                 antialiasing="fxaa", samples_per_ray=2, max_reflections=2)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    temporal = TemporalState.create(2, size, size)
+    taa = TAAState.create(size, size)
+    ref, _, _ = frame_pipeline(buffers, pos, view, jnp.float32(0.0),
+                               temporal, taa, width=size, height=size,
+                               config=cfg, scheme="scan")
+    mesh = make_mesh(4, 2)
+    got, _, _ = frame_pipeline_sharded(
+        buffers, pos, view, jnp.float32(0.0), temporal, taa,
+        width=size, height=size, config=cfg, mesh=mesh)
+    # rgba8 quantization between passes absorbs cross-shard fp reorder;
+    # allow isolated one-step flips only
+    diff = np.abs(np.asarray(got) - np.asarray(ref))
+    assert float((diff > 1.5 / 255.0).mean()) == 0.0, diff.max()
+    assert float((diff > 1e-6).mean()) < 0.02
+
+
 def test_sharded_full_pipeline_2d_mesh():
     scene, camera = cornell_scene()
     buffers = build_scene_buffers(scene)
@@ -121,6 +180,7 @@ def test_sharded_full_pipeline_2d_mesh():
     assert out.max() > 0.0
 
 
+@pytest.mark.slow
 def test_sharded_halo_taa_matches_single_chip():
     """TAA in the fully-sharded pipeline: the 3x3 clip-clamp runs over a
     1-row halo, history strips stay local — must match the single-chip

@@ -90,6 +90,7 @@ def test_second_and_final_filter_smoke():
     assert 0.05 < float(out[6, 6, 0]) < 1.0
 
 
+@pytest.mark.slow
 def test_fxaa_flat_image_unchanged():
     # Interior only: texelFetch out of bounds returns 0 (both here and in
     # WebGL2), so border pixels see artificial contrast — reference-faithful.
@@ -98,6 +99,7 @@ def test_fxaa_flat_image_unchanged():
     np.testing.assert_allclose(out[2:-2, 2:-2], 0.5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fxaa_softens_edge():
     img = jnp.zeros((16, 16, 4)).at[:, 8:, :].set(1.0).at[:, :, 3].set(1.0)
     out = np.asarray(fxaa(img))

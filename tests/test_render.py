@@ -18,6 +18,7 @@ def _engine(config, size=(32, 32)):
     return engine
 
 
+@pytest.mark.slow
 def test_pathtracer_direct_mode_renders():
     engine = _engine(cornell_config())
     engine.renderer = "pathtracer"
@@ -51,6 +52,7 @@ def test_pathtracer_temporal_mode():
     assert not np.array_equal(imgs[0], imgs[1])
 
 
+@pytest.mark.slow
 def test_pathtracer_filter_mode():
     engine = _engine(cornell_config(filter=True, temporal=False,
                                     first_passes=2, second_passes=2))
@@ -60,6 +62,7 @@ def test_pathtracer_filter_mode():
     assert img.max() > 0.02
 
 
+@pytest.mark.slow
 def test_pathtracer_fxaa():
     engine = _engine(cornell_config(antialiasing="fxaa"))
     engine.renderer = "pathtracer"

@@ -40,6 +40,7 @@ def _rays(n, seed=0, origin_base=(0.0, 0.0, -4.0)):
     return jnp.asarray(origin), jnp.asarray(d)
 
 
+@pytest.mark.slow
 def test_clustered_matches_scan_coherent(monke):
     buffers, wg = monke
     o, d = _rays(256)

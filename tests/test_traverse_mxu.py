@@ -66,6 +66,7 @@ def test_traverse_mxu_blocked_path(cornell_buffers):
     np.testing.assert_allclose(np.asarray(full.suv), np.asarray(blocked.suv), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_mxu_matches_scan_image():
     from flexlight_tpu.ops.pathtrace import render_mrt
     from tests.scenes import cornell_config
