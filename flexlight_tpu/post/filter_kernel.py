@@ -423,12 +423,11 @@ def _first_valid(packed):
 
 
 def _first_prep(win):
-    # window planes: blurred contribution + the light/shadow key halves of
-    # id.w (first_filter.glsl:104: skip taps whose shadow bit disagrees
-    # within the same light index)
+    # one window plane: the blurred contribution (the light/shadow key
+    # halves of id.w derive from the sliced id in the update — cheaper
+    # than two extra plane slices per offset)
     contrib = _rgb_f(win[COLOR]) + _rgb_f(win[IP]) * 256.0
-    idw = _byte_i(win[ID], 3)
-    return (contrib, idw >> 1, idw & 1)
+    return (contrib,)
 
 
 def _first_ctx(center):
@@ -442,9 +441,13 @@ def _first_init(center):
 
 def _first_update(acc, ctx, nb, w):
     c_id, c_oid, c_hi, c_lo = ctx
-    gate = (_xyz_eq(nb.ch(ID), c_id)
+    b_id = nb.ch(ID)
+    b_idw = _byte_i(b_id, 3)
+    # light index (idw >> 1) differs OR shadow bit (idw & 1) agrees
+    # (first_filter.glsl:104)
+    gate = (_xyz_eq(b_id, c_id)
             & (nb.ch(OID) == c_oid)
-            & ((c_hi != nb.plane(1)) | (c_lo == nb.plane(2))))
+            & ((c_hi != (b_idw >> 1)) | (c_lo == (b_idw & 1))))
     wf = _gated_weight(gate, w)
     return acc + jnp.concatenate(
         [nb.plane(0) * wf[None], wf[None]], axis=0)
@@ -504,8 +507,8 @@ def _second_prep(win):
     c = _rgba_f(win[COLOR])
     contrib = jnp.concatenate([c[0:3] + _rgb_f(win[IP]) * 256.0, c[3:4]],
                               axis=0)
-    return (contrib, _byte_f(win[IP], 3), _byte_f(win[OID], 3),
-            _rgba_f(win[OCOLOR]))
+    # oid.w derives from the sliced OID channel in the update
+    return (contrib, _byte_f(win[IP], 3), _rgba_f(win[OCOLOR]))
 
 
 def _second_ctx(center):
@@ -528,12 +531,13 @@ def _second_init(center):
 def _second_update(acc, ctx, nb, w):
     c_id, c_oid, c_ipw, c_oidw = ctx
     b_id = nb.ch(ID)
+    b_oid = nb.ch(OID)
     b_ipw = nb.plane(1)
 
-    oid_xyz = _xyz_eq(nb.ch(OID), c_oid)
+    oid_xyz = _xyz_eq(b_oid, c_oid)
     full_id = b_id == c_id
     id_xyz = _xyz_eq(b_id, c_id)
-    glassy = ((jnp.minimum(c_oidw, nb.plane(2)) > 0.1)
+    glassy = ((jnp.minimum(c_oidw, _byte_f(b_oid, 3)) > 0.1)
               & (full_id | (jnp.maximum(b_ipw, c_ipw) >= 0.1)))
     branch_a = oid_xyz & glassy
     add_color = branch_a | (oid_xyz & ~glassy & id_xyz)
@@ -544,7 +548,7 @@ def _second_update(acc, ctx, nb, w):
         nb.plane(0) * wc[None],
         wc[None],
         (b_ipw * wa)[None],
-        nb.plane(3) * wa[None],
+        nb.plane(2) * wa[None],
         wa[None],
     ], axis=0)
 
@@ -585,8 +589,8 @@ def _final_scale(center):
 def _final_prep(win):
     # 255, not 256 (final_filter.glsl:51)
     contrib = _rgba_f(win[COLOR]) + _rgba_f(win[IP]) * 255.0
-    return (contrib, _byte_f(win[IP], 3), _byte_f(win[OID], 3),
-            _rgb_f(win[OCOLOR]))
+    # oid.w derives from the sliced OID channel in the update
+    return (contrib, _byte_f(win[IP], 3), _rgb_f(win[OCOLOR]))
 
 
 def _final_ctx(center):
@@ -600,16 +604,17 @@ def _final_init(center):
 
 def _final_update(acc, ctx, nb, w):
     c_id, c_oid, c_ipw, c_oidw = ctx
+    b_oid = nb.ch(OID)
     blur_tr = ((jnp.maximum(nb.plane(1), c_ipw) != 0.0)
-               & (jnp.minimum(c_oidw, nb.plane(2)) > 0.0))
-    oid_xyz = _xyz_eq(nb.ch(OID), c_oid)
+               & (jnp.minimum(c_oidw, _byte_f(b_oid, 3)) > 0.0))
+    oid_xyz = _xyz_eq(b_oid, c_oid)
     id_xyz = _xyz_eq(nb.ch(ID), c_id)
     wo = _gated_weight(blur_tr & oid_xyz, w)
     wc = _gated_weight((blur_tr | id_xyz) & oid_xyz, w)
     return acc + jnp.concatenate([
         nb.plane(0) * wc[None],
         wc[None],
-        nb.plane(3) * wo[None],
+        nb.plane(2) * wo[None],
         wo[None],
     ], axis=0)
 
