@@ -13,9 +13,14 @@ actual candidate count — zero skipped-step overhead — and the finer
 
 Worklist compaction pads with tile 0: re-evaluating any tile is idempotent
 for a closest-hit/any-hit reduction, so partial chunks need no masking.
-Tie-break semantics match the dense kernel (earlier tile in DFS order
-wins, lowest row within a tile) because the worklist preserves ascending
-tile order.
+Worklists are sorted by the tile's minimum slab-entry distance (computed
+for free in the flags prepass): the closest-hit loop exits once every
+live ray's best hit is nearer than the next tile's entry bound, so
+near-geometry tiles resolve a ray tile after a few chunks. Ties in s are
+broken on the LOWEST drawable index — exactly the reference's first-in-
+DFS-order-wins semantics (pathtracer_fragment.glsl:172-227 iterates
+triangles in id_buffer order with a strict '<') — which makes the
+evaluation order semantically irrelevant.
 
 Triangle identity: the kernel returns the PADDED DRAWABLE index (position
 in the flattened id_buffer order), computed from (worklist tile, row) —
@@ -35,6 +40,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -115,18 +121,21 @@ def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE,
     return w4t, aabb_min, aabb_max
 
 
-def _compact(flags, chunk: int):
-    """flags [RT, WT] int32 -> (tlist [RT, WTp] int32 active-tile indices
-    first (ascending, pad 0), counts [RT] int32)."""
-    rt, wt = flags.shape
-    order = jnp.argsort(1 - flags, axis=1, stable=True).astype(jnp.int32)
-    counts = flags.sum(axis=1).astype(jnp.int32)
+def _compact(tmins, chunk: int):
+    """tmins [RT, WT] f32 (POW32 = tile not hit) -> (tlist [RT, WTp] int32
+    active tiles first in ascending entry-distance order (pad 0),
+    tms [RT, WTp] f32 sorted entry bounds (pad POW32), counts [RT])."""
+    rt, wt = tmins.shape
+    order = jnp.argsort(tmins, axis=1, stable=True).astype(jnp.int32)
+    tms = jnp.take_along_axis(tmins, order, axis=1)
+    counts = (tmins < POW32).sum(axis=1).astype(jnp.int32)
     # rows padded to a lane multiple: the per-tile worklist row is DMA'd
     # HBM -> SMEM, and DMA slices must be 128-aligned
     pad = (-wt) % max(chunk, 128)
     if pad:
         order = jnp.pad(order, ((0, 0), (0, pad)))
-    return order, counts
+        tms = jnp.pad(tms, ((0, 0), (0, pad)), constant_values=POW32)
+    return order, tms, counts
 
 
 def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
@@ -136,7 +145,10 @@ def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
     The XLA formulation materializes [rays, clusters] HBM intermediates
     (~50 ms per traversal at dragon 1080p, bandwidth-bound); here each
     grid step keeps one ray tile's [k_chunk, ray_tile] interval temps in
-    VMEM and only the per-tri-tile OR bits ever leave the chip."""
+    VMEM. The output is the tile's minimum entry distance over (rays x
+    clusters) — POW32 when no ray can hit the tile — which doubles as
+    the hit flag AND the worklist's near-to-far sort key / early-exit
+    bound (any hit in the tile has s >= this entry distance)."""
     o = [rays_ref[0, c:c + 1, :] for c in range(3)]        # [1, R]
     inv = [rays_ref[0, 3 + c:4 + c, :] for c in range(3)]
     ml = rays_ref[0, 6:7, :]
@@ -151,18 +163,20 @@ def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
             t1 = (b - o[c]) * inv[c]
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-        hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < ml)
-        anyhit = jnp.any(hit, axis=1, keepdims=True)       # [k_chunk, 1]
-        tile = jnp.any(anyhit.reshape(k_chunk // cpt, cpt, 1), axis=1)
-        out_ref[0, kc * (k_chunk // cpt):(kc + 1) * (k_chunk // cpt)] = (
-            tile.astype(jnp.int32))
+        entry = jnp.maximum(tmin, BIAS)
+        hit = (tmax >= entry) & (tmin < ml)
+        e = jnp.where(hit, entry, POW32)
+        emin = jnp.min(e, axis=1, keepdims=True)           # [k_chunk, 1]
+        tile = jnp.min(emin.reshape(k_chunk // cpt, cpt, 1), axis=1)
+        out_ref[0, kc * (k_chunk // cpt):(kc + 1) * (k_chunk // cpt)] = tile
 
 
 @partial(jax.jit, static_argnames=("tri_tile", "ray_tile", "interpret"))
 def flags_sparse(aabb_min, aabb_max, origin, direction, max_len,
                  tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                  interpret: bool = False):
-    """[RT, WT] int32 tri-tile flags via the fused Pallas slab kernel.
+    """[RT, WT] f32 per-tri-tile min entry distance (POW32 = no ray hits
+    the tile) via the fused Pallas slab kernel.
     origin/direction/max_len must already be padded to ray_tile."""
     n = origin.shape[0]
     rt = n // ray_tile
@@ -195,12 +209,51 @@ def flags_sparse(aabb_min, aabb_max, origin, direction, max_len,
         ],
         out_specs=pl.BlockSpec((1, wtp, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rt, wtp, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((rt, wtp, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(rays, aabb_min.T.reshape(3, kp, 1), aabb_max.T.reshape(3, kp, 1))
     return out[:, :wt, 0]
+
+
+def _tmins_xla(aabb_min, aabb_max, origin, direction, max_len, rt, wt,
+               ray_tile: int):
+    """XLA fallback of flags_sparse for interpret mode (CPU): [RT, WT]
+    f32 min entry distances, chunked like intersect_kernel._flags."""
+    from .intersect_kernel import FLAG_CHUNK
+
+    k = aabb_min.shape[0]
+    cpt = k // wt
+
+    def chunk_tmins(args):
+        o, d, ml = args
+        inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        t0 = (aabb_min[None] - o[:, None]) * inv_d[:, None]
+        t1 = (aabb_max[None] - o[:, None]) * inv_d[:, None]
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        entry = jnp.maximum(tmin, BIAS)
+        hit = (tmax >= entry) & (tmin < ml[:, None])
+        e = jnp.where(hit, entry, POW32)
+        return e.reshape(-1, ray_tile, k).min(axis=1)       # [C, K]
+
+    if rt <= FLAG_CHUNK:
+        per = chunk_tmins((origin, direction, max_len))
+    else:
+        pad_t = (-rt) % FLAG_CHUNK
+        pad_n = pad_t * ray_tile
+        o = jnp.pad(origin, ((0, pad_n), (0, 0)))
+        d = jnp.pad(direction, ((0, pad_n), (0, 0)), constant_values=1.0)
+        ml = jnp.pad(max_len, (0, pad_n))
+        n_chunks = (rt + pad_t) // FLAG_CHUNK
+        per = jax.lax.map(
+            chunk_tmins,
+            (o.reshape(n_chunks, FLAG_CHUNK * ray_tile, 3),
+             d.reshape(n_chunks, FLAG_CHUNK * ray_tile, 3),
+             ml.reshape(n_chunks, FLAG_CHUNK * ray_tile)),
+        ).reshape(-1, k)[:rt]
+    return per.reshape(rt, wt, cpt).min(axis=-1)
 
 
 def sort_spatial(origin, direction, lo, hi, max_len):
@@ -231,9 +284,17 @@ def sort_spatial(origin, direction, lo, hi, max_len):
     return perm, jnp.argsort(perm)
 
 
-def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
-            s_ref, u_ref, v_ref, tri_ref, w_s, tl_s, sem_w, sem_tl,
-            *, cull: bool, precision, tri_tile: int, ray_tile: int,
+"""Early-exit slack: a tile is skippable when every live ray's best hit
+is strictly nearer than the tile's slab-entry bound. The bound and the
+MT s come from different float paths (slab f32 vs bf16x6 matmul), so the
+comparison carries a small relative + absolute guard band."""
+_EXIT_REL = np.float32(1.0 + 1e-4)
+_EXIT_ABS = np.float32(1e-5)
+
+
+def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
+            s_ref, u_ref, v_ref, tri_ref, w_s, tl_s, tm_s, sem_w, sem_tl,
+            sem_tm, *, cull: bool, precision, tri_tile: int, ray_tile: int,
             chunk: int):
     i = pl.program_id(0)
     m = chunk * tri_tile
@@ -250,6 +311,7 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
     # This tile's worklist row: HBM -> SMEM (the full [RT, WTp] list is
     # megabytes — beyond the 1 MB SMEM scalar-prefetch budget)
     tl_dma = pltpu.make_async_copy(tlist_hbm.at[i], tl_s, sem_tl)  # [1, wtp]
+    tm_dma = pltpu.make_async_copy(tm_hbm.at[i], tm_s, sem_tm)
 
     def w_dma(slot, c, k):
         return pltpu.make_async_copy(
@@ -267,16 +329,15 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
     @pl.when(cnt > 0)
     def _():
         tl_dma.start()
+        tm_dma.start()
         tl_dma.wait()
         start_chunk(0, 0)
+        tm_dma.wait()
+        live = ml_ref[0] > 0.0                  # [1, ray_tile]
 
-        def body(c, _):
+        def body(carry):
+            c, _ = carry
             slot = jax.lax.rem(c, 2)
-
-            @pl.when(c + 1 < nch)
-            def _():
-                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
-
             wait_chunk(slot, c)
             ft = f_ref[:]                       # [16, ray_tile]
             dn = (((0,), (0,)), ((), ()))       # contract both dim 0
@@ -307,14 +368,6 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
 
             tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)
             rows = jax.lax.broadcasted_iota(jnp.int32, (m, ray_tile), 0)
-            is_best = s_masked <= tile_best_s
-            best_row = jnp.min(jnp.where(is_best, rows, m), axis=0,
-                               keepdims=True)
-            onehot = (rows == best_row) & valid
-            take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0,
-                                     keepdims=True)
-            tile_u = take(u)
-            tile_v = take(v)
             # global drawable index = tile * tri_tile + row-within-tile,
             # built as a tiny [m, 1] vector from the prefetched worklist
             rows_m1 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
@@ -323,20 +376,52 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
                 t_k = tl_s[0, c * chunk + k]
                 in_k = (rows_m1 >= k * tri_tile) & (rows_m1 < (k + 1) * tri_tile)
                 gidx = gidx + jnp.where(in_k, (t_k - k) * tri_tile, 0)
-            tile_tri = take(jnp.broadcast_to(gidx.astype(jnp.float32),
-                                             (m, ray_tile)))
+            gidx_b = jnp.broadcast_to(gidx.astype(jnp.float32), (m, ray_tile))
+            # reference tie-break: among equal-s rows pick the LOWEST
+            # drawable index (glsl iterates id_buffer order, strict '<');
+            # then a unique row among possible duplicates of a padded
+            # repeat of tile 0 in the final partial chunk
+            is_best = s_masked <= tile_best_s
+            big = np.float32(1 << 26)
+            tile_tri = jnp.min(jnp.where(is_best, gidx_b, big), axis=0,
+                               keepdims=True)
+            best_row = jnp.min(
+                jnp.where(is_best & (gidx_b == tile_tri), rows, m),
+                axis=0, keepdims=True)
+            onehot = rows == best_row
+            take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0,
+                                     keepdims=True)
+            tile_u = take(u)
+            tile_v = take(v)
 
             prev_s = s_ref[0]
-            better = tile_best_s < prev_s
+            prev_tri = tri_ref[0].astype(jnp.float32)
+            hit_tile = tile_best_s < POW32
+            better = (tile_best_s < prev_s) | (
+                hit_tile & (tile_best_s == prev_s) & (tile_tri < prev_tri))
             s_ref[0] = jnp.where(better, tile_best_s, prev_s)
             u_ref[0] = jnp.where(better, tile_u, u_ref[0])
             v_ref[0] = jnp.where(better, tile_v, v_ref[0])
-            tri_ref[0] = jnp.where(better & (tile_best_s < POW32),
-                                   tile_tri, tri_ref[0].astype(jnp.float32)
+            tri_ref[0] = jnp.where(better & hit_tile, tile_tri, prev_tri
                                    ).astype(jnp.int32)
-            return 0
 
-        jax.lax.fori_loop(0, nch, body, 0)
+            # exit once no remaining tile can beat any live ray's best:
+            # worklist is entry-distance sorted, so the next chunk's first
+            # entry bounds everything after it (index clamped: the read
+            # happens even on the final chunk — & does not short-circuit)
+            worst = jnp.max(jnp.where(live, s_ref[0], 0.0))
+            nxt = tm_s[0, jnp.minimum((c + 1) * chunk,
+                                      tm_s.shape[1] - 1)]
+            cont = jnp.logical_and(c + 1 < nch,
+                                   worst * _EXIT_REL + _EXIT_ABS >= nxt)
+
+            @pl.when(cont)
+            def _():
+                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
+
+            return (c + 1, cont)
+
+        jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
 
 
 def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
@@ -467,7 +552,7 @@ def _any_hit_sparse(w4t, tlist, counts, f, max_len,
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision",
                                    "tri_tile", "ray_tile", "chunk"))
-def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
+def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
                       interpret: bool = False,
                       precision=jax.lax.Precision.HIGHEST,
                       tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
@@ -498,13 +583,16 @@ def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
             pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tlist rows in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # sorted tmins in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # w4t stays in HBM
         ],
         out_specs=[out_spec] * 4,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 4, kdim, tri_tile), w4t.dtype),
             pltpu.SMEM((1, wtp), jnp.int32),
+            pltpu.SMEM((1, wtp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -517,7 +605,7 @@ def _intersect_sparse(w4t, tlist, counts, f, max_len, cull: bool,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(counts, ft, max_len.reshape(rt, 1, ray_tile),
-      tlist.reshape(rt, 1, -1), w4t)
+      tlist.reshape(rt, 1, -1), tms.reshape(rt, 1, -1), w4t)
     return tuple(x.reshape(-1) for x in (s, u, v, tri))
 
 
@@ -533,7 +621,7 @@ def _apply_perm_rays(origin, direction, max_len, perm):
 
 def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
          interpret, precision, tri_tile, ray_tile, chunk, sort_rays):
-    from .intersect_kernel import _flags, _prep
+    from .intersect_kernel import _prep
 
     if sort_rays:
         lo = jnp.min(aabb_min, axis=0)
@@ -544,13 +632,13 @@ def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
     wt = w4t.shape[0]
     if interpret:
-        flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
+        tmins = _tmins_xla(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
     else:
-        flags = flags_sparse(aabb_min, aabb_max, o, d, ml,
+        tmins = flags_sparse(aabb_min, aabb_max, o, d, ml,
                              tri_tile=tri_tile, ray_tile=ray_tile)
-    tlist, counts = _compact(flags, chunk)
+    tlist, tms, counts = _compact(tmins, chunk)
     f = _ray_features(o, d)
-    s, u, v, tri = _intersect_sparse(w4t, tlist, counts, f, ml,
+    s, u, v, tri = _intersect_sparse(w4t, tlist, tms, counts, f, ml,
                                      cull=cull, interpret=interpret,
                                      precision=precision, tri_tile=tri_tile,
                                      ray_tile=ray_tile, chunk=chunk)
@@ -599,7 +687,7 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                   alive=None) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len; worklist-sparse with
     per-tile early exit (see _shadow_kernel)."""
-    from .intersect_kernel import _flags, _prep
+    from .intersect_kernel import _prep
 
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
@@ -612,11 +700,11 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
     wt = w4t.shape[0]
     if interpret:
-        flags = _flags(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
+        tmins = _tmins_xla(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
     else:
-        flags = flags_sparse(aabb_min, aabb_max, o, d, ml,
+        tmins = flags_sparse(aabb_min, aabb_max, o, d, ml,
                              tri_tile=tri_tile, ray_tile=ray_tile)
-    tlist, counts = _compact(flags, chunk)
+    tlist, _, counts = _compact(tmins, chunk)
     f = _ray_features(o, d)
     hit = _any_hit_sparse(w4t, tlist, counts, f, ml, interpret=interpret,
                           precision=precision, tri_tile=tri_tile,

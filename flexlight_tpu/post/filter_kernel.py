@@ -179,38 +179,45 @@ def _banded_entries(stencil_key: str, smin: float, smax: float,
     return bands
 
 
-def _group_by_oy(entries):
-    """entries (sorted by (oy, ox)) -> [(oy, lo, hi, [(ox, lo, hi, taps)])]
-    with per-group union intervals, for the row-hoisted kernel loop."""
-    groups = []
+def _group_by_ox(entries):
+    """entries -> [(ox, lo, hi, [(oy, lo, hi, taps)])] with per-group
+    union intervals, for the column-hoisted kernel loop. Hoisting by ox
+    (not oy) is what makes the inner loop cheap: the expensive unaligned
+    LANE slice happens once per ox-group into VMEM scratch, and each
+    (oy, ox) offset then reads the scratch at a sublane offset — plain
+    addressing, no vector realignment (measured ~2.8x on the first
+    filter's offset set)."""
+    by = {}
     for oy, ox, lo, hi, taps in entries:
-        if not groups or groups[-1][0] != oy:
-            groups.append([oy, lo, hi, []])
-        g = groups[-1]
-        g[1] = min(g[1], lo)
-        g[2] = max(g[2], hi)
-        g[3].append((ox, lo, hi, taps))
-    return [(oy, lo, hi, tuple(items)) for oy, lo, hi, items in groups]
+        g = by.setdefault(ox, [np.inf, -np.inf, []])
+        g[0] = min(g[0], lo)
+        g[1] = max(g[1], hi)
+        g[2].append((oy, lo, hi, taps))
+    return [(ox, lo, hi, tuple(sorted(items)))
+            for ox, (lo, hi, items) in sorted(by.items())]
 
 
 class _Nb:
-    """Lane slicer over one hoisted window row, handed to update fns."""
+    """Sublane slicer over the per-ox scratch planes, handed to update
+    fns: i(k)/f(k) read int/float scratch plane k at this oy offset,
+    fs(a, b) reads a contiguous float plane range in one ref load."""
 
-    __slots__ = ("_row", "_planes", "_x", "_tx")
+    __slots__ = ("_i", "_f", "_y", "_ty")
 
-    def __init__(self, row, planes, ox, rx, tx):
-        self._row = row
-        self._planes = planes
-        self._x = rx + ox
-        self._tx = tx
+    def __init__(self, sc_i, sc_f, oy, ry, ty):
+        self._i = sc_i
+        self._f = sc_f
+        self._y = ry + oy
+        self._ty = ty
 
-    def ch(self, c: int):
-        """Packed int32 channel c of the row at this lane offset."""
-        return self._row[c, :, self._x:self._x + self._tx]
+    def i(self, k: int):
+        return self._i[k, self._y:self._y + self._ty, :]
 
-    def plane(self, k: int):
-        """Prepared row plane k ([ty, TXW] or [C, ty, TXW]) at this offset."""
-        return self._planes[k][..., self._x:self._x + self._tx]
+    def f(self, k: int):
+        return self._f[k, self._y:self._y + self._ty, :]
+
+    def fs(self, a: int, b: int):
+        return self._f[a:b, self._y:self._y + self._ty, :]
 
 
 def _gated_weight(gate, w):
@@ -226,18 +233,20 @@ def _gated_weight(gate, w):
 def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
                  init_fn, update_fn, finish_fn, entries, svals,
                  ry: int, rx: int, ty: int, tx: int, band=None):
-    """Generic disc pass: out refs, then [A, ty, tx] f32 accumulator.
+    """Generic disc pass: out refs, then scratch [A, ty, tx] f32
+    accumulator + per-ox int/float plane blocks.
 
-    The offset loop is fully unrolled at trace time, hoisted by row: each
-    active oy-group loads its window row once (one static ref slice) and
-    unpacks its prep planes; each active offset then takes static lane
-    slices of that row — the TPU-fast shifted-read form. Tap tests are
-    two compares against the shared staircase arrays. Groups and offsets
-    are predicated on the tile's scale range. (Slicing rows from the ref
-    per group, instead of hundreds of distinct 2-D slices from one big
-    window value, is what keeps Mosaic compile time linear.)"""
-    acc_ref = refs[-1]
-    out_refs = refs[:-1]
+    The offset loop is fully unrolled at trace time, hoisted by COLUMN:
+    each active ox-group takes ONE unaligned lane slice of the window
+    (the expensive realigning read), preps its planes and parks them in
+    VMEM scratch; each active (oy, ox) offset then reads the scratch at
+    a static sublane offset — plain addressing, no lane realignment.
+    Tap tests are two compares against the shared staircase arrays.
+    Groups and offsets are predicated on the tile's scale range. (The
+    pl.when regions also bound register pressure: one big straight-line
+    unroll makes the register allocator spill hundreds of MB.)"""
+    acc_ref, sc_i_ref, sc_f_ref = refs[-3], refs[-2], refs[-1]
+    out_refs = refs[:-3]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -271,18 +280,28 @@ def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
             return stair[s] == np.float32(o)
         return stair[-s] == np.float32(-o)
 
-    for oy, grp_lo, grp_hi, items in _group_by_oy(entries):
+    for ox, grp_lo, grp_hi, items in _group_by_ox(entries):
         @pl.when((tmax >= grp_lo) & (tmin <= grp_hi))
-        def _(oy=oy, items=items):
-            row = win_ref[:, ry + oy:ry + oy + ty, :]   # [5, ty, TXW]
-            planes = prep_fn(row)
-            for ox, olo, ohi, taps in items:
+        def _(ox=ox, items=items):
+            col = win_ref[:, :, rx + ox:rx + ox + tx]   # [5, TYW, tx]
+            int_planes, f32_planes = prep_fn(col)
+            for k, v in enumerate(int_planes):
+                sc_i_ref[k] = v
+            for k, v in enumerate(f32_planes):
+                sc_f_ref[k] = v
+            # lane-axis tap masks are shared by every offset in the group
+            mxs = {}
+            for _oy, _olo, _ohi, taps in items:
+                for sy, sx, _tlo, _thi in taps:
+                    if sx not in mxs:
+                        mxs[sx] = axis_mask(sx, ox)
+            for oy, olo, ohi, taps in items:
                 @pl.when((tmax >= olo) & (tmin <= ohi))
-                def _(ox=ox, taps=taps, row=row, planes=planes):
+                def _(oy=oy, ox=ox, taps=taps, mxs=mxs):
                     masks = []
                     for sy, sx, _tlo, _thi in taps:
                         my = axis_mask(sy, oy)
-                        mx = axis_mask(sx, ox)
+                        mx = mxs[sx]
                         if my is False or mx is False:
                             continue
                         if my is True and mx is True:
@@ -314,7 +333,7 @@ def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
                             w = w & bandm
                         else:
                             w = jnp.where(bandm, w, 0.0)
-                    nb = _Nb(row, planes, ox, rx, tx)
+                    nb = _Nb(sc_i_ref, sc_f_ref, oy, ry, ty)
                     acc_ref[:] = update_fn(acc_ref[:], ctx, nb, w)
 
     outs = finish_fn(acc_ref[:], center)
@@ -325,7 +344,8 @@ def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
 def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
               scale_fn, prep_fn, ctx_fn, init_fn, update_fn, finish_fn,
               valid_fn=None, interpret: bool = False,
-              ty: int = TY, tx: int = TX, band_edges=None):
+              ty: int = TY, tx: int = TX, band_edges=None,
+              n_int: int = 4, n_f32: int = 4):
     """Drive a disc-filter kernel over packed rgba8 images.
 
     imgs_hwc: (ids, oid, color, ip, ocolor) as [H, W, 4] quantized f32.
@@ -337,6 +357,7 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
     band_edges: split the offset table into scale bands compiled as
     separate kernels (bounds Mosaic code size for wide-scale filters);
     the band partials sum in XLA and finish_fn runs there.
+    n_int/n_f32: per-ox scratch plane counts (prep_fn's two tuples).
     Returns one [H, W, c] f32 output per out_chs entry."""
     h, w = imgs_hwc[0].shape[0], imgs_hwc[0].shape[1]
     entries, max_r, svals = _offset_table(stencil_key, *bounds)
@@ -378,7 +399,11 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
                 (pl_core.Element(5), pl_core.Element(tyw), pl_core.Element(txw)),
                 lambda i, j, *_: (0, i * ty, j * tx))],
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((n_acc, ty, tx), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((n_acc, ty, tx), jnp.float32),
+                pltpu.VMEM((n_int, tyw, tx), jnp.int32),
+                pltpu.VMEM((n_f32, tyw, tx), jnp.float32),
+            ],
         )
         return pl.pallas_call(
             partial(_disc_kernel, scale_fn=scale_fn, prep_fn=prep_fn,
@@ -422,17 +447,23 @@ def _first_valid(packed):
     return _byte_i(packed[OCOLOR], 3) != 0
 
 
-def _first_prep(win):
-    # one window plane: the blurred contribution (the light/shadow key
-    # halves of id.w derive from the sliced id in the update — cheaper
-    # than two extra plane slices per offset)
-    contrib = _rgb_f(win[COLOR]) + _rgb_f(win[IP]) * 256.0
-    return (contrib,)
+# id with its light/shadow byte masked down to the light index: equality
+# of (xyz | lightnum) keys folds first_filter.glsl:104's integer
+# light/shadow logic into masked int compares (no byte extraction):
+#   lightNum != || shadow ==  <=>  !(kl eq) || (full id eq)   given xyz eq
+_KL = np.int32(np.uint32(0xFEFFFFFF))
+
+
+def _first_prep(col):
+    contrib = _rgb_f(col[COLOR]) + _rgb_f(col[IP]) * 256.0
+    ids = col[ID]
+    return ((ids & _XYZ, ids & _KL, ids, col[OID]),
+            (contrib[0], contrib[1], contrib[2]))
 
 
 def _first_ctx(center):
-    c_idw = _byte_i(center[ID], 3)
-    return (center[ID], center[OID], c_idw >> 1, c_idw & 1)
+    c_id = center[ID]
+    return (c_id & _XYZ, c_id & _KL, c_id, center[OID])
 
 
 def _first_init(center):
@@ -440,17 +471,12 @@ def _first_init(center):
 
 
 def _first_update(acc, ctx, nb, w):
-    c_id, c_oid, c_hi, c_lo = ctx
-    b_id = nb.ch(ID)
-    b_idw = _byte_i(b_id, 3)
-    # light index (idw >> 1) differs OR shadow bit (idw & 1) agrees
-    # (first_filter.glsl:104)
-    gate = (_xyz_eq(b_id, c_id)
-            & (nb.ch(OID) == c_oid)
-            & ((c_hi != (b_idw >> 1)) | (c_lo == (b_idw & 1))))
+    c_xyz, c_kl, c_id, c_oid = ctx
+    gate = ((nb.i(0) == c_xyz) & (nb.i(3) == c_oid)
+            & ((nb.i(1) != c_kl) | (nb.i(2) == c_id)))
     wf = _gated_weight(gate, w)
     return acc + jnp.concatenate(
-        [nb.plane(0) * wf[None], wf[None]], axis=0)
+        [nb.fs(0, 3) * wf[None], wf[None]], axis=0)
 
 
 def _first_finish(acc, center):
@@ -487,7 +513,8 @@ def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
         scale_fn=_first_scale, prep_fn=_first_prep, ctx_fn=_first_ctx,
         init_fn=_first_init, update_fn=_first_update,
         finish_fn=_first_finish, valid_fn=_first_valid,
-        interpret=interpret, band_edges=FIRST_BAND_EDGES)
+        interpret=interpret, band_edges=FIRST_BAND_EDGES,
+        n_int=4, n_f32=3)
     sgn = jnp.sign(color[..., 3:4])
     ip_w = quantize_rgba8(sgn * render_ip_w[..., None])
     new_ip = jnp.concatenate([new_ip3, ip_w], axis=-1)
@@ -503,17 +530,22 @@ def _second_scale(center):
                                 + _byte_f(center[OID], 3) * 4.0)
 
 
-def _second_prep(win):
-    c = _rgba_f(win[COLOR])
-    contrib = jnp.concatenate([c[0:3] + _rgb_f(win[IP]) * 256.0, c[3:4]],
+def _second_prep(col):
+    c = _rgba_f(col[COLOR])
+    contrib = jnp.concatenate([c[0:3] + _rgb_f(col[IP]) * 256.0, c[3:4]],
                               axis=0)
-    # oid.w derives from the sliced OID channel in the update
-    return (contrib, _byte_f(win[IP], 3), _rgba_f(win[OCOLOR]))
+    ids, oid = col[ID], col[OID]
+    oc = _rgba_f(col[OCOLOR])
+    return ((ids, ids & _XYZ, oid & _XYZ),
+            (contrib[0], contrib[1], contrib[2], contrib[3],
+             _byte_f(col[IP], 3), oc[0], oc[1], oc[2], oc[3],
+             _byte_f(oid, 3)))
 
 
 def _second_ctx(center):
-    return (center[ID], center[OID], _byte_f(center[IP], 3),
-            _byte_f(center[OID], 3))
+    c_id, c_oid = center[ID], center[OID]
+    return (c_id, c_id & _XYZ, c_oid & _XYZ, _byte_f(center[IP], 3),
+            _byte_f(c_oid, 3))
 
 
 def _second_init(center):
@@ -529,15 +561,13 @@ def _second_init(center):
 
 
 def _second_update(acc, ctx, nb, w):
-    c_id, c_oid, c_ipw, c_oidw = ctx
-    b_id = nb.ch(ID)
-    b_oid = nb.ch(OID)
-    b_ipw = nb.plane(1)
+    c_id, c_id_xyz, c_oid_xyz, c_ipw, c_oidw = ctx
+    b_ipw = nb.f(4)
 
-    oid_xyz = _xyz_eq(b_oid, c_oid)
-    full_id = b_id == c_id
-    id_xyz = _xyz_eq(b_id, c_id)
-    glassy = ((jnp.minimum(c_oidw, _byte_f(b_oid, 3)) > 0.1)
+    oid_xyz = nb.i(2) == c_oid_xyz
+    full_id = nb.i(0) == c_id
+    id_xyz = nb.i(1) == c_id_xyz
+    glassy = ((jnp.minimum(c_oidw, nb.f(9)) > 0.1)
               & (full_id | (jnp.maximum(b_ipw, c_ipw) >= 0.1)))
     branch_a = oid_xyz & glassy
     add_color = branch_a | (oid_xyz & ~glassy & id_xyz)
@@ -545,10 +575,10 @@ def _second_update(acc, ctx, nb, w):
     wa = _gated_weight(branch_a, w)
     wc = _gated_weight(add_color, w)
     return acc + jnp.concatenate([
-        nb.plane(0) * wc[None],
+        nb.fs(0, 4) * wc[None],
         wc[None],
         (b_ipw * wa)[None],
-        nb.plane(2) * wa[None],
+        nb.fs(5, 9) * wa[None],
         wa[None],
     ], axis=0)
 
@@ -573,7 +603,8 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
         n_acc=11, out_chs=(4, 4, 4),
         scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
         init_fn=_second_init, update_fn=_second_update,
-        finish_fn=_second_finish, interpret=interpret)
+        finish_fn=_second_finish, interpret=interpret,
+        n_int=3, n_f32=10)
     return outs[0], outs[1], outs[2]
 
 
@@ -586,16 +617,19 @@ def _final_scale(center):
                                 + _byte_f(center[OID], 3) * 4.0)
 
 
-def _final_prep(win):
+def _final_prep(col):
     # 255, not 256 (final_filter.glsl:51)
-    contrib = _rgba_f(win[COLOR]) + _rgba_f(win[IP]) * 255.0
-    # oid.w derives from the sliced OID channel in the update
-    return (contrib, _byte_f(win[IP], 3), _rgb_f(win[OCOLOR]))
+    contrib = _rgba_f(col[COLOR]) + _rgba_f(col[IP]) * 255.0
+    oc = _rgb_f(col[OCOLOR])
+    oid = col[OID]
+    return ((col[ID] & _XYZ, oid & _XYZ),
+            (contrib[0], contrib[1], contrib[2], contrib[3],
+             _byte_f(col[IP], 3), oc[0], oc[1], oc[2], _byte_f(oid, 3)))
 
 
 def _final_ctx(center):
-    return (center[ID], center[OID], _byte_f(center[IP], 3),
-            _byte_f(center[OID], 3))
+    return (center[ID] & _XYZ, center[OID] & _XYZ,
+            _byte_f(center[IP], 3), _byte_f(center[OID], 3))
 
 
 def _final_init(center):
@@ -603,18 +637,17 @@ def _final_init(center):
 
 
 def _final_update(acc, ctx, nb, w):
-    c_id, c_oid, c_ipw, c_oidw = ctx
-    b_oid = nb.ch(OID)
-    blur_tr = ((jnp.maximum(nb.plane(1), c_ipw) != 0.0)
-               & (jnp.minimum(c_oidw, _byte_f(b_oid, 3)) > 0.0))
-    oid_xyz = _xyz_eq(b_oid, c_oid)
-    id_xyz = _xyz_eq(nb.ch(ID), c_id)
+    c_id_xyz, c_oid_xyz, c_ipw, c_oidw = ctx
+    blur_tr = ((jnp.maximum(nb.f(4), c_ipw) != 0.0)
+               & (jnp.minimum(c_oidw, nb.f(8)) > 0.0))
+    oid_xyz = nb.i(1) == c_oid_xyz
+    id_xyz = nb.i(0) == c_id_xyz
     wo = _gated_weight(blur_tr & oid_xyz, w)
     wc = _gated_weight((blur_tr | id_xyz) & oid_xyz, w)
     return acc + jnp.concatenate([
-        nb.plane(0) * wc[None],
+        nb.fs(0, 4) * wc[None],
         wc[None],
-        nb.plane(2) * wo[None],
+        nb.fs(5, 8) * wo[None],
         wo[None],
     ], axis=0)
 
@@ -643,5 +676,6 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
         n_acc=9, out_chs=(3,),
         scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
         init_fn=_final_init, update_fn=_final_update,
-        finish_fn=_final_finish_factory(hdr), interpret=interpret)
+        finish_fn=_final_finish_factory(hdr), interpret=interpret,
+        n_int=2, n_f32=9)
     return outs[0]

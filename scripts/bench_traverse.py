@@ -33,7 +33,7 @@ from flexlight_tpu.ops.geometry import world_geometry
 from flexlight_tpu.ops.intersect import POW32
 from flexlight_tpu.ops.intersect_sparse import (
     _any_hit_sparse, _apply_perm_rays, _compact, _intersect_sparse,
-    build_w4_tiled, flags_sparse, sort_spatial)
+    build_w4_tiled, flags_sparse, sort_spatial, traverse_sparse)
 from flexlight_tpu.ops.intersect_kernel import _prep
 from flexlight_tpu.ops.traverse_mxu import _ray_features
 from flexlight_tpu.ops.pathtrace import camera_rays
@@ -83,31 +83,36 @@ def main():
         perm, inv = sort_spatial(o, d, lo, hi, ml)
         return _apply_perm_rays(o, d, ml, perm)[0]
 
-    def compact_fn(flags):
-        return _compact(flags, 4)[0]
+    def compact_fn(tmins):
+        return _compact(tmins, 4)[0]
 
     def kernel_fn(o, d, ml):
         op, dp, mlp, _, _ = _prep(o, d, ml, 1024)
-        flags = flags_sparse(amin, amax, op, dp, mlp)
-        tlist, counts = _compact(flags, 4)
+        tmins = flags_sparse(amin, amax, op, dp, mlp)
+        tlist, tms, counts = _compact(tmins, 4)
         f = _ray_features(op, dp)
-        return _intersect_sparse(w4t, tlist, counts, f, mlp, cull=False)[0]
+        return _intersect_sparse(w4t, tlist, tms, counts, f, mlp,
+                                 cull=False)[0]
 
     def shadow_fn(o, d, ml):
         op, dp, mlp, _, _ = _prep(o, d, ml, 1024)
-        flags = flags_sparse(amin, amax, op, dp, mlp)
-        tlist, counts = _compact(flags, 4)
+        tmins = flags_sparse(amin, amax, op, dp, mlp)
+        tlist, _, counts = _compact(tmins, 4)
         f = _ray_features(op, dp)
         return _any_hit_sparse(w4t, tlist, counts, f, mlp)
 
     for name, o, d in [("primary", o_p, d_p), ("bounce", o_b, d_b)]:
-        flags = flags_fn(o, d, ml)
-        mean_wl = float(jnp.sum(flags, axis=1).mean())
+        tmins = flags_fn(o, d, ml)
+        mean_wl = float((tmins < POW32).sum(axis=1).mean())
         print(f"{name}: mean worklist = {mean_wl:.1f} / {w4t.shape[0]}",
               flush=True)
         report(f"  flags[{name}]", flags_fn, o, d, ml, iters=4)
         report(f"  sort[{name}]", sort_fn, o, d, ml, iters=4)
         report(f"  kernel(closest)[{name}]", kernel_fn, o, d, ml, iters=4)
+        report(f"  full(closest,sorted)[{name}]",
+               lambda o, d, ml: traverse_sparse(w4t, amin, amax, o, d,
+                                                sort_rays=True).suv,
+               o, d, ml, iters=4)
         report(f"  kernel(anyhit)[{name}]", shadow_fn, o, d, ml, iters=4)
 
 

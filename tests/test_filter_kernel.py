@@ -46,7 +46,10 @@ def _check(ref_outs, got_outs, budget=0.02):
     for i, (a, b) in enumerate(zip(ref_outs, got_outs)):
         d = np.abs(np.asarray(a) - np.asarray(b))
         assert float(d.max()) <= 1.5 / 255.0, (i, d.max())
-        assert float((d > 1e-6).mean()) <= budget, (i, (d > 1e-6).mean())
+        # count only quantization-step flips: the final filter's output is
+        # unquantized, so summation-order noise (~1e-6) may touch many
+        # pixels without being a real deviation
+        assert float((d > 1e-4).mean()) <= budget, (i, (d > 1e-4).mean())
 
 
 @pytest.mark.slow

@@ -148,3 +148,75 @@ def test_world_geometry_transforms_triangles():
     # Triangle slot is index 2 (root node, inner node, tri)
     v0 = wg[2, 0:3]
     np.testing.assert_allclose(v0, [-1, 0, 5], atol=1e-5)
+
+
+@pytest.mark.parametrize("sort_rays", [False, True])
+def test_sparse_traversal_matches_scan_cornell(sort_rays):
+    """Worklist kernel (interpret) vs the scan oracle on incoherent rays:
+    exercises entry-distance worklist ordering, the early-exit loop and
+    the lowest-drawable tie-break (ops/intersect_sparse.py)."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    traverse_sparse)
+    from flexlight_tpu.ops.traverse import traverse_scan
+    from tests.scenes import cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax = build_w4_tiled(geometry, buffers.id_buffer, x6=False)
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+
+    ref = traverse_scan(jnp.asarray(geometry), jnp.asarray(origin),
+                        jnp.asarray(direction))
+    got = traverse_sparse(w4t, amin, amax, jnp.asarray(origin),
+                          jnp.asarray(direction), interpret=True,
+                          sort_rays=sort_rays)
+    # sparse returns drawable indices; map to geometry slots
+    got_tri = np.asarray(buffers.id_buffer)[np.asarray(got.triangle)]
+    got_tri = np.where(np.asarray(got.triangle) < 0, -1, got_tri)
+    ref_tri = np.asarray(ref.triangle)
+    got_s = np.asarray(got.suv)[:, 0]
+    ref_s = np.asarray(ref.suv)[:, 0]
+    # rays through shared edges tie in s; which triangle wins then depends
+    # on sub-ulp differences between the matmul and elementwise MT
+    # formulations — accept a different triangle at the same distance
+    agree = got_tri == ref_tri
+    tied = ((got_tri >= 0) & (ref_tri >= 0)
+            & (np.abs(got_s - ref_s) <= 1e-3 + 1e-3 * np.abs(ref_s)))
+    assert np.all(agree | tied), np.flatnonzero(~(agree | tied))[:10]
+    assert (~agree).mean() <= 0.005
+    hit = agree & (ref_tri >= 0)
+    np.testing.assert_allclose(got_s[hit], ref_s[hit], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sort_rays", [False, True])
+def test_sparse_shadow_matches_scan_cornell(sort_rays):
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse)
+    from flexlight_tpu.ops.traverse import shadow_scan
+    from tests.scenes import cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax = build_w4_tiled(geometry, buffers.id_buffer, x6=False)
+
+    rng = np.random.default_rng(12)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    target = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    d = target - origin
+    max_len = np.linalg.norm(d, axis=-1)
+    unit = (d / max_len[:, None]).astype(np.float32)
+
+    ref = shadow_scan(jnp.asarray(geometry), jnp.asarray(origin),
+                      jnp.asarray(unit), jnp.asarray(max_len))
+    got = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                        jnp.asarray(unit), jnp.asarray(max_len),
+                        interpret=True, sort_rays=sort_rays)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
