@@ -171,14 +171,14 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
         from ..ops.intersect_sparse import (build_w4_tiled, shadow_sparse,
                                             traverse_sparse)
 
-        w4t, amin, amax = build_w4_tiled(world_geom, buffers.id_buffer)
+        w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer)
         interp = _jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
         idb = buffers.id_buffer
 
         def traverse_fn(o, d):
-            hit = traverse_sparse(w4t, amin, amax, o, d, interpret=interp,
-                                  sort_rays=sort)
+            hit = traverse_sparse(w4t, w4f, amin, amax, o, d,
+                                  interpret=interp, sort_rays=sort)
             # sparse reports drawable indices; shading tables are
             # slot-indexed here, so map back through id_buffer
             slot = jnp.where(hit.triangle >= 0,

@@ -91,17 +91,19 @@ def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE,
                    x6: bool = True):
     """MT constants in DMA-friendly tile-major layout.
 
-    Returns (w4t [WT, 4, K, tri_tile], aabb_min/max [K, 3]) with
-    K = 96 bf16 limb rows (x6 packing, default) or 16 f32 rows. One
-    worklist tile = one contiguous HBM block whose minor dim is the
-    native 128-lane axis (a 16-lane minor would make the VMEM scratch
-    lane-padded and its DMA slices illegal).
-    """
+    Returns (w4t [WT, 4, K, tri_tile], aabb_min/max [K, 3], w4f
+    [Tp, 64] f32) with K = 96 bf16 limb rows (x6 packing, default) or
+    16 f32 rows. One worklist tile = one contiguous HBM block whose
+    minor dim is the native 128-lane axis (a 16-lane minor would make
+    the VMEM scratch lane-padded and its DMA slices illegal). w4f is
+    the same constants row-flattened in drawable order for the
+    post-kernel exact (s, u, v) recovery of each ray's winner."""
     t = id_buffer.shape[0]
     tp = -(-t // tri_tile) * tri_tile
     wt = tp // tri_tile
     rows = tri_rows(world_geometry, id_buffer)              # 4 x [T, 16]
     w4 = jnp.stack([jnp.pad(r, ((0, tp - t), (0, 0))) for r in rows])
+    w4f = w4.transpose(1, 0, 2).reshape(tp, 64)             # [Tp, 64] f32
     if x6:
         w4 = pack_lhs_x6(w4, axis=-1)                       # [4, Tp, 96] bf16
     kdim = w4.shape[-1]
@@ -118,7 +120,7 @@ def build_w4_tiled(world_geometry, id_buffer, tri_tile: int = TRI_TILE,
     k = tp // cluster
     aabb_min = vmin.reshape(k, cluster, 3).min(axis=1)
     aabb_max = vmax.reshape(k, cluster, 3).max(axis=1)
-    return w4t, aabb_min, aabb_max
+    return w4t, aabb_min, aabb_max, w4f
 
 
 def _compact(tmins, chunk: int):
@@ -293,16 +295,14 @@ _EXIT_ABS = np.float32(1e-5)
 
 
 def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
-            s_ref, u_ref, v_ref, tri_ref, w_s, tl_s, tm_s, sem_w, sem_tl,
+            s_ref, tri_ref, w_s, tl_s, tm_s, sem_w, sem_tl,
             sem_tm, *, cull: bool, precision, tri_tile: int, ray_tile: int,
-            chunk: int):
+            chunk: int, approx_rcp: bool):
     i = pl.program_id(0)
     m = chunk * tri_tile
 
     shp = (1, 1, ray_tile)
     s_ref[:] = jnp.full(shp, POW32, dtype=jnp.float32)
-    u_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
-    v_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
     tri_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
 
     cnt = cnt_ref[i]
@@ -354,20 +354,35 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             udet = plane(1)
             vdet = plane(2)
             sdet = plane(3)
-            inv = 1.0 / det
-            u = udet * inv
-            v = vdet * inv
-            s = sdet * inv
             ml = ml_ref[0]                      # [1, ray_tile]
+            if cull:
+                da, ud, vd, sd = det, udet, vdet, sdet
+            else:
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                da = det * sgn
+                ud = udet * sgn
+                vd = vdet * sgn
+                sd = sdet * sgn
+            # Det-domain accept window (glsl:123-158 semantics): u >= BIAS
+            # <=> udet >= BIAS*det for det > 0, etc. — the f32 division
+            # (22 ms/traversal at dragon 1080p) drops out of the hot loop.
             # Padded triangles have all-zero W rows -> det == 0 -> invalid.
-            valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
-            valid &= (u >= BIAS) & (u <= 1.0)
-            valid &= (v >= BIAS) & (u + v <= 1.0)
-            valid &= (s > BIAS) & (s <= ml)
-            s_masked = jnp.where(valid, s, POW32)
+            valid = da >= BIAS
+            valid &= (ud >= BIAS * da) & (ud <= da)
+            valid &= (vd >= BIAS * da) & (ud + vd <= da)
+            valid &= (sd > BIAS * da) & (sd <= ml * da)
+            # Distance key: approx reciprocal + one Newton step (~1 ulp) —
+            # exact (s, u, v) are recovered post-kernel from the winning
+            # triangle's f32 constants (_run), so only argmin order and
+            # the early-exit bound (guard-banded) see this key.
+            if approx_rcp:
+                r = pl.reciprocal(da, approx=True)
+                r = r * (2.0 - da * r)
+            else:
+                r = 1.0 / da
+            s_masked = jnp.where(valid, sd * r, POW32)
 
             tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (m, ray_tile), 0)
             # global drawable index = tile * tri_tile + row-within-tile,
             # built as a tiny [m, 1] vector from the prefetched worklist
             rows_m1 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
@@ -376,23 +391,14 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
                 t_k = tl_s[0, c * chunk + k]
                 in_k = (rows_m1 >= k * tri_tile) & (rows_m1 < (k + 1) * tri_tile)
                 gidx = gidx + jnp.where(in_k, (t_k - k) * tri_tile, 0)
-            gidx_b = jnp.broadcast_to(gidx.astype(jnp.float32), (m, ray_tile))
             # reference tie-break: among equal-s rows pick the LOWEST
             # drawable index (glsl iterates id_buffer order, strict '<');
-            # then a unique row among possible duplicates of a padded
-            # repeat of tile 0 in the final partial chunk
+            # padded repeats of a tile in the final partial chunk share
+            # one drawable index, so no further uniquifying is needed
             is_best = s_masked <= tile_best_s
             big = np.float32(1 << 26)
-            tile_tri = jnp.min(jnp.where(is_best, gidx_b, big), axis=0,
-                               keepdims=True)
-            best_row = jnp.min(
-                jnp.where(is_best & (gidx_b == tile_tri), rows, m),
-                axis=0, keepdims=True)
-            onehot = rows == best_row
-            take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0,
-                                     keepdims=True)
-            tile_u = take(u)
-            tile_v = take(v)
+            tile_tri = jnp.min(jnp.where(is_best, gidx.astype(jnp.float32),
+                                         big), axis=0, keepdims=True)
 
             prev_s = s_ref[0]
             prev_tri = tri_ref[0].astype(jnp.float32)
@@ -400,8 +406,6 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             better = (tile_best_s < prev_s) | (
                 hit_tile & (tile_best_s == prev_s) & (tile_tri < prev_tri))
             s_ref[0] = jnp.where(better, tile_best_s, prev_s)
-            u_ref[0] = jnp.where(better, tile_u, u_ref[0])
-            v_ref[0] = jnp.where(better, tile_v, v_ref[0])
             tri_ref[0] = jnp.where(better & hit_tile, tile_tri, prev_tri
                                    ).astype(jnp.int32)
 
@@ -479,14 +483,12 @@ def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
             udet = plane(1)
             vdet = plane(2)
             sdet = plane(3)
-            inv = 1.0 / det
-            u = udet * inv
-            v = vdet * inv
-            s = sdet * inv
+            # det-domain accept window — any-hit needs no distances at
+            # all, so the division disappears outright
             valid = (det >= BIAS)               # front-face cull (glsl:143)
-            valid &= (u >= BIAS) & (u <= 1.0)
-            valid &= (v >= BIAS) & (u + v <= 1.0)
-            valid &= (s > BIAS) & (s <= ml)
+            valid &= (udet >= BIAS * det) & (udet <= det)
+            valid &= (vdet >= BIAS * det) & (udet + vdet <= det)
+            valid &= (sdet > BIAS * det) & (sdet <= ml * det)
             newhit = jnp.any(valid, axis=0, keepdims=True)
             hit_ref[0] = jnp.where(newhit, 1, hit_ref[0])
             done = jnp.all((hit_ref[0] > 0) | dead)
@@ -567,8 +569,6 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
         ft = f.T
     out_shape = [
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
     ]
     out_spec = pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
@@ -586,7 +586,7 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
             pl.BlockSpec(memory_space=pltpu.ANY),   # sorted tmins in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # w4t stays in HBM
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 2,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 4, kdim, tri_tile), w4t.dtype),
             pltpu.SMEM((1, wtp), jnp.int32),
@@ -596,9 +596,9 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    s, u, v, tri = pl.pallas_call(
+    s, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, chunk=chunk),
+                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -606,7 +606,7 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
         interpret=interpret,
     )(counts, ft, max_len.reshape(rt, 1, ray_tile),
       tlist.reshape(rt, 1, -1), tms.reshape(rt, 1, -1), w4t)
-    return tuple(x.reshape(-1) for x in (s, u, v, tri))
+    return s.reshape(-1), tri.reshape(-1)
 
 
 def _apply_perm_rays(origin, direction, max_len, perm):
@@ -619,7 +619,7 @@ def _apply_perm_rays(origin, direction, max_len, perm):
     return packed[:, 0:3], packed[:, 3:6], packed[:, 6]
 
 
-def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
+def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
          interpret, precision, tri_tile, ray_tile, chunk, sort_rays):
     from .intersect_kernel import _prep
 
@@ -638,11 +638,22 @@ def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
                              tri_tile=tri_tile, ray_tile=ray_tile)
     tlist, tms, counts = _compact(tmins, chunk)
     f = _ray_features(o, d)
-    s, u, v, tri = _intersect_sparse(w4t, tlist, tms, counts, f, ml,
-                                     cull=cull, interpret=interpret,
-                                     precision=precision, tri_tile=tri_tile,
-                                     ray_tile=ray_tile, chunk=chunk)
-    s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
+    s_key, tri = _intersect_sparse(w4t, tlist, tms, counts, f, ml,
+                                   cull=cull, interpret=interpret,
+                                   precision=precision, tri_tile=tri_tile,
+                                   ray_tile=ray_tile, chunk=chunk)
+    tri = tri[:n]
+    # Exact f32 (s, u, v) of the winner: one vectorized row gather of its
+    # MT constants + a 16-wide dot — the kernel's distance is only an
+    # approx-reciprocal argmin key and never leaves this function.
+    w = jax.lax.optimization_barrier(w4f[jnp.maximum(tri, 0)])   # [n, 64]
+    dots = (w.reshape(-1, 4, 16) * f[:n, None, :]).sum(axis=-1)  # [n, 4]
+    det = dots[:, 0]
+    inv = 1.0 / jnp.where(det != 0.0, det, 1.0)
+    hit = tri >= 0
+    s = jnp.where(hit, dots[:, 3] * inv, POW32)
+    u = jnp.where(hit, dots[:, 1] * inv, 0.0)
+    v = jnp.where(hit, dots[:, 2] * inv, 0.0)
     if sort_rays:
         packed = jnp.stack(
             [s, u, v, tri.astype(jnp.float32)], axis=1)[inv_perm]
@@ -654,7 +665,7 @@ def _run(w4t, aabb_min, aabb_max, origin, direction, max_len, cull,
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
                                    "ray_tile", "chunk", "sort_rays"))
-def traverse_sparse(w4t, aabb_min, aabb_max, origin, direction,
+def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
@@ -669,7 +680,7 @@ def traverse_sparse(w4t, aabb_min, aabb_max, origin, direction,
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
-    s, u, v, tri = _run(w4t, aabb_min, aabb_max, origin, direction,
+    s, u, v, tri = _run(w4t, w4f, aabb_min, aabb_max, origin, direction,
                         max_len, False, interpret, precision, tri_tile,
                         ray_tile, chunk, sort_rays)
     hit = tri >= 0

@@ -489,14 +489,14 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         from .intersect_sparse import build_w4_tiled, shadow_sparse, traverse_sparse
 
-        w4t, amin, amax = build_w4_tiled(world_geom, buffers.id_buffer)
+        w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer)
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
 
         def traverse_fn(o, d, alive=None):
             # NB: returns DRAWABLE indices; the material/location tables
             # below are pre-gathered into drawable order for this scheme.
-            return traverse_sparse(w4t, amin, amax, o, d,
+            return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
                                    alive=alive)
 

@@ -51,7 +51,7 @@ def main():
     scene, camera = engine.scene, engine.camera
     buffers = build_scene_buffers(scene)
     geom = world_geometry(buffers)
-    w4t, amin, amax = build_w4_tiled(geom, buffers.id_buffer)
+    w4t, amin, amax, w4f = build_w4_tiled(geom, buffers.id_buffer)
     print(f"tris={buffers.id_buffer.shape[0]} worklist_tiles={w4t.shape[0]}",
           flush=True)
 
@@ -110,7 +110,7 @@ def main():
         report(f"  sort[{name}]", sort_fn, o, d, ml, iters=4)
         report(f"  kernel(closest)[{name}]", kernel_fn, o, d, ml, iters=4)
         report(f"  full(closest,sorted)[{name}]",
-               lambda o, d, ml: traverse_sparse(w4t, amin, amax, o, d,
+               lambda o, d, ml: traverse_sparse(w4t, w4f, amin, amax, o, d,
                                                 sort_rays=True).suv,
                o, d, ml, iters=4)
         report(f"  kernel(anyhit)[{name}]", shadow_fn, o, d, ml, iters=4)

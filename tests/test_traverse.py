@@ -163,7 +163,8 @@ def test_sparse_traversal_matches_scan_cornell(sort_rays):
     scene, camera = cornell_scene()
     buffers = bufmod.build_scene_buffers(scene)
     geometry = world_geometry(buffers)
-    w4t, amin, amax = build_w4_tiled(geometry, buffers.id_buffer, x6=False)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
 
     rng = np.random.default_rng(11)
     n = 2048
@@ -173,7 +174,7 @@ def test_sparse_traversal_matches_scan_cornell(sort_rays):
 
     ref = traverse_scan(jnp.asarray(geometry), jnp.asarray(origin),
                         jnp.asarray(direction))
-    got = traverse_sparse(w4t, amin, amax, jnp.asarray(origin),
+    got = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
                           jnp.asarray(direction), interpret=True,
                           sort_rays=sort_rays)
     # sparse returns drawable indices; map to geometry slots
@@ -204,7 +205,8 @@ def test_sparse_shadow_matches_scan_cornell(sort_rays):
     scene, camera = cornell_scene()
     buffers = bufmod.build_scene_buffers(scene)
     geometry = world_geometry(buffers)
-    w4t, amin, amax = build_w4_tiled(geometry, buffers.id_buffer, x6=False)
+    w4t, amin, amax, _ = build_w4_tiled(geometry, buffers.id_buffer,
+                                        x6=False)
 
     rng = np.random.default_rng(12)
     n = 2048
