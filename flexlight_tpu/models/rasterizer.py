@@ -25,6 +25,7 @@ from ..ops import traverse as trv
 from ..ops.brdf import forward_trace, normalize
 from ..ops.buffers import build_scene_buffers, fetch_tex_val
 from ..ops.geometry import world_geometry
+from ..ops.intersect import BIAS
 from ..ops.pathtrace import camera_rays
 from ..post.common import quantize_rgba8, reinhard_gamma
 from ..post.fxaa import fxaa
@@ -147,7 +148,8 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
         from ..ops.traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
 
         w = build_tri_matrix(world_geom, buffers.id_buffer)
-        traverse_fn = lambda o, d: traverse_mxu(w, buffers.id_buffer, o, d)
+        traverse_fn = lambda o, d: traverse_mxu(w, buffers.id_buffer, o, d,
+                                                edge=-BIAS)
         shadow_fn = lambda o, d, l: shadow_mxu(w, o, d, l)
     elif scheme == "kernel":
         import jax as _jax
@@ -161,7 +163,7 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
         sort = (ids.shape[0] // tri_tile) >= 8
         traverse_fn = lambda o, d: traverse_kernel(w4, amin, amax, ids, o, d,
                                                    interpret=interp, tri_tile=tri_tile,
-                                                   sort_rays=sort)
+                                                   sort_rays=sort, edge=-BIAS)
         shadow_fn = lambda o, d, l: shadow_kernel(w4, amin, amax, ids, o, d, l,
                                                   interpret=interp, tri_tile=tri_tile,
                                                   sort_rays=sort)
@@ -178,7 +180,7 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
 
         def traverse_fn(o, d):
             hit = traverse_sparse(w4t, w4f, amin, amax, o, d,
-                                  interpret=interp, sort_rays=sort)
+                                  interpret=interp, sort_rays=sort, edge=-BIAS)
             # sparse reports drawable indices; shading tables are
             # slot-indexed here, so map back through id_buffer
             slot = jnp.where(hit.triangle >= 0,
@@ -193,20 +195,23 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
                                               traverse_clustered)
 
         clusters = build_clusters(world_geom, buffers.id_buffer)
-        traverse_fn = lambda o, d: traverse_clustered(clusters, o, d)
+        traverse_fn = lambda o, d: traverse_clustered(clusters, o, d, edge=-BIAS)
         shadow_fn = lambda o, d, l: shadow_clustered(clusters, o, d, l)
     elif scheme == "packet":
         def shadow_fn(o, d, l):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
-        traverse_fn = lambda o, d: trv.traverse_coherent(world_geom, o, d, tile=tile)
+        traverse_fn = lambda o, d: trv.traverse_coherent(world_geom, o, d,
+                                                         tile=tile, edge=-BIAS)
     else:
         def shadow_fn(o, d, l):
             return trv.shadow_scan(world_geom, o, d, l)
-        traverse_fn = lambda o, d: trv.traverse_scan(world_geom, o, d)
+        traverse_fn = lambda o, d: trv.traverse_scan(world_geom, o, d, edge=-BIAS)
 
     origin, direction, _ = camera_rays(width, height, cam_pos, view)
     n = origin.shape[0]
 
+    # All casts stand in for the reference's raster draw (watertight
+    # coverage), so they use the relaxed edge window (ops.traverse._mt_chunk).
     # Extract up to `layers` hit layers front-to-back by ray continuation
     # (re-cast from each hit point; s > BIAS rejects the surface itself),
     # then replay GL's draw-order blending over them. layers == 1 is the

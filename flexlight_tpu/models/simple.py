@@ -18,6 +18,7 @@ import numpy as np
 from ..ops import traverse as trv
 from ..ops.buffers import build_scene_buffers
 from ..ops.geometry import world_geometry
+from ..ops.intersect import BIAS
 from ..ops.pathtrace import camera_rays
 
 
@@ -26,7 +27,9 @@ def simple_frame(buffers, cam_pos, view, width, height):
     world_geom = world_geometry(buffers)
     origin, direction, _ = camera_rays(width, height, cam_pos, view)
     n = origin.shape[0]
-    hit = trv.traverse_scan(world_geom, origin, direction)
+    # The reference WGPU backend rasterizes primaries (watertight);
+    # relaxed edge window closes the ray-cast seam (ops.traverse._mt_chunk).
+    hit = trv.traverse_scan(world_geom, origin, direction, edge=-BIAS)
     covered = hit.triangle != -1
     tri = jnp.maximum(hit.triangle, 0)
 

@@ -37,7 +37,8 @@ CLUSTER = 64             # cluster size for the flag prepass
 
 
 def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
-            tri_ref, *, cull: bool, precision, tri_tile: int, ray_tile: int):
+            tri_ref, *, cull: bool, precision, tri_tile: int, ray_tile: int,
+            edge: float = BIAS):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -67,9 +68,11 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
         v = vdet * inv
         s = sdet * inv
         ml = ml_ref[0]                        # [1, 1024]
+        # edge=-BIAS on primary casts closes the shared-edge rejection
+        # band (see ops.traverse._mt_chunk).
         valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
-        valid &= (u >= BIAS) & (u <= 1.0)
-        valid &= (v >= BIAS) & (u + v <= 1.0)
+        valid &= (u >= edge) & (u <= 1.0)
+        valid &= (v >= edge) & (u + v <= 1.0)
         valid &= (s > BIAS) & (s <= ml)
         s_masked = jnp.where(valid, s, POW32)
 
@@ -98,10 +101,10 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
-                                   "ray_tile"))
+                                   "ray_tile", "edge"))
 def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
-               ray_tile: int = RAY_TILE):
+               ray_tile: int = RAY_TILE, edge: float = BIAS):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     rp = f.shape[0]
@@ -144,7 +147,7 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
     )
     s, u, v, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile),
+                ray_tile=ray_tile, edge=edge),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -257,12 +260,13 @@ def _prep(origin, direction, max_len, ray_tile: int = RAY_TILE):
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "sort_rays", "ray_tile"))
+                                   "sort_rays", "ray_tile", "edge"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, sort_rays: bool = False,
-                    ray_tile: int = RAY_TILE, alive=None) -> Hit:
+                    ray_tile: int = RAY_TILE, alive=None,
+                    edge: float = BIAS) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip.
 
     `alive` (optional bool [N]): dead rays get max_len 0, so whole dead
@@ -282,7 +286,7 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     idsf = ids.astype(jnp.float32).reshape(-1, 1)
     s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=False,
                               interpret=interpret, precision=precision,
-                              tri_tile=tri_tile, ray_tile=ray_tile)
+                              tri_tile=tri_tile, ray_tile=ray_tile, edge=edge)
     s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
     if sort_rays:
         s, u, v, tri = s[inv_perm], u[inv_perm], v[inv_perm], tri[inv_perm]

@@ -297,7 +297,7 @@ _EXIT_ABS = np.float32(1e-5)
 def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             s_ref, tri_ref, w_s, tl_s, tm_s, sem_w, sem_tl,
             sem_tm, *, cull: bool, precision, tri_tile: int, ray_tile: int,
-            chunk: int, approx_rcp: bool):
+            chunk: int, approx_rcp: bool, edge: float = BIAS):
     i = pl.program_id(0)
     m = chunk * tri_tile
 
@@ -367,9 +367,12 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             # <=> udet >= BIAS*det for det > 0, etc. — the f32 division
             # (22 ms/traversal at dragon 1080p) drops out of the hot loop.
             # Padded triangles have all-zero W rows -> det == 0 -> invalid.
+            # edge=-BIAS on primary casts closes the shared-edge rejection
+            # band (see ops.traverse._mt_chunk); da > 0 here, so the
+            # scaled comparison keeps its direction for negative edge.
             valid = da >= BIAS
-            valid &= (ud >= BIAS * da) & (ud <= da)
-            valid &= (vd >= BIAS * da) & (ud + vd <= da)
+            valid &= (ud >= edge * da) & (ud <= da)
+            valid &= (vd >= edge * da) & (ud + vd <= da)
             valid &= (sd > BIAS * da) & (sd <= ml * da)
             # Distance key: approx reciprocal + one Newton step (~1 ulp) —
             # exact (s, u, v) are recovered post-kernel from the winning
@@ -553,12 +556,12 @@ def _any_hit_sparse(w4t, tlist, counts, f, max_len,
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision",
-                                   "tri_tile", "ray_tile", "chunk"))
+                                   "tri_tile", "ray_tile", "chunk", "edge"))
 def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
                       interpret: bool = False,
                       precision=jax.lax.Precision.HIGHEST,
                       tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
-                      chunk: int = CHUNK):
+                      chunk: int = CHUNK, edge: float = BIAS):
     rp = f.shape[0]
     rt = rp // ray_tile
     kdim = w4t.shape[2]
@@ -598,7 +601,8 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
     )
     s, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret),
+                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret,
+                edge=edge),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -620,7 +624,8 @@ def _apply_perm_rays(origin, direction, max_len, perm):
 
 
 def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
-         interpret, precision, tri_tile, ray_tile, chunk, sort_rays):
+         interpret, precision, tri_tile, ray_tile, chunk, sort_rays,
+         edge=BIAS):
     from .intersect_kernel import _prep
 
     if sort_rays:
@@ -641,7 +646,7 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
     s_key, tri = _intersect_sparse(w4t, tlist, tms, counts, f, ml,
                                    cull=cull, interpret=interpret,
                                    precision=precision, tri_tile=tri_tile,
-                                   ray_tile=ray_tile, chunk=chunk)
+                                   ray_tile=ray_tile, chunk=chunk, edge=edge)
     tri = tri[:n]
     # Exact f32 (s, u, v) of the winner: one vectorized row gather of its
     # MT constants + a 16-wide dot — the kernel's distance is only an
@@ -664,13 +669,13 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile", "chunk", "sort_rays"))
+                                   "ray_tile", "chunk", "sort_rays", "edge"))
 def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                     chunk: int = CHUNK, sort_rays: bool = False,
-                    alive=None) -> Hit:
+                    alive=None, edge: float = BIAS) -> Hit:
     """Closest hit of N rays against all triangles; worklist-sparse.
 
     Hit.triangle is the DRAWABLE index (position in id_buffer order), not
@@ -682,7 +687,7 @@ def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
         max_len = jnp.where(alive, max_len, 0.0)
     s, u, v, tri = _run(w4t, w4f, aabb_min, aabb_max, origin, direction,
                         max_len, False, interpret, precision, tri_tile,
-                        ray_tile, chunk, sort_rays)
+                        ray_tile, chunk, sort_rays, edge=edge)
     hit = tri >= 0
     suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))

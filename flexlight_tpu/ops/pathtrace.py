@@ -479,8 +479,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         w = build_tri_matrix(world_geom, buffers.id_buffer)
 
-        def traverse_fn(o, d, alive=None):
-            return traverse_mxu(w, buffers.id_buffer, o, d)
+        def traverse_fn(o, d, alive=None, edge=BIAS):
+            return traverse_mxu(w, buffers.id_buffer, o, d, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_mxu(w, o, d, l)
@@ -493,12 +493,12 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
 
-        def traverse_fn(o, d, alive=None):
+        def traverse_fn(o, d, alive=None, edge=BIAS):
             # NB: returns DRAWABLE indices; the material/location tables
             # below are pre-gathered into drawable order for this scheme.
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
-                                   alive=alive)
+                                   alive=alive, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_sparse(w4t, amin, amax, o, d, l,
@@ -517,9 +517,10 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # tiles to skip (argsort is not free on TPU)
         sort = (ids.shape[0] // tri_tile) >= 8
 
-        def traverse_fn(o, d, alive=None):
+        def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
-                                   tri_tile=tri_tile, sort_rays=sort, alive=alive)
+                                   tri_tile=tri_tile, sort_rays=sort,
+                                   alive=alive, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
@@ -529,20 +530,20 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         clusters = build_clusters(world_geom, buffers.id_buffer)
 
-        def traverse_fn(o, d, alive=None):
-            return traverse_clustered(clusters, o, d)
+        def traverse_fn(o, d, alive=None, edge=BIAS):
+            return traverse_clustered(clusters, o, d, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_clustered(clusters, o, d, l)
     elif scheme == "packet":
-        def traverse_fn(o, d, alive=None):
-            return trv.traverse_coherent(world_geom, o, d, tile=tile)
+        def traverse_fn(o, d, alive=None, edge=BIAS):
+            return trv.traverse_coherent(world_geom, o, d, tile=tile, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return trv.shadow_coherent(world_geom, o, d, l, tile=tile)
     else:
-        def traverse_fn(o, d, alive=None):
-            return trv.traverse_scan(world_geom, o, d)
+        def traverse_fn(o, d, alive=None, edge=BIAS):
+            return trv.traverse_scan(world_geom, o, d, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return trv.shadow_scan(world_geom, o, d, l)
@@ -569,7 +570,11 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         mat = mat[buffers.id_buffer]
         loc_geometry = buffers.geometry[buffers.id_buffer]
     n = origin.shape[0]
-    primary = traverse_fn(origin, direction)
+    # Primary rays replace the reference's watertight raster pass
+    # (pathtracerWGL2.js vertex stage), so they use the relaxed edge
+    # window; bounce rays (traverse_soa below) keep the fragment
+    # shader's exact +BIAS window (glsl:134-136).
+    primary = traverse_fn(origin, direction, edge=-BIAS)
     covered = primary.triangle != -1
 
     # Large material tables (> one-hot threshold) fetch via row gathers;

@@ -40,11 +40,19 @@ class Hit(NamedTuple):
     triangle: jnp.ndarray  # [N] int32 slot index, -1 on miss
 
 
-def _mt_chunk(v0, v1, v2, origin, direction, max_len, cull: bool):
+def _mt_chunk(v0, v1, v2, origin, direction, max_len, cull: bool,
+              edge: float = BIAS):
     """Möller-Trumbore of N rays against C triangles -> s,u,v,valid [C,N].
 
     Inlined rather than calling ops.intersect so XLA fuses the broadcasted
     [C,N,3] intermediates; accept conditions identical to glsl:123-158.
+
+    `edge` is the lower bound of the u/v accept window. The fragment
+    shader's BIAS rejection band (glsl:134-136) carves a visible gap
+    along shared triangle edges when primaries are ray-cast rather than
+    rasterized (the reference's raster pass is watertight); primary
+    casts pass edge=-BIAS to close it, bounce/shadow rays keep the
+    reference-exact +BIAS window.
     """
     edge1 = (v1 - v0)[:, None, :]
     edge2 = (v2 - v0)[:, None, :]
@@ -58,14 +66,15 @@ def _mt_chunk(v0, v1, v2, origin, direction, max_len, cull: bool):
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     s = jnp.sum(edge2 * qvec, axis=-1) * inv_det
     valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
-    valid &= (u >= BIAS) & (u <= 1.0)
-    valid &= (v >= BIAS) & (u + v <= 1.0)
+    valid &= (u >= edge) & (u <= 1.0)
+    valid &= (v >= edge) & (u + v <= 1.0)
     valid &= (s <= max_len) & (s > BIAS)
     return s, u, v, valid
 
 
 def traverse_scan(geometry: jnp.ndarray, origin: jnp.ndarray,
-                  direction: jnp.ndarray, chunk: int = 16) -> Hit:
+                  direction: jnp.ndarray, chunk: int = 16,
+                  edge: float = BIAS) -> Hit:
     """Closest-hit over all rays; chunked linear scan (glsl:172-227)."""
     s_slots = geometry.shape[0]
     n_chunks = s_slots // chunk
@@ -82,7 +91,8 @@ def traverse_scan(geometry: jnp.ndarray, origin: jnp.ndarray,
         live_tri = (kind == 2.0) & ~sentinel & ~ended
 
         s, u, v, valid = _mt_chunk(verts[:, 0], verts[:, 1], verts[:, 2],
-                                   origin, direction, min_len[None, :], cull=False)
+                                   origin, direction, min_len[None, :],
+                                   cull=False, edge=edge)
         valid &= live_tri[:, None]
         s_masked = jnp.where(valid, s, POW32)
         best = jnp.argmin(s_masked, axis=0)                       # [N]
@@ -139,7 +149,7 @@ def shadow_scan(geometry: jnp.ndarray, origin: jnp.ndarray,
 # Packet (tile-coherent) traversal
 # ----------------------------------------------------------------------
 
-def _traverse_packet(geometry, origin, direction, max_len0):
+def _traverse_packet(geometry, origin, direction, max_len0, edge=BIAS):
     """One ray packet walks the skip-pointer list with a shared cursor."""
     s_slots = geometry.shape[0]
     inv_dir = 1.0 / direction
@@ -164,7 +174,8 @@ def _traverse_packet(geometry, origin, direction, max_len0):
 
         # Triangle test (two-sided MT)
         s, u, v, valid = _mt_chunk(v0[None], v1[None], v2[None],
-                                   origin, direction, min_len[None, :], cull=False)
+                                   origin, direction, min_len[None, :],
+                                   cull=False, edge=edge)
         take = valid[0] & (kind == 2.0)
         min_len = jnp.where(take, s[0], min_len)
         suv = jnp.where(take[:, None], jnp.stack([s[0], u[0], v[0]], axis=-1), suv)
@@ -186,12 +197,14 @@ def _traverse_packet(geometry, origin, direction, max_len0):
 
 
 def traverse_coherent(geometry: jnp.ndarray, origin: jnp.ndarray,
-                      direction: jnp.ndarray, tile: int = 1024) -> Hit:
+                      direction: jnp.ndarray, tile: int = 1024,
+                      edge: float = BIAS) -> Hit:
     """Packet traversal vmapped over ray tiles. N must be divisible by tile."""
     n = origin.shape[0]
     o = origin.reshape(n // tile, tile, 3)
     d = direction.reshape(n // tile, tile, 3)
-    suv, tri = jax.vmap(lambda oo, dd: _traverse_packet(geometry, oo, dd, POW32))(o, d)
+    suv, tri = jax.vmap(
+        lambda oo, dd: _traverse_packet(geometry, oo, dd, POW32, edge=edge))(o, d)
     return Hit(suv=suv.reshape(n, 3), triangle=tri.reshape(n))
 
 

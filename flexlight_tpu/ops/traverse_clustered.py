@@ -73,16 +73,19 @@ def _cluster_hits(clusters: Clusters, origin, direction, max_len):
     return hit, tmin
 
 
-def _mt_epilogue(prod, cull: bool, max_len):
-    """prod [..., 4] -> (s, u, v, valid) with the glsl accept window."""
+def _mt_epilogue(prod, cull: bool, max_len, edge=BIAS):
+    """prod [..., 4] -> (s, u, v, valid) with the glsl accept window.
+
+    edge=-BIAS on primary casts closes the shared-edge rejection band
+    (see ops.traverse._mt_chunk)."""
     det = prod[..., 0]
     inv = 1.0 / det
     u = prod[..., 1] * inv
     v = prod[..., 2] * inv
     s = prod[..., 3] * inv
     valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
-    valid &= (u >= BIAS) & (u <= 1.0)
-    valid &= (v >= BIAS) & (u + v <= 1.0)
+    valid &= (u >= edge) & (u <= 1.0)
+    valid &= (v >= edge) & (u + v <= 1.0)
     valid &= (s > BIAS) & (s <= max_len)
     return s, u, v, valid
 
@@ -125,10 +128,12 @@ def _best_of(s, u, v, valid, tri_slots) -> _Best:
                  tri=jnp.where(miss, -1, tri_best).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("block", "k_cand", "group", "shadow", "sort_rays"))
+@partial(jax.jit, static_argnames=("block", "k_cand", "group", "shadow",
+                                   "sort_rays", "edge"))
 def _traverse_impl(clusters: Clusters, origin, direction, max_len,
                    block: int = 1024, k_cand: int = 64, group: int = 2,
-                   shadow: bool = False, sort_rays: bool = True):
+                   shadow: bool = False, sort_rays: bool = True,
+                   edge: float = BIAS):
     n = origin.shape[0]
     # Wavefront compaction: a stable sort by direction octant groups rays
     # of like direction while preserving the (already spatially coherent)
@@ -173,7 +178,7 @@ def _traverse_impl(clusters: Clusters, origin, direction, max_len,
         wflat = w_sel.transpose(1, 0, 2).reshape(16, -1)          # [16, M*4C]
         prod = jnp.dot(f, wflat, precision=MATMUL_PRECISION)
         prod = prod.reshape(o.shape[0], -1, c, 4)                 # [R, M, C, 4]
-        s, u, v, valid = _mt_epilogue(prod, shadow, ml[:, None, None])
+        s, u, v, valid = _mt_epilogue(prod, shadow, ml[:, None, None], edge=edge)
         valid &= (tri_sel >= 0)[None]
         return _best_of(s, u, v, valid, tri_sel)
 
@@ -225,10 +230,11 @@ def _traverse_impl(clusters: Clusters, origin, direction, max_len,
 
 def traverse_clustered(clusters: Clusters, origin, direction,
                        block: int = 1024, k_cand: int = 64,
-                       group: int = 2) -> Hit:
+                       group: int = 2, edge: float = BIAS) -> Hit:
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     return _traverse_impl(clusters, origin, direction, max_len,
-                          block=block, k_cand=k_cand, group=group, shadow=False)
+                          block=block, k_cand=k_cand, group=group,
+                          shadow=False, edge=edge)
 
 
 def shadow_clustered(clusters: Clusters, origin, direction, max_len,

@@ -103,16 +103,18 @@ def _mt_products(w, origin, direction):
     return prod[..., 0], prod[..., 1], prod[..., 2], prod[..., 3]
 
 
-def _closest_hit_block(w, id_buffer, origin, direction):
+def _closest_hit_block(w, id_buffer, origin, direction, edge=BIAS):
     det, udet, vdet, sdet = _mt_products(w, origin, direction)
     inv = 1.0 / det
     u = udet * inv
     v = vdet * inv
     s = sdet * inv
     # Full two-sided accept window (glsl:123-139); NaNs (det==0) reject.
+    # edge=-BIAS on primary casts closes the shared-edge rejection band
+    # (see ops.traverse._mt_chunk).
     valid = (jnp.abs(det) >= BIAS)
-    valid &= (u >= BIAS) & (u <= 1.0)
-    valid &= (v >= BIAS) & (u + v <= 1.0)
+    valid &= (u >= edge) & (u <= 1.0)
+    valid &= (v >= edge) & (u + v <= 1.0)
     valid &= (s > BIAS)
     s_masked = jnp.where(valid, s, POW32)
     best = jnp.argmin(s_masked, axis=-1)
@@ -152,9 +154,10 @@ def _blocked(fn, n, block, *args):
     return out
 
 
-def traverse_mxu(w, id_buffer, origin, direction, block: int = 262144) -> Hit:
+def traverse_mxu(w, id_buffer, origin, direction, block: int = 262144,
+                 edge: float = BIAS) -> Hit:
     """Closest hit of N rays against all T triangles via MXU contraction."""
-    return _blocked(partial(_closest_hit_block, w, id_buffer),
+    return _blocked(partial(_closest_hit_block, w, id_buffer, edge=edge),
                     origin.shape[0], block, origin, direction)
 
 
