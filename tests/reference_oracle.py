@@ -1,0 +1,505 @@
+"""Scalar NumPy oracle of the reference fragment shader.
+
+A deliberately naive, per-pixel, float32 transcription of
+`shaders/pathtracer_fragment.glsl` (structure and line order follow the
+GLSL: noise:119-121, moellerTrumbore:123-140, moellerTrumboreCull:143-158,
+rayCuboid:161-168, rayTracer:173-228, shadowTest:232-281,
+forwardTrace:283-334, reservoirSample:400-461, lightTrace:464-599,
+main:601-646). It shares NO code with flexlight_tpu's vectorized SoA
+pipeline — same input buffers, independent arithmetic path — so agreement
+between the two is evidence the TPU build computes the reference
+renderer's observable output, not merely that it is self-consistent.
+
+Differences from the GLSL, all deliberate and shared with the pipeline:
+- primaries are ray-cast instead of rasterized, with the relaxed edge
+  window (`edge=-BIAS`) standing in for watertight raster coverage
+  (see ops/traverse.py::_mt_chunk);
+- texture atlas sampling is NEAREST (fetch_tex_val contract) rather than
+  GL's sampler filtering.
+
+Used by tests/test_reference_parity.py and scripts/parity_report.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F = np.float32
+BIAS = F(0.0000152587890625)        # glsl:8
+POW32 = F(4294967296.0)
+PHI = F(1.61803398874989484820459)
+SQRT3 = F(1.7320508075688772)
+PI = F(3.141592653589793)
+INV_PI = F(0.3183098861837907)
+INV_255 = F(0.00392156862745098)
+INV_256 = F(0.00390625)
+
+_NOISE_DOT = np.array([12.9898, 78.233], dtype=np.float32)
+_NOISE_OFF = np.array([53.0, 59.0, 61.0, 67.0], dtype=np.float32)
+
+# The hash RNG multiplies sin() by 43758.5453 before fract(), so a 1-ulp
+# libm-vs-XLA sin difference becomes ~0.008 in the random vector and the
+# comparison turns chaotic at ~10% of pixels. Tests that want bit-aligned
+# RNG inject the pipeline's sin here (the renderer arithmetic under test
+# stays independent; only the transcendental primitive is shared).
+SIN = lambda x: np.sin(x, dtype=np.float32)
+COS = lambda x: np.cos(x, dtype=np.float32)   # sample phase (glsl:611) — same ulp story
+
+
+def _fract(x):
+    return x - np.floor(x)
+
+
+def noise(n, seed, random_seed):
+    """glsl:119-121. n: length-2 f32 vector -> length-4 f32 in [-1, 1)."""
+    d = F(n[0]) * _NOISE_DOT[0] + F(n[1]) * _NOISE_DOT[1]
+    arg = d + _NOISE_OFF * (F(seed) + F(random_seed) * PHI)
+    return _fract(SIN(arg) * F(43758.5453)) * F(2.0) - F(1.0)
+
+
+def _normalize(v):
+    n = np.sqrt(np.sum(v * v, dtype=np.float32))
+    return (v / n).astype(np.float32) if n > 0 else v
+
+
+def moeller_trumbore(t0, t1, t2, origin, direction, l, edge=BIAS):
+    """glsl:123-140. Returns (s, u, v) or None."""
+    edge1 = t1 - t0
+    edge2 = t2 - t0
+    pvec = np.cross(direction, edge2).astype(np.float32)
+    det = np.dot(edge1, pvec).astype(np.float32)
+    if abs(det) < BIAS:
+        return None
+    inv_det = F(1.0) / det
+    tvec = origin - t0
+    u = np.dot(tvec, pvec) * inv_det
+    if u < edge or u > 1.0:
+        return None
+    qvec = np.cross(tvec, edge1).astype(np.float32)
+    v = np.dot(direction, qvec) * inv_det
+    if v < edge or u + v > 1.0:
+        return None
+    s = np.dot(edge2, qvec) * inv_det
+    if s > l or s <= BIAS:
+        return None
+    return F(s), F(u), F(v)
+
+
+def moeller_trumbore_cull(t0, t1, t2, origin, direction, l):
+    """glsl:143-158."""
+    edge1 = t1 - t0
+    edge2 = t2 - t0
+    pvec = np.cross(direction, edge2).astype(np.float32)
+    det = np.dot(edge1, pvec).astype(np.float32)
+    if det < BIAS:
+        return False
+    inv_det = F(1.0) / det
+    tvec = origin - t0
+    u = np.dot(tvec, pvec) * inv_det
+    if u < BIAS or u > 1.0:
+        return False
+    qvec = np.cross(tvec, edge1).astype(np.float32)
+    v = np.dot(direction, qvec) * inv_det
+    if v < BIAS or u + v > 1.0:
+        return False
+    s = np.dot(edge2, qvec) * inv_det
+    return s <= l and s > BIAS
+
+
+def ray_cuboid(l, origin, direction, min_c, max_c):
+    """glsl:161-168."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v0 = (min_c - origin) / direction
+        v1 = (max_c - origin) / direction
+    tmin = np.max(np.minimum(v0, v1))
+    tmax = np.min(np.maximum(v0, v1))
+    return tmax >= max(tmin, BIAS) and tmin < l
+
+
+class _Buffers:
+    """Numpy view of a SceneBuffers pytree."""
+
+    def __init__(self, buffers):
+        self.geometry = np.asarray(buffers.geometry, dtype=np.float32)
+        self.attributes = np.asarray(buffers.attributes, dtype=np.float32)
+        self.rotations = np.asarray(buffers.rotations, dtype=np.float32)
+        self.shifts = np.asarray(buffers.shifts, dtype=np.float32)
+        self.lights = np.asarray(buffers.lights, dtype=np.float32)
+        self.ambient = np.asarray(buffers.ambient, dtype=np.float32)
+        self.albedo_atlas = np.asarray(buffers.albedo_atlas, dtype=np.float32)
+        self.pbr_atlas = np.asarray(buffers.pbr_atlas, dtype=np.float32)
+        self.tpo_atlas = np.asarray(buffers.tpo_atlas, dtype=np.float32)
+        self.texture_width = float(buffers.texture_width)
+
+
+def ray_tracer(b: _Buffers, origin, direction, edge=BIAS):
+    """glsl:173-228: linear skip-pointer walk, ray re-based per transform.
+
+    Returns (suv, transform_index m, triangle_slot) with slot -1 on miss.
+    """
+    t_origin, t_dir = origin, direction
+    cached_m = 0                                   # glsl:176 cachedTI = 0
+    hit = (None, 0, -1)
+    min_len = POW32
+    size = b.geometry.shape[0]
+    i = 0
+    while i < size:
+        row = b.geometry[i]
+        m = int(row[9])                            # t2.y
+        if m != cached_m:                          # glsl:196-203
+            rot_inv = b.rotations[m, 1]
+            cached_m = m
+            t_origin = rot_inv @ (origin + b.shifts[m, 1])
+            t_dir = rot_inv @ direction
+        kind = row[10]                             # t2.z
+        if kind == 0.0:
+            return hit
+        if kind == 1.0:
+            if not ray_cuboid(min_len, t_origin, t_dir, row[0:3], row[3:6]):
+                i += int(row[6])                   # t1.z skip count
+        else:
+            isect = moeller_trumbore(row[0:3], row[3:6], row[6:9],
+                                     t_origin, t_dir, min_len, edge)
+            if isect is not None:
+                hit = (isect, m, i)
+                min_len = isect[0]
+        i += 1
+    return hit
+
+
+def shadow_test(b: _Buffers, origin, direction, l):
+    """glsl:232-281 (note the normalize() after rotation — an asymmetry
+    vs rayTracer kept as-is)."""
+    t_origin, t_dir = origin, direction
+    cached_m = 0
+    size = b.geometry.shape[0]
+    i = 0
+    while i < size:
+        row = b.geometry[i]
+        m = int(row[9])
+        if m != cached_m:
+            rot_inv = b.rotations[m, 1]
+            cached_m = m
+            t_origin = rot_inv @ (origin + b.shifts[m, 1])
+            t_dir = _normalize(rot_inv @ direction)
+        kind = row[10]
+        if kind == 0.0:
+            return False
+        if kind == 1.0:
+            if not ray_cuboid(l, t_origin, t_dir, row[0:3], row[3:6]):
+                i += int(row[6])
+        else:
+            if moeller_trumbore_cull(row[0:3], row[3:6], row[6:9],
+                                     t_origin, t_dir, l):
+                return True
+        i += 1
+    return False
+
+
+def _trowbridge_reitz(alpha, n_dot_h):
+    num = alpha * alpha
+    denom = n_dot_h * n_dot_h * (num - F(1.0)) + F(1.0)
+    return num / max(PI * denom * denom, BIAS)
+
+
+def _schlick_beckmann(alpha, n_dot_x):
+    k = alpha * F(0.5)
+    denom = max(n_dot_x * (F(1.0) - k) + k, BIAS)
+    return n_dot_x / denom
+
+
+def _fresnel(f0, theta):
+    return f0 + (F(1.0) - f0) * (F(1.0) - theta) ** 5
+
+
+def forward_trace(albedo, rme, light_dir, strength, n, v):
+    """glsl:311-334."""
+    len_p1 = F(1.0) + np.sqrt(np.sum(light_dir * light_dir, dtype=np.float32))
+    brightness = F(strength) / (len_p1 * len_p1)
+    l = _normalize(light_dir)
+    h = _normalize(v + l)
+    v_dot_h = max(np.dot(v, h), F(0.0))
+    n_dot_l = max(np.dot(n, l), F(0.0))
+    n_dot_h = max(np.dot(n, h), F(0.0))
+    n_dot_v = max(np.dot(n, v), F(0.0))
+    alpha = rme[0] * rme[0]
+    brdf = F(1.0) + (n_dot_v - F(1.0)) * rme[1]    # mix(1, NdotV, metallic)
+    f0 = albedo * brdf
+    ks = _fresnel(f0, v_dot_h)
+    kd = (F(1.0) - ks) * (F(1.0) - rme[1])
+    lambert = albedo * INV_PI
+    ct_num = ks * _trowbridge_reitz(alpha, n_dot_h) * (
+        _schlick_beckmann(alpha, n_dot_v) * _schlick_beckmann(alpha, n_dot_l))
+    ct_denom = max(F(4.0) * n_dot_v * n_dot_l, BIAS)
+    radiance = kd * lambert + ct_num / ct_denom
+    return (radiance * n_dot_l * brightness).astype(np.float32)
+
+
+class _Globals:
+    """The shader's per-fragment globals (glsl:84-89)."""
+
+    def __init__(self):
+        self.first_ray_length = F(1.0)
+        self.glass_filter = F(0.0)
+        self.original_rme_x = F(0.0)
+        self.original_tpo_x = F(0.0)
+        self.original_color = np.ones(3, dtype=np.float32)
+        self.render_id = np.zeros(4, dtype=np.float32)
+        self.render_original_id = np.zeros(4, dtype=np.float32)
+
+
+def _to_4bit(a, b):
+    aui = np.uint32(max(a, 0.0) * 255.0) & np.uint32(240)
+    bui = (np.uint32(max(b, 0.0) * 255.0) & np.uint32(240)) >> np.uint32(4)
+    return F(aui | bui) * INV_255
+
+
+def _combine_normal_rme(n, rme):
+    phi = np.arctan2(n[2], n[0], dtype=np.float32) * INV_PI * F(0.5) + F(0.5)
+    theta = np.arctan2(n[0], n[1], dtype=np.float32) * INV_PI * F(0.5) + F(0.5)
+    return np.array([_to_4bit(phi, theta), rme[0], _to_4bit(rme[1], rme[2])],
+                    dtype=np.float32)
+
+
+def _fetch_tex(atlas, uv, tex_num, default, texture_width):
+    """fetch_tex_val contract (NEAREST + REPEAT on glsl:108-117 coords)."""
+    if tex_num == -1.0:
+        return np.asarray(default, dtype=np.float32)
+    h, w = atlas.shape[0], atlas.shape[1]
+    height_factor = F(w) / F(h)
+    cx = (uv[0] + np.mod(tex_num, texture_width)) / texture_width
+    cy = (uv[1] + np.floor(tex_num / texture_width)) * height_factor / texture_width
+    px = min(int(np.mod(cx, 1.0) * w), w - 1)
+    py = min(int(np.mod(cy, 1.0) * h), h - 1)
+    return atlas[py, px]
+
+
+def reservoir_sample(b, albedo, rme, tpo, ray_origin, ray_dir, random_vec,
+                     n, smooth_normal, geometry_offset, dont_filter, i,
+                     random_seed, g: _Globals):
+    """glsl:400-461."""
+    local_color = np.zeros(3, dtype=np.float32)
+    reservoir_length = F(0.0)
+    total_weight = F(0.0)
+    reservoir_num = 0
+    reservoir_weight = F(0.0)
+    reservoir_light_dir = np.zeros(3, dtype=np.float32)
+    last_random = noise(random_vec[2:4], BIAS, random_seed)[0:2]
+
+    for j in range(b.lights.shape[0]):
+        strength, variation = b.lights[j, 1, 0], b.lights[j, 1, 1]
+        if strength <= 0.0:
+            continue
+        reservoir_length += F(1.0)
+        light = b.lights[j, 0] + random_vec[0:3] * variation
+        d = (light - ray_origin).astype(np.float32)
+        color_for_light = forward_trace(albedo, rme, d, strength, n, -ray_dir)
+        local_color += color_for_light
+        weight = np.sqrt(np.sum(color_for_light ** 2, dtype=np.float32))
+        total_weight += weight
+        if abs(last_random[1]) * total_weight <= weight:
+            reservoir_num = j
+            reservoir_weight = weight
+            reservoir_light_dir = d
+        last_random = noise(last_random, BIAS, random_seed)[2:4]
+
+    unit_light_dir = _normalize(reservoir_light_dir)
+    show_color = reservoir_length == 0.0 or reservoir_weight == 0.0
+    show_shadow = np.dot(smooth_normal, unit_light_dir) <= BIAS
+    base_luminance = np.full(3, rme[2], dtype=np.float32)
+    if dont_filter or i == 0:
+        g.render_id[3] = F((reservoir_num % 128) << 1) * INV_255
+    if show_color:
+        return local_color + base_luminance
+    if show_shadow:
+        if dont_filter or i == 0:
+            g.render_id[3] += INV_255
+        return base_luminance
+    offset_target = ray_origin + geometry_offset * smooth_normal
+    light_len = np.sqrt(np.sum(reservoir_light_dir ** 2, dtype=np.float32))
+    if shadow_test(b, offset_target, unit_light_dir, light_len):
+        if dont_filter or i == 0:
+            g.render_id[3] += INV_255
+        return base_luminance
+    return local_color + base_luminance
+
+
+def light_trace(b, hit, target, camera, clip_xy, cos_sample_n, bounces,
+                min_importancy, random_seed, g: _Globals):
+    """glsl:464-599. hit = (suv, transform m, triangle slot)."""
+    dont_filter = True
+    final_color = np.zeros(3, dtype=np.float32)
+    importancy = np.ones(3, dtype=np.float32)
+    g.original_color = np.ones(3, dtype=np.float32)
+
+    ray_origin = camera.copy()
+    ray_dir = _normalize(target - camera)
+    last_hit_point = camera.copy()
+    suv, hit_m, hit_tri = hit
+    i = 0
+    while i < bounces and np.sqrt(np.sum(
+            (importancy * g.original_color) ** 2, dtype=np.float32)
+    ) >= min_importancy * SQRT3:
+        rot_f = b.rotations[hit_m, 0]
+        shift_f = b.shifts[hit_m, 0]
+        ray_origin = (suv[0] * ray_dir + ray_origin).astype(np.float32)
+        uvw = np.array([1.0 - suv[1] - suv[2], suv[1], suv[2]],
+                       dtype=np.float32)
+
+        grow = b.geometry[hit_tri]
+        tri = np.stack([rot_f @ grow[0:3], rot_f @ grow[3:6],
+                        rot_f @ grow[6:9]]).astype(np.float32)
+        offset_ray_target = ray_origin - shift_f
+        geometry_normal = _normalize(np.cross(tri[0] - tri[1], tri[0] - tri[2])
+                                     .astype(np.float32))
+        diffs = np.array([np.linalg.norm(offset_ray_target - tri[k])
+                          for k in range(3)], dtype=np.float32)
+        attr = b.attributes[hit_tri]
+        normals = np.stack([rot_f @ attr[0:3], rot_f @ attr[3:6],
+                            rot_f @ attr[6:9]]).astype(np.float32)
+        smooth_normal = _normalize(normals.T @ uvw)
+        angles = np.arccos(np.abs(np.clip(
+            [np.dot(geometry_normal, normals[k]) for k in range(3)],
+            -1.0, 1.0)).astype(np.float32))
+        angle_tan = np.clip(np.tan(angles, dtype=np.float32), 0.0, 1.0)
+        geometry_offset = np.dot(diffs * angle_tan, uvw).astype(np.float32)
+        bary = (attr[9:15].reshape(3, 2).T @ uvw).astype(np.float32)
+        albedo = _fetch_tex(b.albedo_atlas, bary, attr[15], attr[18:21],
+                            b.texture_width)
+        rme = _fetch_tex(b.pbr_atlas, bary, attr[16], attr[21:24],
+                         b.texture_width)
+        tpo = _fetch_tex(b.tpo_atlas, bary, attr[17], attr[24:27],
+                         b.texture_width)
+
+        ray_dir = _normalize(ray_origin - last_hit_point)
+        sign_dir = F(np.sign(np.dot(ray_dir, smooth_normal)))
+        smooth_normal = smooth_normal * -sign_dir
+
+        random_vec = noise(clip_xy, F(i) + cos_sample_n, random_seed)
+        random_sphere = _normalize(smooth_normal + _normalize(random_vec[0:3]))
+        brdf = F(1.0) + (abs(np.dot(smooth_normal, ray_dir)) - F(1.0)) * rme[1]
+        roughness_brdf = rme[0] * brdf
+        rough_normal = _normalize(
+            smooth_normal + (random_sphere - smooth_normal) * roughness_brdf)
+
+        h = _normalize(rough_normal - ray_dir)
+        v_dot_h = max(np.dot(-ray_dir, h), F(0.0))
+        f0 = albedo * brdf
+        f = _fresnel(f0, v_dot_h)
+        fresnel_reflect = F(np.max(f))
+        is_solid = tpo[0] * fresnel_reflect <= abs(random_vec[3])
+
+        if dont_filter:
+            g.original_tpo_x = tpo[0]
+            g.original_color *= albedo
+            g.original_rme_x += rme[0]
+            id_update = F(2.0) ** F(-i) * np.append(
+                _combine_normal_rme(smooth_normal, rme), F(0.0))
+            g.render_id += id_update
+            if i == 0:
+                g.render_original_id += id_update
+            dont_filter = (rme[0] < 0.01 and is_solid) or not is_solid
+            if is_solid and tpo[0] > 0.01:
+                g.glass_filter += F(1.0)
+                dont_filter = False
+        else:
+            importancy *= albedo
+
+        if i == 1:
+            g.first_ray_length = min(
+                F(np.linalg.norm(ray_origin - last_hit_point)
+                  / np.linalg.norm(last_hit_point - camera)),
+                g.first_ray_length)
+
+        local_color = reservoir_sample(
+            b, albedo, rme, tpo, ray_origin, ray_dir, random_vec,
+            -sign_dir * rough_normal, -sign_dir * smooth_normal,
+            geometry_offset, dont_filter, i, random_seed, g)
+        final_color += local_color * importancy
+
+        if is_solid:
+            reflected = ray_dir - 2.0 * np.dot(ray_dir, smooth_normal) * smooth_normal
+            next_base = reflected.astype(np.float32)
+        else:
+            eta = F(1.0) / tpo[2] if sign_dir <= 0.0 else tpo[2]
+            n_dot_i = np.dot(ray_dir, smooth_normal)
+            k = F(1.0) - eta * eta * (F(1.0) - n_dot_i * n_dot_i)
+            if k < 0.0:
+                next_base = np.zeros(3, dtype=np.float32)
+            else:
+                next_base = (eta * ray_dir - (eta * n_dot_i + np.sqrt(k))
+                             * smooth_normal).astype(np.float32)
+        ray_dir = _normalize(next_base + (random_sphere - next_base)
+                             * roughness_brdf)
+
+        suv, hit_m, hit_tri = ray_tracer(b, ray_origin, ray_dir)
+        if hit_tri == -1:
+            break
+        last_hit_point = ray_origin.copy()
+        i += 1
+
+    return final_color + importancy * b.ambient
+
+
+def render(buffers, width, height, camera_pos, view_matrix, config,
+           random_seed=0.0):
+    """glsl main() (601-646) over a ray-cast primary pass.
+
+    Returns a dict mirroring ops.pathtrace.MRT (pre mode-packing):
+    color [H,W,3], original_color [H,W,3], original_w [H,W],
+    render_id [H,W,4], original_id_w [H,W], glass [H,W], alpha [H,W],
+    location_id [H,W,4].
+    """
+    b = _Buffers(buffers)
+    cam = np.asarray(camera_pos, dtype=np.float32)
+    inv_view = np.linalg.inv(np.asarray(view_matrix, dtype=np.float64)
+                             ).astype(np.float32)
+    out = {
+        "color": np.zeros((height, width, 3), dtype=np.float32),
+        "original_color": np.zeros((height, width, 3), dtype=np.float32),
+        "original_w": np.zeros((height, width), dtype=np.float32),
+        "render_id": np.zeros((height, width, 4), dtype=np.float32),
+        "original_id_w": np.zeros((height, width), dtype=np.float32),
+        "glass": np.zeros((height, width), dtype=np.float32),
+        "alpha": np.zeros((height, width), dtype=np.float32),
+        "location_id": np.zeros((height, width, 4), dtype=np.float32),
+    }
+    samples = config.samples_per_ray
+    for y in range(height):
+        for x in range(width):
+            # f32 step-for-step like ops.pathtrace.camera_rays: the RNG
+            # hashes ndc, so a 1-ulp difference here goes chaotic.
+            ndc = np.array([(F(x) + F(0.5)) / F(width) * F(2.0) - F(1.0),
+                            F(1.0) - (F(y) + F(0.5)) / F(height) * F(2.0)],
+                           dtype=np.float32)
+            direction = _normalize(inv_view @ np.append(ndc, F(1.0)))
+            phit = ray_tracer(b, cam, direction, edge=-BIAS)
+            if phit[2] == -1:
+                continue                      # raster leaves pixel uncovered
+            g = _Globals()
+            final_color = np.zeros(3, dtype=np.float32)
+            for s in range(samples):
+                final_color += light_trace(
+                    b, phit, cam + phit[0][0] * direction, cam, ndc,
+                    COS(F(s)), config.max_reflections,
+                    F(config.min_importancy), random_seed, g)
+            final_color *= F(1.0) / F(samples)
+            out["color"][y, x] = final_color
+            out["original_color"][y, x] = g.original_color
+            out["original_w"][y, x] = (min(g.original_rme_x,
+                                           g.first_ray_length) + INV_255)
+            g.render_id[3] += INV_255                    # glsl:637
+            out["render_id"][y, x] = g.render_id
+            out["original_id_w"][y, x] = g.original_tpo_x + INV_255
+            out["glass"][y, x] = g.glass_filter
+            out["alpha"][y, x] = 1.0
+            # location id (glsl:641-642): object-space primary position
+            grow = b.geometry[phit[2]]
+            suv = phit[0]
+            puvw = np.array([1.0 - suv[1] - suv[2], suv[1], suv[2]],
+                            dtype=np.float32)
+            rel = (grow[0:9].reshape(3, 3).T @ puvw).astype(np.float32)
+            div = F(2.0) * F(np.linalg.norm(rel - cam))
+            out["location_id"][y, x] = np.append(
+                np.mod(rel, div) / div, INV_255)
+    return out
