@@ -36,9 +36,9 @@ TRI_TILE = 512           # columns per W tile (per MT output)
 CLUSTER = 64             # cluster size for the flag prepass
 
 
-def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
-            tri_ref, *, cull: bool, precision, tri_tile: int, ray_tile: int,
-            edge: float = BIAS):
+def _kernel(flag_ref, edge_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref,
+            v_ref, tri_ref, *, cull: bool, precision, tri_tile: int,
+            ray_tile: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -69,7 +69,11 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
         s = sdet * inv
         ml = ml_ref[0]                        # [1, 1024]
         # edge=-BIAS on primary casts closes the shared-edge rejection
-        # band (see ops.traverse._mt_chunk).
+        # band (see ops.traverse._mt_chunk). It rides in as a runtime SMEM
+        # scalar so primary and bounce traversals share ONE Mosaic program
+        # (a per-edge compile-time constant doubles kernel variants and
+        # proved to destabilize the surrounding XLA schedule).
+        edge = edge_ref[0]
         valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
         valid &= (u >= edge) & (u <= 1.0)
         valid &= (v >= edge) & (u + v <= 1.0)
@@ -101,10 +105,10 @@ def _kernel(flag_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref, v_ref,
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
-                                   "ray_tile", "edge"))
+                                   "ray_tile"))
 def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
-               ray_tile: int = RAY_TILE, edge: float = BIAS):
+               ray_tile: int = RAY_TILE, edge=BIAS):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     rp = f.shape[0]
@@ -127,9 +131,10 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
     ]
     out_spec = pl.BlockSpec((1, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    # flags ride in as a scalar-prefetch array (SMEM), indexed by program id
+    # flags + the accept-window edge ride in as scalar-prefetch arrays
+    # (SMEM), flags indexed by program id
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             # features transposed: [K, Rp], tile [K, RAY_TILE]
@@ -145,15 +150,16 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
         ],
         out_specs=[out_spec] * 4,
     )
+    edge_arr = jnp.asarray(edge, jnp.float32).reshape(1)
     s, u, v, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, edge=edge),
+                ray_tile=ray_tile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(flags, ft, w4, max_len.reshape(rt, 1, ray_tile), idsf)
+    )(flags, edge_arr, ft, w4, max_len.reshape(rt, 1, ray_tile), idsf)
     return tuple(x.reshape(-1) for x in (s, u, v, tri))
 
 
@@ -260,13 +266,13 @@ def _prep(origin, direction, max_len, ray_tile: int = RAY_TILE):
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "sort_rays", "ray_tile", "edge"))
+                                   "sort_rays", "ray_tile"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, sort_rays: bool = False,
                     ray_tile: int = RAY_TILE, alive=None,
-                    edge: float = BIAS) -> Hit:
+                    edge=BIAS) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip.
 
     `alive` (optional bool [N]): dead rays get max_len 0, so whole dead

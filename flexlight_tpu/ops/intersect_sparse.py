@@ -294,10 +294,10 @@ _EXIT_REL = np.float32(1.0 + 1e-4)
 _EXIT_ABS = np.float32(1e-5)
 
 
-def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
+def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             s_ref, tri_ref, w_s, tl_s, tm_s, sem_w, sem_tl,
             sem_tm, *, cull: bool, precision, tri_tile: int, ray_tile: int,
-            chunk: int, approx_rcp: bool, edge: float = BIAS):
+            chunk: int, approx_rcp: bool):
     i = pl.program_id(0)
     m = chunk * tri_tile
 
@@ -369,7 +369,10 @@ def _kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             # Padded triangles have all-zero W rows -> det == 0 -> invalid.
             # edge=-BIAS on primary casts closes the shared-edge rejection
             # band (see ops.traverse._mt_chunk); da > 0 here, so the
-            # scaled comparison keeps its direction for negative edge.
+            # scaled comparison keeps its direction for negative edge. It
+            # is a runtime SMEM scalar so primary and bounce traversals
+            # share one Mosaic program (see ops.intersect_kernel._kernel).
+            edge = edge_ref[0]
             valid = da >= BIAS
             valid &= (ud >= edge * da) & (ud <= da)
             valid &= (vd >= edge * da) & (ud + vd <= da)
@@ -556,12 +559,12 @@ def _any_hit_sparse(w4t, tlist, counts, f, max_len,
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision",
-                                   "tri_tile", "ray_tile", "chunk", "edge"))
+                                   "tri_tile", "ray_tile", "chunk"))
 def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
                       interpret: bool = False,
                       precision=jax.lax.Precision.HIGHEST,
                       tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
-                      chunk: int = CHUNK, edge: float = BIAS):
+                      chunk: int = CHUNK, edge=BIAS):
     rp = f.shape[0]
     rt = rp // ray_tile
     kdim = w4t.shape[2]
@@ -578,7 +581,7 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
                             memory_space=pltpu.VMEM)
     wtp = tlist.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                  # counts
+        num_scalar_prefetch=2,                  # counts, accept-window edge
         grid=(rt,),
         in_specs=[
             pl.BlockSpec((kdim, ray_tile), lambda i, *_: (0, i),
@@ -599,16 +602,16 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    edge_arr = jnp.asarray(edge, jnp.float32).reshape(1)
     s, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret,
-                edge=edge),
+                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(counts, ft, max_len.reshape(rt, 1, ray_tile),
+    )(counts, edge_arr, ft, max_len.reshape(rt, 1, ray_tile),
       tlist.reshape(rt, 1, -1), tms.reshape(rt, 1, -1), w4t)
     return s.reshape(-1), tri.reshape(-1)
 
@@ -669,13 +672,13 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile", "chunk", "sort_rays", "edge"))
+                                   "ray_tile", "chunk", "sort_rays"))
 def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                     chunk: int = CHUNK, sort_rays: bool = False,
-                    alive=None, edge: float = BIAS) -> Hit:
+                    alive=None, edge=BIAS) -> Hit:
     """Closest hit of N rays against all triangles; worklist-sparse.
 
     Hit.triangle is the DRAWABLE index (position in id_buffer order), not
