@@ -202,6 +202,9 @@ class PathTracer:
         self._fps_window_start = time.perf_counter()
         self._fps_frames = 0
         self._prepared_shape = None
+        from ..utils.metrics import FrameMetrics
+
+        self.metrics = FrameMetrics()
 
     # --- size derived from renderQuality (pathtracerWGL2.js:809-812) ---
     @property
@@ -294,6 +297,7 @@ class PathTracer:
                 time.sleep(wait)
         self._prepare()
         self._refresh_transforms()
+        frame_t0 = time.perf_counter()
         jitter = (0.0, 0.0)
         if self.config.antialiasing == "taa":
             jitter = self._jitter.next(self.width, self.height)
@@ -320,4 +324,8 @@ class PathTracer:
             self._fps_window_start = now
             self._fps_frames = 0
         self._last_frame = np.asarray(display)
+        from ..utils.metrics import frame_record
+
+        frame_record(self, (now - frame_t0) * 1000.0,
+                     scheme=self._resolved_scheme())
         return self._last_frame

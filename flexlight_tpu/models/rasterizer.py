@@ -284,6 +284,10 @@ class Rasterizer:
         self._last_frame_time = None
         self._fps_window_start = time.perf_counter()
         self._fps_frames = 0
+        self._frame_count = 0
+        from ..utils.metrics import FrameMetrics
+
+        self.metrics = FrameMetrics()
 
     @property
     def width(self):
@@ -350,6 +354,7 @@ class Rasterizer:
         rot, shift = global_registry().build_arrays()
         self._buffers = self._buffers._replace(
             rotations=jnp.asarray(rot), shifts=jnp.asarray(shift))
+        frame_t0 = time.perf_counter()
         jitter = (0.0, 0.0)
         if self.config.antialiasing == "taa":
             jitter = self._jitter.next(self.width, self.height)
@@ -378,5 +383,10 @@ class Rasterizer:
             self.fps = self._fps_frames / (now - self._fps_window_start)
             self._fps_window_start = now
             self._fps_frames = 0
+        self._frame_count += 1
         self._last_frame = np.asarray(display)
+        from ..utils.metrics import frame_record
+
+        frame_record(self, (now - frame_t0) * 1000.0, scheme=scheme,
+                     layers=layers)
         return self._last_frame

@@ -69,6 +69,10 @@ class SimplePathTracer:
         self._last_frame_time = None
         self._fps_window_start = time.perf_counter()
         self._fps_frames = 0
+        self._frame_count = 0
+        from ..utils.metrics import FrameMetrics
+
+        self.metrics = FrameMetrics()
 
     @property
     def width(self):
@@ -117,6 +121,7 @@ class SimplePathTracer:
             wait = 1.0 / self.fps_limit - (time.perf_counter() - self._last_frame_time)
             if wait > 0:
                 time.sleep(wait)
+        frame_t0 = time.perf_counter()
         view = self.camera.view_matrix(self.width, self.height)
         out = simple_frame(self._buffers, jnp.asarray(self.camera.position),
                            jnp.asarray(view), width=self.width, height=self.height)
@@ -127,5 +132,9 @@ class SimplePathTracer:
             self.fps = self._fps_frames / (now - self._fps_window_start)
             self._fps_window_start = now
             self._fps_frames = 0
+        self._frame_count += 1
         self._last_frame = np.asarray(out)
+        from ..utils.metrics import frame_record
+
+        frame_record(self, (now - frame_t0) * 1000.0, scheme="scan")
         return self._last_frame
