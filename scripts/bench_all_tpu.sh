@@ -1,0 +1,18 @@
+#!/bin/sh
+# Serial device-side perf sweep (run on the TPU, nothing else on the chip).
+# Usage: scripts/bench_all_tpu.sh [logfile]
+LOG=${1:-/tmp/bench_all.log}
+cd "$(dirname "$0")/.."
+: > "$LOG"
+run() {
+    echo "=== $* ===" >> "$LOG"
+    timeout 2400 python "$@" >> "$LOG" 2>&1
+    echo "rc=$?" >> "$LOG"
+}
+run scripts/bench_direct.py theater
+run scripts/bench_direct.py dragon
+run scripts/bench_ablate.py theater
+run scripts/bench_stages.py theater
+run scripts/bench_filters.py
+run bench.py
+echo "ALL DONE" >> "$LOG"
