@@ -166,6 +166,13 @@ def frame_pipeline(buffers, cam_pos, view, random_seed,
     return postprocess_mrt(mrt, temporal_state, taa_state, width, height, config)
 
 
+@jax.jit
+def _quantize_u8(display):
+    """[H, W, 3] f32 in [0,1] -> uint8 on device (round-to-nearest, the
+    reference's RGBA8 canvas store)."""
+    return jnp.round(jnp.clip(display, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 class PathTracer:
     """Drop-in renderer object with the reference's duck-type surface
     (render/halt/updateScene/updatePrimaryLightSources/fps/fpsLimit)."""
@@ -189,6 +196,10 @@ class PathTracer:
         # last frame (obj.js:72 references it; implemented in the dead
         # highpoly.js:490 renderer — here it is first-class).
         self.freeze = False
+        # Double-buffered fetch: render_frame returns frame N-1 while
+        # frame N computes (see render_frame docstring).
+        self.pipelined = False
+        self._pending_display = None
         self.scheme = scheme
         self.tile = tile
         self._halt = True
@@ -283,9 +294,26 @@ class PathTracer:
             self._taa_state = TAAState.create(self.height, self.width)
             self._frame_count = 0
             self._prepared_shape = shape
+            self._pending_display = None
 
     def render_frame(self) -> np.ndarray:
-        """Render one frame; returns [H, W, 3] float32 in [0, 1]."""
+        """Render one frame; returns [H, W, 3] float32 in [0, 1].
+
+        With `self.pipelined = True`, the fetch is double-buffered: the
+        call dispatches frame N and returns frame N-1's pixels (one frame
+        of latency, like a GPU swapchain) so the host<->device transfer
+        overlaps the next frame's compute — on the tunneled TPU the relay
+        round-trip otherwise dominates interactive latency (bench.py
+        e2e_ms detail)."""
+        return self._render_fetch(as_u8=False)
+
+    def render_frame_u8(self) -> np.ndarray:
+        """Like render_frame but quantizes to rgba8-style uint8 ON DEVICE
+        and fetches [H, W, 3] uint8 — 4x less relay traffic; matches the
+        reference's canvas precision (RGBA8 backbuffer)."""
+        return self._render_fetch(as_u8=True)
+
+    def _render_fetch(self, as_u8: bool) -> np.ndarray:
         if self.freeze and self._last_frame is not None:
             return self._last_frame
         if self._halt:
@@ -310,10 +338,17 @@ class PathTracer:
             jnp.float32(random_seed), self._temporal_state, self._taa_state,
             width=self.width, height=self.height, config=self.config,
             scheme=self._resolved_scheme(), tile=self.tile)
-
         from ..utils.debug import assert_finite
 
         assert_finite((display, self._temporal_state), "pathtracer.frame")
+        if as_u8:
+            display = _quantize_u8(display)
+        if self.pipelined:
+            # swap: fetch the PREVIOUS frame (already done on device) while
+            # this frame computes; dispatch is async on all jax backends
+            prev = self._pending_display
+            self._pending_display = display
+            display = prev if prev is not None else display
         self._frame_count += 1
         self._fps_frames += 1
         now = time.perf_counter()

@@ -87,6 +87,26 @@ def main():
           f"{dt*1000:.1f} ms/frame  {1.0/dt:.1f} fps  "
           f"{n_rays/dt/1e6:.0f} Mrays/s", flush=True)
 
+    # interactive e2e (render_frame incl. host fetch) across fetch modes
+    import time
+
+    for label, setup in (
+            ("e2e f32", lambda r: None),
+            ("e2e u8", lambda r: None),
+            ("e2e u8+pipelined", lambda r: setattr(r, "pipelined", True))):
+        engine.renderer = "rasterizer"  # drop cached renderer state
+        engine.renderer = "pathtracer"
+        r = engine.renderer
+        setup(r)
+        fetch = r.render_frame_u8 if "u8" in label else r.render_frame
+        fetch()  # warm
+        t0 = time.perf_counter()
+        n = 8
+        for _ in range(n):
+            fetch()
+        e2e = (time.perf_counter() - t0) / n
+        print(f"  {label:18s} {e2e*1000:.1f} ms/frame", flush=True)
+
 
 if __name__ == "__main__":
     main()
