@@ -500,10 +500,13 @@ def _first_finish(acc, center):
 FIRST_BAND_EDGES = (5.5, 8.0, 11.0)
 
 
-def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
+def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
+                     ty: int = TY, tx: int = TX):
     """first_filter with the dynamic disc blur in a Pallas kernel; the
     static-stencil vote repair stays in XLA (already fast there).
-    Same signature/returns as filters.first_filter."""
+    Same signature/returns as filters.first_filter. ty/tx tune the tile
+    shape: smaller tiles tighten the per-tile scale range (more offset
+    skipping) at the cost of halo overhead."""
     from .filters import vote_repair
 
     render_id, render_ip_w = vote_repair(color, ip, ocolor, ids, oid)
@@ -514,7 +517,7 @@ def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
         init_fn=_first_init, update_fn=_first_update,
         finish_fn=_first_finish, valid_fn=_first_valid,
         interpret=interpret, band_edges=FIRST_BAND_EDGES,
-        n_int=4, n_f32=3)
+        n_int=4, n_f32=3, ty=ty, tx=tx)
     sgn = jnp.sign(color[..., 3:4])
     ip_w = quantize_rgba8(sgn * render_ip_w[..., None])
     new_ip = jnp.concatenate([new_ip3, ip_w], axis=-1)
@@ -596,7 +599,8 @@ def _second_finish(acc, center):
             quantize_rgba8(new_ocolor))
 
 
-def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
+def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
+                      ty: int = TY, tx: int = TX):
     """Same signature/returns as filters.second_filter."""
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc36", SECOND_BOUNDS,
@@ -604,7 +608,7 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False):
         scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
         init_fn=_second_init, update_fn=_second_update,
         finish_fn=_second_finish, interpret=interpret,
-        n_int=3, n_f32=10)
+        n_int=3, n_f32=10, ty=ty, tx=tx)
     return outs[0], outs[1], outs[2]
 
 
@@ -669,7 +673,7 @@ def _final_finish_factory(hdr: bool):
 
 
 def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
-                     interpret=False):
+                     interpret=False, ty: int = TY, tx: int = TX):
     """Same signature/returns as filters.final_filter."""
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc37", FINAL_BOUNDS,
@@ -677,5 +681,5 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
         scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
         init_fn=_final_init, update_fn=_final_update,
         finish_fn=_final_finish_factory(hdr), interpret=interpret,
-        n_int=2, n_f32=9)
+        n_int=2, n_f32=9, ty=ty, tx=tx)
     return outs[0]

@@ -48,11 +48,32 @@ def synth_inputs(h, w, key_mode: str, seed=3):
     return to(color), to(ip), to(ocolor), to(ids), to(oid)
 
 
+def sweep():
+    """Tile-shape sweep for the dominant first filter: smaller ty
+    tightens per-tile scale ranges (more offset skipping) vs halo cost."""
+    import jax
+
+    from flexlight_tpu.post import filter_kernel as K
+    from flexlight_tpu.utils.devtime import report
+
+    h, w = 1080, 1920
+    interp = jax.default_backend() == "cpu"
+    color, ip, ocolor, ids, oid = synth_inputs(h, w, "mixed")
+    for ty, tx in ((128, 128), (64, 128), (32, 128), (16, 128), (64, 256)):
+        report(f"first[ty={ty},tx={tx}]",
+               lambda c, p, oc, i, o, ty=ty, tx=tx: K.first_filter_tpu(
+                   c, p, oc, i, o, interpret=interp, ty=ty, tx=tx)[0],
+               color, ip, ocolor, ids, oid, iters=4)
+
+
 def main():
     import jax
 
     from flexlight_tpu.post import filter_kernel as K
     from flexlight_tpu.utils.devtime import report
+
+    if "sweep" in sys.argv[1:]:
+        return sweep()
 
     h, w = 1080, 1920
     interp = jax.default_backend() == "cpu"
