@@ -55,6 +55,8 @@ ORACLE_CASES = [
      dict(max_reflections=3), "glassify", 0.0, 0),
     ("2 spp, seed=0.375", "sample phases glsl:611-612",
      dict(max_reflections=2, samples_per_ray=2), None, 0.375, 2),
+    ("PBR checker texture", "fetch_tex_val glsl:100-117",
+     dict(max_reflections=2), "texture", 0.0, 0),
 ]
 
 CHANNELS = ["color", "original_color", "render_id", "original_w",
@@ -86,6 +88,16 @@ def _mutate(scene, name):
         cube.ior = 1.5
         cube.roughness = 0.0
         cube.color = [255, 220, 220]
+    elif name == "texture":
+        import numpy as np
+
+        tile = np.zeros((128, 128, 3), dtype=np.float32)
+        tile[:64, :64] = tile[64:, 64:] = [1, 0, 0.4]
+        tile[:64, 64:] = tile[64:, :64] = [0.1, 1, 0]
+        scene.pbr_textures.push(scene.texture_from_rme(tile.reshape(-1),
+                                                       128, 128))
+        scene.standardTextureSizes = [128, 128]
+        scene.queue[0][1].textureNums = [-1, 0, -1]
 
 
 def run_oracle(size=12):

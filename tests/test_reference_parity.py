@@ -155,6 +155,26 @@ def test_cornell_parity_translucent():
 
 
 @pytest.mark.slow
+def test_cornell_parity_textured():
+    """Texture-atlas path (fetch_tex_val, glsl:100-117): the cornell.js
+    PBR checker texture (cornell.js:18-31) drives per-pixel roughness/
+    metallicity through the NEAREST atlas fetch on both sides."""
+    import numpy as np_
+
+    def texture(scene):
+        tile = np_.zeros((128, 128, 3), dtype=np_.float32)
+        tile[:64, :64] = tile[64:, 64:] = [1, 0, 0.4]
+        tile[:64, 64:] = tile[64:, :64] = [0.1, 1, 0]
+        scene.pbr_textures.push(scene.texture_from_rme(tile.reshape(-1),
+                                                       128, 128))
+        scene.standardTextureSizes = [128, 128]
+        scene.queue[0][1].textureNums = [-1, 0, -1]
+
+    buffers, cam, view = _build(texture)
+    _compare(buffers, cam, view, cornell_config(max_reflections=2))
+
+
+@pytest.mark.slow
 def test_cornell_parity_multisample_seeded():
     """samples_per_ray > 1 (cosine sample phases, glsl:611-612) and a
     non-zero randomSeed uniform."""
