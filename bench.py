@@ -30,6 +30,11 @@ if len(sys.argv) > 1 and sys.argv[1] == "cpu":
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(ROOT, "examples"))
 sys.path.insert(0, os.path.join(ROOT, "tests"))
+sys.path.insert(0, ROOT)
+
+from flexlight_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # the 1080p filter kernels take minutes cold
 
 RES = 256
 DEVICE_FRAMES = 16
