@@ -258,30 +258,55 @@ def _tmins_xla(aabb_min, aabb_max, origin, direction, max_len, rt, wt,
     return per.reshape(rt, wt, cpt).min(axis=-1)
 
 
-def sort_spatial(origin, direction, lo, hi, max_len):
-    """Wavefront compaction key: direction octant (high bits) + 5-bit/axis
-    Morton code of the ray origin within the scene bounds.
-
-    Octant-only sorting groups directions but leaves bounce-ray ORIGINS
-    scattered across the whole scene, so a 1024-ray tile still spans huge
-    cluster unions (measured: mean 119/351 tiles at dragon scale).
-    Spatially clustering origins within each octant bounds both ends of
-    the ray. Dead rays (max_len <= 0) sort to the back so whole tiles drop
-    out. Returns (perm, inv_perm)."""
-    oct_key = ((direction[:, 0] > 0) * 4 + (direction[:, 1] > 0) * 2
-               + (direction[:, 2] > 0)).astype(jnp.int32)
+def _morton(origin, lo, hi, bits: int):
+    """bits-per-axis Morton code of origin within [lo, hi] (<= 10 bits)."""
     span = jnp.maximum(hi - lo, 1e-30)
-    q = jnp.clip((origin - lo) / span * 31.0, 0.0, 31.0).astype(jnp.int32)
+    top = float(2 ** bits - 1)
+    q = jnp.clip((origin - lo) / span * top, 0.0, top).astype(jnp.int32)
 
-    def spread(x):  # 5-bit Morton spread to every 3rd bit
-        x = (x | (x << 8)) & 0x100F
-        x = (x | (x << 4)) & 0x10C3
-        x = (x | (x << 2)) & 0x1249
+    def spread(x):  # 10-bit Morton spread to every 3rd bit
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
         return x
 
-    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-    key = (oct_key << 15) | morton
-    key = jnp.where(max_len > 0.0, key, jnp.int32(1) << 20)
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def sort_spatial(origin, direction, lo, hi, max_len, prev_tri=None,
+                 tri_tile: int = TRI_TILE):
+    """Wavefront compaction key. Dead rays (max_len <= 0) sort to the back
+    so whole tiles drop out. Returns (perm, inv_perm).
+
+    Without `prev_tri`: direction octant (high bits) + 5-bit/axis Morton
+    code of the ray origin — octant-only sorting groups directions but
+    leaves bounce-ray ORIGINS scattered across the whole scene, so a
+    1024-ray tile still spans huge cluster unions (measured: mean 119/351
+    tiles at dragon scale); clustering origins within each octant bounds
+    both ends of the ray.
+
+    With `prev_tri` (the drawable index each ray just bounced off):
+    lexicographic (prev worklist tile, 10-bit Morton of origin) — rays
+    leaving the same 128-triangle surface tile share origin AND surface
+    orientation, so their candidate unions collapse (dragon 480x270
+    measured, scripts/analyze_wavefront.py: bounce-1 union 110 -> 88,
+    bounce-2 69 -> 42 tiles per 1024-ray tile vs the octant key). The
+    40-bit composite exceeds int32, so it runs as two stable argsorts
+    (Morton minor pass, prev-tile major pass)."""
+    dead = max_len <= 0.0
+    if prev_tri is not None:
+        minor = jnp.where(dead, jnp.int32(1) << 30,
+                          _morton(origin, lo, hi, 10))
+        perm1 = jnp.argsort(minor, stable=True)
+        major = prev_tri.astype(jnp.int32) // tri_tile
+        major = jnp.where(dead, jnp.int32(1) << 30, major)[perm1]
+        perm = perm1[jnp.argsort(major, stable=True)]
+        return perm, jnp.argsort(perm)
+    oct_key = ((direction[:, 0] > 0) * 4 + (direction[:, 1] > 0) * 2
+               + (direction[:, 2] > 0)).astype(jnp.int32)
+    key = (oct_key << 15) | _morton(origin, lo, hi, 5)
+    key = jnp.where(dead, jnp.int32(1) << 20, key)
     perm = jnp.argsort(key, stable=True)
     return perm, jnp.argsort(perm)
 
@@ -628,13 +653,14 @@ def _apply_perm_rays(origin, direction, max_len, perm):
 
 def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
          interpret, precision, tri_tile, ray_tile, chunk, sort_rays,
-         edge=BIAS):
+         edge=BIAS, sort_hint=None):
     from .intersect_kernel import _prep
 
     if sort_rays:
         lo = jnp.min(aabb_min, axis=0)
         hi = jnp.max(aabb_max, axis=0)
-        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len)
+        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len,
+                                      prev_tri=sort_hint, tri_tile=tri_tile)
         origin, direction, max_len = _apply_perm_rays(
             origin, direction, max_len, perm)
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
@@ -678,19 +704,22 @@ def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                     chunk: int = CHUNK, sort_rays: bool = False,
-                    alive=None, edge=BIAS) -> Hit:
+                    alive=None, edge=BIAS, sort_hint=None) -> Hit:
     """Closest hit of N rays against all triangles; worklist-sparse.
 
     Hit.triangle is the DRAWABLE index (position in id_buffer order), not
     the geometry slot — map with id_buffer[tri] or use drawable-ordered
-    tables downstream.
+    tables downstream. `sort_hint` (optional int32 [N]): the drawable
+    index each ray just bounced off; switches the wavefront sort to the
+    surface-tile-locality key (see sort_spatial).
     """
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
     s, u, v, tri = _run(w4t, w4f, aabb_min, aabb_max, origin, direction,
                         max_len, False, interpret, precision, tri_tile,
-                        ray_tile, chunk, sort_rays, edge=edge)
+                        ray_tile, chunk, sort_rays, edge=edge,
+                        sort_hint=sort_hint)
     hit = tri >= 0
     suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
@@ -703,7 +732,7 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                   precision=jax.lax.Precision.HIGHEST,
                   tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                   chunk: int = CHUNK, sort_rays: bool = False,
-                  alive=None) -> jnp.ndarray:
+                  alive=None, sort_hint=None) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len; worklist-sparse with
     per-tile early exit (see _shadow_kernel)."""
     from .intersect_kernel import _prep
@@ -713,7 +742,8 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
     if sort_rays:
         lo = jnp.min(aabb_min, axis=0)
         hi = jnp.max(aabb_max, axis=0)
-        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len)
+        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len,
+                                      prev_tri=sort_hint, tri_tile=tri_tile)
         origin, direction, max_len = _apply_perm_rays(
             origin, direction, max_len, perm)
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)

@@ -41,6 +41,10 @@ INV_PI = 0.3183098861837907
 # Perf-bisection switches (testing/profiling only): names added here skip
 # parts of the bounce body. Empty in production.
 DEBUG_DISABLE: set = set()
+# Eager-mode wavefront capture (scripts/analyze_wavefront.py): when set to
+# a dict and render_mrt runs OUTSIDE jit, each bounce's (origin3, dir3,
+# alive) is appended under "bounces" for sort-key analysis.
+DEBUG_CAPTURE: dict | None = None
 
 # Scenes below this triangle count have too few triangle tiles for cluster
 # culling to matter; block-tiled ray order is skipped (tests lower it).
@@ -363,11 +367,17 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
         if "reservoir" in DEBUG_DISABLE:
             local_color, id_w = (emis, emis, emis), zero
         else:
+            # shadow rays leave the same surface tile as the ray being
+            # shaded — give the wavefront sort the same locality hint as
+            # the bounce traversal below
+            def shadow_h(o, d, ml, alive=None, _tri=tri):
+                return shadow_soa(o, d, ml, alive=alive, hint=_tri)
+
             local_color, id_w = reservoir_sample(
                 buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
                 rv, v3.scale3(rough_normal, -sign_dir),
                 v3.scale3(smooth_normal, -sign_dir), geometry_offset,
-                random_seed, shadow_soa, alive_mask=m)
+                random_seed, shadow_h, alive_mask=m)
         write_id_w = (dont_filter | (i == 0)) & m
         render_id = render_id[0:3] + (
             jnp.where(write_id_w, id_w, render_id[3]),)
@@ -383,7 +393,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 zdir = (zero, zero, one)
                 ns, nu, nv, ntri = traverse_soa(
                     v3.where3(m, ray_origin, (zero, zero, zero)),
-                    v3.where3(m, ray_dir, zdir), alive=m)
+                    v3.where3(m, ray_dir, zdir), alive=m, hint=tri)
                 hs = jnp.where(m, ns, hs)
                 hu = jnp.where(m, nu, hu)
                 hv = jnp.where(m, nv, hv)
@@ -407,9 +417,13 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
 
         if i + 1 < config.max_reflections:
             zdir = (zero, zero, one)
+            if DEBUG_CAPTURE is not None:
+                DEBUG_CAPTURE.setdefault("bounces", []).append(
+                    (v3.where3(m, ray_origin, (zero, zero, zero)),
+                     v3.where3(m, ray_dir, zdir), m, tri))
             ns, nu, nv, ntri = traverse_soa(
                 v3.where3(m, ray_origin, (zero, zero, zero)),
-                v3.where3(m, ray_dir, zdir), alive=m)
+                v3.where3(m, ray_dir, zdir), alive=m, hint=tri)
             hs = jnp.where(m, ns, hs)
             hu = jnp.where(m, nu, hu)
             hv = jnp.where(m, nv, hv)
@@ -493,17 +507,17 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
 
-        def traverse_fn(o, d, alive=None, edge=BIAS):
+        def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
             # NB: returns DRAWABLE indices; the material/location tables
             # below are pre-gathered into drawable order for this scheme.
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
-                                   alive=alive, edge=edge)
+                                   alive=alive, edge=edge, sort_hint=hint)
 
-        def shadow_fn(o, d, l, alive=None):
+        def shadow_fn(o, d, l, alive=None, hint=None):
             return shadow_sparse(w4t, amin, amax, o, d, l,
                                  interpret=interp, sort_rays=sort,
-                                 alive=alive)
+                                 alive=alive, sort_hint=hint)
     elif scheme == "kernel":
         import jax
 
@@ -613,17 +627,21 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     rshape = (g2, 1024) if use2d else (n,)
 
-    def traverse_soa(o3, d3, alive=None):
+    accepts_hint = scheme == "sparse"
+
+    def traverse_soa(o3, d3, alive=None, hint=None):
         al = None if alive is None else alive.reshape(-1)
-        hit = traverse_fn(_flat3(o3), _flat3(d3), alive=al)
+        kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
+        hit = traverse_fn(_flat3(o3), _flat3(d3), alive=al, **kw)
         hsuv = hit.suv.T
         return (hsuv[0].reshape(rshape), hsuv[1].reshape(rshape),
                 hsuv[2].reshape(rshape), hit.triangle.reshape(rshape))
 
-    def shadow_soa(o3, d3, max_len, alive=None):
+    def shadow_soa(o3, d3, max_len, alive=None, hint=None):
         al = None if alive is None else alive.reshape(-1)
+        kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
         return shadow_fn(_flat3(o3), _flat3(d3), max_len.reshape(-1),
-                         alive=al).reshape(rshape)
+                         alive=al, **kw).reshape(rshape)
 
     zero = jnp.zeros(rshape, dtype=jnp.float32)
     one = jnp.ones(rshape, dtype=jnp.float32)

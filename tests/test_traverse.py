@@ -222,3 +222,48 @@ def test_sparse_shadow_matches_scan_cornell(sort_rays):
                         jnp.asarray(unit), jnp.asarray(max_len),
                         interpret=True, sort_rays=sort_rays)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sparse_sort_hint_matches_unhinted():
+    """The prev-tile locality sort (sort_spatial prev_tri path) is a pure
+    permutation: hinted and unhinted traversals must return identical
+    hits for every ray."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse,
+                                                    traverse_sparse)
+    from tests.scenes import cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
+
+    rng = np.random.default_rng(13)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    hint = jnp.asarray(rng.integers(0, buffers.id_buffer.shape[0], n),
+                       dtype=jnp.int32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+
+    base = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=True, alive=alive)
+    hinted = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                             jnp.asarray(direction), interpret=True,
+                             sort_rays=True, alive=alive, sort_hint=hint)
+    np.testing.assert_array_equal(np.asarray(hinted.triangle),
+                                  np.asarray(base.triangle))
+    np.testing.assert_array_equal(np.asarray(hinted.suv),
+                                  np.asarray(base.suv))
+
+    max_len = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+    s_base = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), max_len, interpret=True,
+                           sort_rays=True, alive=alive)
+    s_hint = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), max_len, interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint)
+    np.testing.assert_array_equal(np.asarray(s_hint), np.asarray(s_base))
