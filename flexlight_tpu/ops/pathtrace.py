@@ -45,6 +45,12 @@ DEBUG_DISABLE: set = set()
 # a dict and render_mrt runs OUTSIDE jit, each bounce's (origin3, dir3,
 # alive) is appended under "bounces" for sort-key analysis.
 DEBUG_CAPTURE: dict | None = None
+# Ray-tile width for INCOHERENT (bounce/shadow) sparse traversals; primary
+# casts keep the full 1024. Smaller tiles tighten candidate unions
+# (analyze_wavefront: 88 -> 63 tiles at 512) at the cost of more grid
+# steps. Read at trace time (like DEBUG_DISABLE) — a perf experiment
+# knob, not a config field, until the chip-side sweep picks a winner.
+SPARSE_BOUNCE_RAY_TILE: int = 1024
 
 # Scenes below this triangle count have too few triangle tiles for cluster
 # culling to matter; block-tiled ray order is skipped (tests lower it).
@@ -510,14 +516,17 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
             # NB: returns DRAWABLE indices; the material/location tables
             # below are pre-gathered into drawable order for this scheme.
+            rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
-                                   alive=alive, edge=edge, sort_hint=hint)
+                                   alive=alive, edge=edge, sort_hint=hint,
+                                   ray_tile=rt)
 
         def shadow_fn(o, d, l, alive=None, hint=None):
+            rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
             return shadow_sparse(w4t, amin, amax, o, d, l,
                                  interpret=interp, sort_rays=sort,
-                                 alive=alive, sort_hint=hint)
+                                 alive=alive, sort_hint=hint, ray_tile=rt)
     elif scheme == "kernel":
         import jax
 
