@@ -25,6 +25,11 @@ def main():
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    brt = os.environ.get("FLEXLIGHT_BOUNCE_RT")
+    if brt:
+        import flexlight_tpu.ops.pathtrace as pt
+
+        pt.SPARSE_BOUNCE_RAY_TILE = int(brt)
     mod = importlib.import_module(scene)
     engine = mod.build_scene()
     if isinstance(engine, tuple):
