@@ -154,6 +154,27 @@ def bench_north_star():
 
 
 def main():
+    # Watchdog: if the TPU tunnel is unreachable, the first device use
+    # blocks forever inside native code (grpc wait) — where SIGALRM's
+    # Python handler can't run — and the driver would record NOTHING. A
+    # daemon thread prints an honest error line and hard-exits instead.
+    import threading
+
+    deadline = float(os.environ.get("FLEXLIGHT_BENCH_TIMEOUT", "2700"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(deadline):
+            print(json.dumps({
+                "metric": "theater_1080p_full_pipeline_fps", "value": 0.0,
+                "unit": "fps", "vs_baseline": 0.0,
+                "detail": {"error": "bench watchdog expired - device "
+                                    "unreachable or compile stalled"}}),
+                  flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     ns_fps, ns_detail = bench_north_star()
     try:
         cornell = bench_cornell()
@@ -166,6 +187,7 @@ def main():
         "vs_baseline": round(ns_fps / 60.0, 4),
         "detail": {**ns_detail, "cornell_256": cornell},
     }
+    done.set()
     print(json.dumps(result))
 
 
