@@ -291,6 +291,15 @@ def write_report():
         "bounce ray grazing a triangle edge can land on different geometry",
         "from a 1-ulp direction difference (fp chaos, not semantics).",
         "",
+        "The other two renderer models have the same proof:",
+        "`tests/test_rasterizer_parity.py` transcribes",
+        "`rasterizer_fragment.glsl` main (local-position forwardTrace",
+        "quirk, world-position shadow rays, translucency fade,",
+        "Reinhard+gamma; plain + textured, HDR on/off), and",
+        "`tests/test_simple_parity.py` transcribes the WGPU",
+        "`pathtracer.wgsl` fsMain (flat normal, lights[0] shadow,",
+        "0.1-albedo shadow branch).",
+        "",
         "## 2. Browser-screenshot comparison (qualitative appendix)",
         "",
         "The screenshots shipped with the reference were captured at",
