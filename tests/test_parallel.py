@@ -213,3 +213,22 @@ def test_sharded_halo_taa_matches_single_chip():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_taa.history),
                                    np.asarray(ref_taa.history), atol=1e-6)
+
+
+def test_multihost_single_process_identity():
+    """Single-process multihost glue degrades to identity (the DCN path
+    itself needs a real multi-host job; this pins the common case)."""
+    from flexlight_tpu.parallel import multihost
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from tests.scenes import cornell_scene
+
+    multihost.initialize()          # no-op without a coordinator
+    assert multihost.is_leader()
+    scene, _ = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    out = multihost.broadcast_scene(buffers)
+    assert out is buffers
+    out2 = multihost.build_and_broadcast(scene)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(out2.geometry),
+                                  np.asarray(buffers.geometry))
