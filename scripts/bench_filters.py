@@ -59,7 +59,11 @@ def sweep():
     h, w = 1080, 1920
     interp = jax.default_backend() == "cpu"
     color, ip, ocolor, ids, oid = synth_inputs(h, w, "mixed")
-    for ty, tx in ((128, 128), (64, 128), (32, 128), (16, 128), (64, 256)):
+    # small ty tightens per-tile scale ranges (fewer active offsets);
+    # LARGE ty amortizes the per-ox-group window slice+prep, whose cost
+    # scales as tiles x (ty + 2*ry) — opposing forces, hence the sweep
+    for ty, tx in ((128, 128), (256, 128), (64, 128), (32, 128), (64, 256),
+                   (256, 256)):
         report(f"first[ty={ty},tx={tx}]",
                lambda c, p, oc, i, o, ty=ty, tx=tx: K.first_filter_tpu(
                    c, p, oc, i, o, interpret=interp, ty=ty, tx=tx)[0],
