@@ -1,0 +1,83 @@
+"""Dense Pallas grid kernel (ops/intersect_kernel.py — the default TPU
+scheme below the sparse threshold) vs the scan oracle, in interpret mode
+on CPU: accept window (both runtime edge values), flag-prepass skipping,
+alive-mask dead tiles, octant sorting, and the any-hit shadow variant."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import jax.numpy as jnp  # noqa: E402
+
+from flexlight_tpu.ops import buffers as bufmod  # noqa: E402
+from flexlight_tpu.ops.geometry import world_geometry  # noqa: E402
+from flexlight_tpu.ops.intersect import BIAS  # noqa: E402
+from tests.scenes import cornell_scene  # noqa: E402
+
+
+def _setup():
+    from flexlight_tpu.ops.intersect_kernel import build_w4, pick_tri_tile
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
+    w4, amin, amax, ids = build_w4(geometry, buffers.id_buffer, tri_tile)
+    rng = np.random.default_rng(21)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    return buffers, geometry, (w4, amin, amax, ids, tri_tile), origin, direction, rng
+
+
+@pytest.mark.parametrize("sort_rays", [False, True])
+@pytest.mark.parametrize("edge", [float(BIAS), float(-BIAS)])
+def test_kernel_traversal_matches_scan(sort_rays, edge):
+    from flexlight_tpu.ops.intersect_kernel import traverse_kernel
+    from flexlight_tpu.ops.traverse import traverse_scan
+
+    buffers, geometry, (w4, amin, amax, ids, tri_tile), origin, direction, rng = _setup()
+    alive = jnp.asarray(rng.uniform(size=origin.shape[0]) < 0.8)
+
+    ref = traverse_scan(jnp.asarray(geometry), jnp.asarray(origin),
+                        jnp.asarray(direction), edge=edge)
+    got = traverse_kernel(w4, amin, amax, ids, jnp.asarray(origin),
+                          jnp.asarray(direction), interpret=True,
+                          tri_tile=tri_tile, sort_rays=sort_rays,
+                          alive=alive, edge=edge)
+    al = np.asarray(alive)
+    got_tri = np.asarray(got.triangle)
+    ref_tri = np.where(al, np.asarray(ref.triangle), -1)
+    got_s = np.asarray(got.suv)[:, 0]
+    ref_s = np.asarray(ref.suv)[:, 0]
+    # dead rays report no hit
+    assert (got_tri[~al] == -1).all()
+    agree = got_tri == ref_tri
+    tied = ((got_tri >= 0) & (ref_tri >= 0)
+            & (np.abs(got_s - ref_s) <= 1e-3 + 1e-3 * np.abs(ref_s)))
+    assert np.all(agree | tied), np.flatnonzero(~(agree | tied))[:10]
+    assert (~agree).mean() <= 0.005
+    hit = agree & (ref_tri >= 0) & al
+    np.testing.assert_allclose(got_s[hit], ref_s[hit], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sort_rays", [False, True])
+def test_kernel_shadow_matches_scan(sort_rays):
+    from flexlight_tpu.ops.intersect_kernel import shadow_kernel
+    from flexlight_tpu.ops.traverse import shadow_scan
+
+    buffers, geometry, (w4, amin, amax, ids, tri_tile), origin, direction, rng = _setup()
+    target = rng.uniform(-4, 4, origin.shape).astype(np.float32)
+    d = target - origin
+    max_len = np.linalg.norm(d, axis=-1)
+    unit = (d / max_len[:, None]).astype(np.float32)
+
+    ref = shadow_scan(jnp.asarray(geometry), jnp.asarray(origin),
+                      jnp.asarray(unit), jnp.asarray(max_len))
+    got = shadow_kernel(w4, amin, amax, ids, jnp.asarray(origin),
+                        jnp.asarray(unit), jnp.asarray(max_len),
+                        interpret=True, tri_tile=tri_tile,
+                        sort_rays=sort_rays)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
