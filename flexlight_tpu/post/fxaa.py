@@ -76,15 +76,18 @@ def _fxaa_core(img: jnp.ndarray) -> jnp.ndarray:
         0.0, range_l / jnp.maximum(rng, 1e-10) - SUBPIX_TRIM) * SUBPIX_TRIM_SCALE)
 
     # Edge direction (fxaa.js:82-95). lm[(dy,dx)] = luma at (x+dx, y+dy);
-    # the GLSL mat3 `luma[col][row]` maps to lm[(row-1, col-1)].
+    # the GLSL mat3 is column-major: luma[c][r] = tex_luma(r-1, c-1) =
+    # lm[(c-1, r-1)]. edge_vert sums |d2/dx2| per row (vertical edge ->
+    # luma varies along x); edge_horz sums |d2/dy2| per column.
     edge_vert = (
-        jnp.abs(0.25 * lm[(-1, -1)] - 0.5 * lm[(0, -1)] + 0.25 * lm[(1, -1)])
-        + jnp.abs(0.50 * lm[(-1, 0)] - 1.0 * lm[(0, 0)] + 0.50 * lm[(1, 0)])
-        + jnp.abs(0.25 * lm[(-1, 1)] - 0.5 * lm[(0, 1)] + 0.25 * lm[(1, 1)]))
-    edge_horz = (
         jnp.abs(0.25 * lm[(-1, -1)] - 0.5 * lm[(-1, 0)] + 0.25 * lm[(-1, 1)])
         + jnp.abs(0.50 * lm[(0, -1)] - 1.0 * lm[(0, 0)] + 0.50 * lm[(0, 1)])
         + jnp.abs(0.25 * lm[(1, -1)] - 0.5 * lm[(1, 0)] + 0.25 * lm[(1, 1)]))
+    edge_horz = (
+        jnp.abs(0.25 * lm[(-1, -1)] - 0.5 * lm[(0, -1)] + 0.25 * lm[(1, -1)])
+        + jnp.abs(0.50 * lm[(-1, 0)] - 1.0 * lm[(0, 0)] + 0.50 * lm[(1, 0)])
+        + jnp.abs(0.25 * lm[(-1, 1)] - 0.5 * lm[(0, 1)] + 0.25 * lm[(1, 1)]))
+    # horizontal span (edge runs along x) -> search steps along x
     horz_span = edge_horz >= edge_vert  # step = (1,0) in x when true
 
     # Highest-contrast neighbor luma + gradient (fxaa.js:109-115)
