@@ -6,6 +6,14 @@ frames, gated per pixel on exact equality of the quantized id channel; a
 separate glass counter gated on the originalId channel. The reference's
 texture ring (pathtracerWGL2.js:391-394) becomes a functional history
 pytree carried across jit steps.
+
+Known-unobservable deviation: when (temporalSamples - 1) % 4 != 0 the
+generated shader pads its last mat4 with vec4(0) slots whose id compare
+can match and inflate the counters (pathtracerWGL2.js:608-612). That
+only triggers for pixels with an all-zero quantized id — impossible for
+covered pixels (render_id.w and originalId.w both get +1/255,
+glsl:637/643) and a 0/(n+1) == 0/n no-op for sky — so this port loops
+over the real frames only.
 """
 
 from __future__ import annotations
