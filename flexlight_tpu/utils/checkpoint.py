@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_render_state(path: str, renderer) -> None:
+def snapshot_render_state(renderer) -> dict:
+    """Host-side (numpy) copy of the renderer's resumable state.
+
+    This is the only step that reads the device; utils.failover keeps the
+    latest snapshot so a checkpoint can still be written after the device
+    dies (a dead device cannot be read — fetches hang, see failover)."""
     state = {
         "frame_count": renderer._frame_count,
         "config": dataclasses.asdict(renderer.config),
@@ -32,7 +37,17 @@ def save_render_state(path: str, renderer) -> None:
             arrays[f"temporal_{name}"] = np.asarray(arr)
     if renderer._taa_state is not None:
         arrays["taa_history"] = np.asarray(renderer._taa_state.history)
-    np.savez_compressed(path, meta=json.dumps(state), **arrays)
+    return {"meta": state, "arrays": arrays}
+
+
+def write_render_state(path: str, snapshot: dict) -> None:
+    """Persist a snapshot_render_state() dict. Pure host IO."""
+    np.savez_compressed(path, meta=json.dumps(snapshot["meta"]),
+                        **snapshot["arrays"])
+
+
+def save_render_state(path: str, renderer) -> None:
+    write_render_state(path, snapshot_render_state(renderer))
 
 
 def load_render_state(path: str, renderer) -> None:

@@ -11,8 +11,12 @@ run() {
 }
 run scripts/bench_direct.py theater
 run scripts/bench_direct.py dragon
+echo "=== FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_ablate.py theater
 run scripts/bench_stages.py theater
 run scripts/bench_filters.py
+run scripts/bench_filters.py sweep
 run bench.py
 echo "ALL DONE" >> "$LOG"
