@@ -606,8 +606,15 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     # those scenes shading runs on [G, 1024] 2-D shapes where [C, G, 1024]
     # row reads are free leading-dim slices (dragon 1080p: 1.50 -> 1.05 s).
     # Small tables use the one-hot MXU fetch whose [C, N] output is
-    # consumed best flat — 2-D there costs boundary relayouts for nothing.
-    use2d = mat.shape[0] > 256
+    # consumed best flat — 2-D there costs boundary relayouts for nothing
+    # at the sizes it was tuned on. FLEXLIGHT_FORCE_2D=1 forces the 2-D
+    # layout regardless of table size (perf experiment: small-table scenes
+    # at 1080p exceed the one-hot n-threshold, so their flat path is the
+    # row-gather + per-row-relayout shape — chip A/B pending).
+    import os as _os
+
+    use2d = (mat.shape[0] > 256
+             or _os.environ.get("FLEXLIGHT_FORCE_2D", "") == "1")
     if use2d:
         pad2 = (-n) % 1024
         g2 = (n + pad2) // 1024

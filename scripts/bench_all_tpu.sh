@@ -10,6 +10,9 @@ run() {
     echo "rc=$?" >> "$LOG"
 }
 run scripts/bench_direct.py theater
+echo "=== FLEXLIGHT_FORCE_2D=1 bench_direct theater ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_FORCE_2D=1 python scripts/bench_direct.py theater >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_direct.py dragon
 echo "=== FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
