@@ -157,3 +157,31 @@ def test_block_tiled_render_matches_unblocked():
         pt.BLOCK_TILE_MIN_TRIS = old
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_force_2d_layout_matches_flat():
+    """FLEXLIGHT_FORCE_2D (2-D shading layout on small material tables)
+    must be a pure layout change: bit-identical MRT output."""
+    import os
+
+    import flexlight_tpu.ops.pathtrace as pt
+    import jax.numpy as jnp
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+
+    from scenes import cornell_config, cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    cfg = cornell_config(max_reflections=3)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    ref = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0)
+    os.environ["FLEXLIGHT_FORCE_2D"] = "1"
+    try:
+        got = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0)
+    finally:
+        del os.environ["FLEXLIGHT_FORCE_2D"]
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
