@@ -56,6 +56,11 @@ SPARSE_BOUNCE_RAY_TILE: int = 1024
 # culling to matter; block-tiled ray order is skipped (tests lower it).
 BLOCK_TILE_MIN_TRIS = 2048
 
+# Light count at which reservoir NEE switches from an unrolled light loop
+# (fully fused) to a lax.scan over the light axis (bounded compile time —
+# the 64-light example2 scene compiles for minutes unrolled).
+SCAN_LIGHTS_MIN = 16
+
 
 class MRT(NamedTuple):
     """Flat per-pixel render targets, fp32 (glsl:74-79)."""
@@ -137,11 +142,15 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
     lr = noise4(random_vec4[2], random_vec4[3], BIAS, random_seed)[0:2]
 
     v = v3.neg3(unit_dir3)
-    for j in range(num_lights):
-        strength = buffers.lights[j, 1, 0]
-        variation = buffers.lights[j, 1, 1]
+
+    def light_step(carry, j, light_row):
+        """One reservoir update (glsl:409-459); j may be a traced scalar."""
+        (local_color, res_length, total_weight, res_num, res_weight,
+         res_dir, lr) = carry
+        strength = light_row[1, 0]
+        variation = light_row[1, 1]
         active = strength > 0.0  # skip dead lights (glsl:415)
-        light = tuple(buffers.lights[j, 0, c] + random_vec4[c] * variation
+        light = tuple(light_row[0, c] + random_vec4[c] * variation
                       for c in range(3))
         d = v3.sub3(light, origin3)
         cfl = forward_trace_soa(albedo3, rough, metal, emis, d, strength,
@@ -156,6 +165,27 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
         res_dir = v3.where3(sel, d, res_dir)
         nxt = noise4(lr[0], lr[1], BIAS, random_seed)[2:4]
         lr = (jnp.where(active, nxt[0], lr[0]), jnp.where(active, nxt[1], lr[1]))
+        return (local_color, res_length, total_weight, res_num, res_weight,
+                res_dir, lr)
+
+    carry = (local_color, res_length, total_weight, res_num, res_weight,
+             res_dir, lr)
+    if num_lights < SCAN_LIGHTS_MIN:
+        # few lights: unroll so XLA fuses the whole chain into the bounce
+        for j in range(num_lights):
+            carry = light_step(carry, j, buffers.lights[j])
+    else:
+        # many lights (example2.js's 64-light stress): the unrolled chain
+        # explodes compile time; a scan over the light axis is the same
+        # sequential arithmetic (the reservoir noise chain forces order)
+        import jax
+
+        carry = jax.lax.scan(
+            lambda c, jl: (light_step(c, jl[0], jl[1]), None),
+            carry, (jnp.arange(num_lights, dtype=jnp.int32), buffers.lights),
+        )[0]
+    (local_color, res_length, total_weight, res_num, res_weight,
+     res_dir, lr) = carry
 
     unit_light_dir = v3.normalize3(res_dir)
     show_color = (res_length == 0.0) | (res_weight == 0.0)
