@@ -24,7 +24,7 @@ from ..ops.buffers import build_scene_buffers
 from ..ops.pathtrace import render_mrt
 from ..post.common import quantize_rgba8, split_hdr
 from ..post.filters import final_filter, first_filter, second_filter
-from ..post.fxaa import fxaa
+from ..post.fxaa import fxaa_auto
 from ..post.taa import Jitter, TAAState, taa_apply
 from ..post.temporal import TemporalState, push_frame, temporal_average
 
@@ -147,7 +147,7 @@ def postprocess_mrt(mrt, temporal_state: TemporalState, taa_state: TAAState,
         aa_in = jnp.concatenate([quantize_rgba8(display),
                                  (alpha > 0).astype(jnp.float32)[..., None]], axis=-1)
         if config.antialiasing == "fxaa":
-            display = fxaa(aa_in)[..., 0:3]
+            display = fxaa_auto(aa_in)[..., 0:3]
         else:
             out, taa_state = taa_apply(taa_state, aa_in)
             display = out[..., 0:3]

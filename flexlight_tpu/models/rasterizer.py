@@ -28,7 +28,7 @@ from ..ops.geometry import world_geometry
 from ..ops.intersect import BIAS
 from ..ops.pathtrace import camera_rays
 from ..post.common import quantize_rgba8, reinhard_gamma
-from ..post.fxaa import fxaa
+from ..post.fxaa import fxaa_auto
 from ..post.taa import Jitter, TAAState, taa_apply
 
 
@@ -244,7 +244,7 @@ def raster_frame(buffers, cam_pos, view, taa_state, width, height, config,
         aa_in = jnp.concatenate([quantize_rgba8(display),
                                  quantize_rgba8(alpha_img)[..., None]], axis=-1)
         if config.antialiasing == "fxaa":
-            display = fxaa(aa_in)[..., 0:3]
+            display = fxaa_auto(aa_in)[..., 0:3]
         else:
             out, taa_state = taa_apply(taa_state, aa_in)
             display = out[..., 0:3]

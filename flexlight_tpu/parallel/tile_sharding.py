@@ -153,7 +153,7 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
     from ..models.pathtracer import _filter_chain, _quantized_mrt
     from ..ops.pathtrace import render_mrt
     from ..post.common import quantize_rgba8, split_hdr
-    from ..post.fxaa import fxaa
+    from ..post.fxaa import fxaa_auto
     from ..post.temporal import TemporalState, push_frame, temporal_average
     from .halo import with_halo
 
@@ -210,7 +210,7 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
                  (alpha.reshape(rows_local, width) > 0).astype(jnp.float32)[..., None]],
                 axis=-1)
             if config.antialiasing == "fxaa":
-                display = with_halo(fxaa, halo, "tile")(aa_in)[..., 0:3]
+                display = with_halo(fxaa_auto, halo, "tile")(aa_in)[..., 0:3]
             else:
                 # TAA: the 3x3 clip-clamp is the only cross-pixel read
                 # (history averaging is pointwise), so only the clamp needs

@@ -152,3 +152,23 @@ def _fxaa_core(img: jnp.ndarray) -> jnp.ndarray:
 
     out = color / pixel_count[..., None]
     return jnp.where(low_contrast[..., None], img, out)
+
+
+def fxaa_auto(img: jnp.ndarray) -> jnp.ndarray:
+    """Backend dispatch: the Pallas tile kernel on TPU (post.fxaa_kernel —
+    one HBM read/write per tile vs this module's GB-scale shift stacks at
+    1080p), the XLA formulation on CPU where Pallas would run in
+    interpret mode. FLEXLIGHT_FXAA=gather|kernel overrides (read at trace
+    time; a perf A/B knob for scripts/bench_all_tpu.sh)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("FLEXLIGHT_FXAA", "auto")
+    if mode == "auto":
+        mode = "gather" if jax.default_backend() == "cpu" else "kernel"
+    if mode == "kernel":
+        from .fxaa_kernel import fxaa_tpu
+
+        return fxaa_tpu(img, interpret=jax.default_backend() == "cpu")
+    return fxaa(img)

@@ -19,6 +19,9 @@ timeout 2400 env FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >
 echo "rc=$?" >> "$LOG"
 run scripts/bench_ablate.py theater
 run scripts/bench_stages.py theater
+echo "=== FLEXLIGHT_FXAA=gather bench_stages theater (kernel-vs-XLA FXAA A/B) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_FXAA=gather python scripts/bench_stages.py theater >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_filters.py
 run scripts/bench_filters.py sweep
 run bench.py

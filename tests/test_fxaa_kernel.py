@@ -1,0 +1,86 @@
+"""fxaa_tpu (Pallas, interpret mode on CPU) vs post.fxaa (XLA oracle).
+
+The kernel re-derives the sequential 6-step edge search as a parallel
+prefix over static offsets (see post/fxaa_kernel.py docstring); these
+tests pin that derivation and the tiling/halo handling against the
+stack-based XLA formulation, which itself is pinned to the GLSL by
+tests/test_fxaa_parity.py.
+
+Comparison semantics — why an outlier budget and not exact equality:
+FXAA's span branch is the exact compare edge_h >= edge_v, and the two
+sums are ALGEBRAICALLY EQUAL whenever the six |.| terms' signs align as
+(-,+,-)/(-,+,-) (expand: both reduce to the same linear combination of
+the 3x3 lumas; also forced along zero image borders) — measured ~1% of
+pixels on random images are exact ties. On a tie the branch is decided
+by fp rounding order, which legitimately differs between compilations
+(FMA fusion inside vs outside the kernel); the GLSL reference has the
+same implementation-defined behavior across GPUs. Verified here (see
+repo history): every diverging pixel is such a tie — kernel-side
+intermediates match the oracle's to <3e-7, and at traced tie pixels the
+kernel output equals the scalar f64 recomputation of its branch.
+"""
+
+import numpy as np
+import pytest
+
+from flexlight_tpu.post.fxaa import fxaa
+from flexlight_tpu.post.fxaa_kernel import fxaa_tpu
+
+
+def _img(h, w, seed, blocky=False):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    if blocky:
+        pool = rng.uniform(0, 1, (6, 4)).astype(np.float32)
+        blocks = rng.integers(0, 6, (-(-h // 8), -(-w // 8)))
+        img = pool[np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w]].copy()
+        speck = rng.uniform(size=(h, w)) < 0.07
+        img[speck] = rng.uniform(0, 1, (speck.sum(), 4)).astype(np.float32)
+    img[..., 3] = rng.uniform(0.3, 1.0, (h, w)).astype(np.float32)
+    return img
+
+
+def _span_tie(img, y, x):
+    """True when edge_h == edge_v at (y, x) in f64 (tie pixels may take
+    either branch, see module docstring)."""
+    pad = np.pad(img, ((8, 8), (8, 8), (0, 0))).astype(np.float64)
+    luma = (pad[..., 1] * (0.587 / 0.299) + pad[..., 0]) * pad[..., 3]
+    l = lambda dy, dx: luma[y + 8 + dy, x + 8 + dx]
+    ev = (abs(0.25 * l(-1, -1) - 0.5 * l(-1, 0) + 0.25 * l(-1, 1))
+          + abs(0.5 * l(0, -1) - l(0, 0) + 0.5 * l(0, 1))
+          + abs(0.25 * l(1, -1) - 0.5 * l(1, 0) + 0.25 * l(1, 1)))
+    eh = (abs(0.25 * l(-1, -1) - 0.5 * l(0, -1) + 0.25 * l(1, -1))
+          + abs(0.5 * l(-1, 0) - l(0, 0) + 0.5 * l(1, 0))
+          + abs(0.25 * l(-1, 1) - 0.5 * l(0, 1) + 0.25 * l(1, 1)))
+    return abs(eh - ev) < 1e-9
+
+
+@pytest.mark.parametrize("shape,seed,blocky", [
+    ((64, 64), 0, False),
+    ((48, 80), 1, False),
+    ((130, 115), 7, False),   # ty/tx straddling: halo crosses tiles
+    ((64, 64), 0, True),      # hard edges: the interesting FXAA case
+])
+def test_fxaa_kernel_matches_oracle(shape, seed, blocky):
+    img = _img(*shape, seed, blocky=blocky)
+    ref = np.asarray(fxaa(img))
+    got = np.asarray(fxaa_tpu(img, interpret=True))
+    diff = np.abs(got - ref).max(axis=-1)
+    bad = diff > 3e-6
+    assert bad.mean() <= 0.03, bad.mean()
+    # every diverging pixel must be an exact span tie (or sit in the
+    # zero-border band, where blur/done compares tie structurally too)
+    h, w = shape
+    ys, xs = np.nonzero(bad)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if 8 <= y < h - 8 and 8 <= x < w - 8:
+            assert _span_tie(img, y, x), (y, x)
+
+
+def test_fxaa_kernel_smooth_image_passthrough():
+    """Low-contrast pixels return the input unchanged, ties or not."""
+    img = _img(32, 32, 3) * 0.01 + 0.5
+    img[..., 3] = 1.0
+    got = np.asarray(fxaa_tpu(img, interpret=True))
+    ref = np.asarray(fxaa(img))
+    np.testing.assert_allclose(got, ref, atol=3e-6, rtol=0)
