@@ -290,7 +290,13 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
         # NB: gather full rows, then transpose once — per-column extracts
         # from a [N, 49] row-major array re-read whole lane tiles, and a
         # fused row+column-slice gather falls off TPU's vectorized path.
-        rowt = fetch_rows_t(mat, tri)           # [49, N]
+        if "matfetch" in DEBUG_DISABLE:
+            # ablation: broadcast row 0 instead of gathering — isolates
+            # the gather+relayout cost of the per-bounce material fetch
+            rowt = jnp.broadcast_to(mat[0][(slice(None),) + (None,) * tri.ndim],
+                                    (mat.shape[1],) + tri.shape)
+        else:
+            rowt = fetch_rows_t(mat, tri)       # [49, N]
         rot = tuple(rowt[40 + k] for k in range(9))
 
         new_origin = v3.add3(v3.scale3(ray_dir, hs), ray_origin)

@@ -29,6 +29,9 @@ ABLATIONS = [
     ("shadow",),              # shadow rays only (reservoir math stays)
     ("texfetch",),            # texture-atlas fetches
     ("interp",),              # smooth-normal interpolation block
+    ("nextdir",),             # reflect/refract next-ray math
+    ("idchannels",),          # normal/rme packing (arctan2 pair per bounce)
+    ("matfetch",),            # per-bounce material row gather + relayout
     ("reservoir", "texfetch", "interp"),   # traversal + skeleton
 ]
 
