@@ -564,10 +564,12 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                  interpret=interp, sort_rays=sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt)
     elif scheme == "kernel":
+        import os as _os2
+
         import jax
 
-        from .intersect_kernel import (build_w4, pick_tri_tile, shadow_kernel,
-                                       traverse_kernel)
+        from .intersect_kernel import (RAY_TILE, build_w4, pick_tri_tile,
+                                       shadow_kernel, traverse_kernel)
 
         tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
         w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
@@ -575,15 +577,21 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # Octant sorting only pays for itself when there are many triangle
         # tiles to skip (argsort is not free on TPU)
         sort = (ids.shape[0] // tri_tile) >= 8
+        # Perf experiment knob: small scenes are grid-step-overhead-bound
+        # (theater 64 tris: ~6 ms per 2M-ray pass across 2048 programs vs
+        # ~0.3 ms of actual MXU+HBM work); larger ray tiles cut the
+        # program count proportionally. Chip A/B pending.
+        drt = int(_os2.environ.get("FLEXLIGHT_DENSE_RAY_TILE", "0")) or RAY_TILE
 
         def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
                                    tri_tile=tri_tile, sort_rays=sort,
-                                   alive=alive, edge=edge)
+                                   ray_tile=drt, alive=alive, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
-                                 tri_tile=tri_tile, sort_rays=sort, alive=alive)
+                                 tri_tile=tri_tile, sort_rays=sort,
+                                 ray_tile=drt, alive=alive)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 
