@@ -237,6 +237,11 @@ class PathTracer:
     SPARSE_MIN_TRIS = 4096
 
     def _resolved_scheme(self) -> str:
+        import os
+
+        env = os.environ.get("FLEXLIGHT_SCHEME", "")
+        if env:  # perf A/B override (scripts/bench_all_tpu.sh)
+            return env
         if self.scheme != "auto":
             return self.scheme
         if jax.default_backend() == "cpu":

@@ -10,6 +10,9 @@ run() {
     echo "rc=$?" >> "$LOG"
 }
 run scripts/bench_direct.py theater
+echo "=== FLEXLIGHT_SCHEME=mxu bench_direct theater (no-Pallas traversal A/B) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=mxu python scripts/bench_direct.py theater >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_DENSE_RAY_TILE=4096 bench_direct theater ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_DENSE_RAY_TILE=4096 python scripts/bench_direct.py theater >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
