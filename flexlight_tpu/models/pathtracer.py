@@ -12,6 +12,7 @@ indices, including its dropped-attachment quirks (see _filter_chain).
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -237,8 +238,6 @@ class PathTracer:
     SPARSE_MIN_TRIS = 4096
 
     def _resolved_scheme(self) -> str:
-        import os
-
         env = os.environ.get("FLEXLIGHT_SCHEME", "")
         if env:  # perf A/B override (scripts/bench_all_tpu.sh)
             return env

@@ -22,6 +22,7 @@ by XLA; traversal is delegated to ops.traverse.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -564,8 +565,6 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                  interpret=interp, sort_rays=sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt)
     elif scheme == "kernel":
-        import os as _os2
-
         import jax
 
         from .intersect_kernel import (RAY_TILE, build_w4, pick_tri_tile,
@@ -581,7 +580,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # (theater 64 tris: ~6 ms per 2M-ray pass across 2048 programs vs
         # ~0.3 ms of actual MXU+HBM work); larger ray tiles cut the
         # program count proportionally. Chip A/B pending.
-        drt = int(_os2.environ.get("FLEXLIGHT_DENSE_RAY_TILE", "0")) or RAY_TILE
+        drt = int(os.environ.get("FLEXLIGHT_DENSE_RAY_TILE", "0")) or RAY_TILE
 
         def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
@@ -655,10 +654,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     # layout regardless of table size (perf experiment: small-table scenes
     # at 1080p exceed the one-hot n-threshold, so their flat path is the
     # row-gather + per-row-relayout shape — chip A/B pending).
-    import os as _os
-
     use2d = (mat.shape[0] > 256
-             or _os.environ.get("FLEXLIGHT_FORCE_2D", "") == "1")
+             or os.environ.get("FLEXLIGHT_FORCE_2D", "") == "1")
     if use2d:
         pad2 = (-n) % 1024
         g2 = (n + pad2) // 1024

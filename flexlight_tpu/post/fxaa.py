@@ -10,6 +10,8 @@ shifted images so each unrolled step is a take_along_axis over a
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 EDGE_THRESHOLD_MIN = 1.0 / 32.0
@@ -160,9 +162,7 @@ def fxaa_auto(img: jnp.ndarray) -> jnp.ndarray:
     1080p), the XLA formulation on CPU where Pallas would run in
     interpret mode. FLEXLIGHT_FXAA=gather|kernel overrides (read at trace
     time; a perf A/B knob for scripts/bench_all_tpu.sh)."""
-    import os
-
-    import jax
+    import jax  # deferred: this module is imported by CPU-only test paths
 
     mode = os.environ.get("FLEXLIGHT_FXAA", "auto")
     if mode == "auto":

@@ -139,13 +139,11 @@ def _fxaa_kernel(win_ref, out_ref, *, ty: int, tx: int):
     # negative direction: prefix-active over static steps
     active = jnp.ones((ty, tx), bool)
     steps_n = jnp.zeros((ty, tx), jnp.float32)
-    done_flags = []
     for k in range(SEARCH_STEPS):
         contrib, done_at = span_sample(-1, k)
         color = [c + jnp.where(active, v, 0.0) for c, v in zip(color, contrib)]
         count = count + active.astype(jnp.float32)
         steps_n = steps_n + active.astype(jnp.float32)
-        done_flags.append(done_at)
         active = active & ~done_at
 
     # positive direction: shares the iteration budget (starts after the
