@@ -126,10 +126,12 @@ def camera_rays(width: int, height: int, position, view_matrix,
 
 def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
                      origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
-                     geometry_offset, random_seed, shadow_soa, alive_mask=None):
+                     geometry_offset, random_seed, shadow_soa, alive_mask=None,
+                     force_unroll: bool = False):
     """Weighted reservoir NEE over all lights + one shadow ray
     (glsl:400-461), SoA form (see ops.vec3). Returns (color 3-tuple, id_w
-    [N])."""
+    [N]). `force_unroll` keeps the light loop unrolled past
+    SCAN_LIGHTS_MIN (the fused Pallas path cannot lower lax.scan)."""
     shp = origin3[0].shape
     num_lights = buffers.lights.shape[0]
     zero = jnp.zeros(shp, dtype=jnp.float32)
@@ -171,7 +173,7 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
 
     carry = (local_color, res_length, total_weight, res_num, res_weight,
              res_dir, lr)
-    if num_lights < SCAN_LIGHTS_MIN:
+    if num_lights < SCAN_LIGHTS_MIN or force_unroll:
         # few lights: unroll so XLA fuses the whole chain into the bounce
         for j in range(num_lights):
             carry = light_step(carry, j, buffers.lights[j])
@@ -257,13 +259,27 @@ def combine_normal_rme_soa(n3, rough, metal, emis):
 
 def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 direction3, ndc2, cos_sample_n, config, random_seed,
-                traverse_soa, shadow_soa, aux):
+                traverse_soa, shadow_soa, aux, fetch_rows_fn=None,
+                pack_id_fn=None, bounce_hook=None,
+                force_unroll_lights: bool = False):
     """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
     [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
     3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
 
     `aux` carries the shader's globals across samples (glsl:84-89).
+
+    The three hooks exist for the fused Pallas path (ops.fused), which
+    traces this SAME function inside a TPU kernel: `fetch_rows_fn`
+    replaces fetch_rows_t (whose gather fallback cannot lower in Mosaic),
+    `pack_id_fn` replaces combine_normal_rme_soa (arctan2 has no Mosaic
+    lowering), and `bounce_hook(i, df, smooth_normal, rough, metal,
+    emis)` records the packing inputs per bounce so the id channels are
+    reconstructed outside the kernel with identical arithmetic. Defaults
+    preserve the plain XLA behavior exactly.
     """
+    fetch_rows_fn = fetch_rows_t if fetch_rows_fn is None else fetch_rows_fn
+    pack_id_fn = (combine_normal_rme_soa if pack_id_fn is None
+                  else pack_id_fn)
     ps, pu, pv, ptri = primary_parts
     shp = ps.shape
     render_id, original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length = aux
@@ -297,7 +313,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             rowt = jnp.broadcast_to(mat[0][(slice(None),) + (None,) * tri.ndim],
                                     (mat.shape[1],) + tri.shape)
         else:
-            rowt = fetch_rows_t(mat, tri)       # [49, N]
+            rowt = fetch_rows_fn(mat, tri)      # [49, N]
         rot = tuple(rowt[40 + k] for k in range(9))
 
         new_origin = v3.add3(v3.scale3(ray_dir, hs), ray_origin)
@@ -378,7 +394,9 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
         original_color = v3.where3(df, v3.mul3(original_color, albedo),
                                    original_color)
         original_rme_x = jnp.where(df, original_rme_x + rough, original_rme_x)
-        idu = combine_normal_rme_soa(smooth_normal, rough, metal, emis)
+        if bounce_hook is not None:
+            bounce_hook(i, df, smooth_normal, rough, metal, emis)
+        idu = pack_id_fn(smooth_normal, rough, metal, emis)
         scale_i = 2.0 ** -i
         render_id = (
             render_id[0] + jnp.where(df, scale_i * idu[0], 0.0),
@@ -420,7 +438,8 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
                 rv, v3.scale3(rough_normal, -sign_dir),
                 v3.scale3(smooth_normal, -sign_dir), geometry_offset,
-                random_seed, shadow_h, alive_mask=m)
+                random_seed, shadow_h, alive_mask=m,
+                force_unroll=force_unroll_lights)
         write_id_w = (dont_filter | (i == 0)) & m
         render_id = render_id[0:3] + (
             jnp.where(write_id_w, id_w, render_id[3]),)
