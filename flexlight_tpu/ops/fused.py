@@ -1,0 +1,406 @@
+"""Fused whole-frame path tracing kernel for small scenes.
+
+One Pallas program per ray tile runs the ENTIRE direct-render pipeline —
+primary closest-hit, the full bounce loop with reservoir NEE and shadow
+rays, Fresnel-chance refraction — with every intermediate in VMEM. The
+XLA wavefront path (ops.pathtrace.render_mrt) round-trips dozens of
+[N]-wide arrays through HBM per bounce and dispatches 2 traversal
+kernels per bounce; here the only HBM traffic is camera rays in and MRT
+channels out, and the only dispatch is one program per 512 rays.
+
+The shading arithmetic is NOT duplicated: the kernel body traces the
+same oracle-pinned `light_trace` (ops.pathtrace) with three injected
+implementations —
+
+- traversal: Möller-Trumbore as [T,16] @ [16, rays] MXU contractions
+  against the whole (VMEM-resident) triangle set, the same math as
+  ops.traverse_mxu (same accept windows, same first-min tie-breaking);
+- material fetch: exact one-hot MXU row gather from the drawable-ordered
+  material table;
+- id-channel packing: deferred — arctan2 has no Mosaic lowering, so the
+  kernel records each bounce's (df, normal, rme) inputs and the packed
+  render_id channels are reconstructed OUTSIDE with identical arithmetic
+  (same per-bounce sum order).
+
+- texture fetch: per-lane gathers from an atlas cannot lower in Mosaic,
+  so SMALL atlases (<= MAX_TEXELS texels — every tiny/1x1-texture scene:
+  wave, eth, example2) are sampled by an exact one-hot contraction over
+  the whole atlas, with the reference's exact index arithmetic.
+
+Eligibility (checked by `fused_eligible`): the scene's triangle count
+fits the in-VMEM tables (<= MAX_TRIS) and every atlas has <= MAX_TEXELS
+texels. Big-texture scenes keep the wavefront path; a split-kernel
+variant (traverse+interp kernel -> XLA atlas fetch -> shade kernel) is
+the planned extension.
+
+Equivalence: in interpret mode the kernel traces to the same XLA ops as
+scheme="mxu", so tests pin near-exact equality; on real TPU hardware the
+transcendental codegen (sin in the hash RNG) may differ from XLA's, with
+the same chaotic-pixel consequences the golden harness already budgets
+for.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .buffers import SceneBuffers
+from .geometry import world_geometry
+from .intersect import BIAS, POW32
+from .pathtrace import (MRT, INV_255, build_material_table, camera_rays,
+                        combine_normal_rme_soa, fetch_rows_t, light_trace)
+from .traverse_mxu import MATMUL_PRECISION, tri_rows
+from . import vec3 as v3
+
+MAX_TRIS = 1024        # w-plane products [Tp, rays] x4 must fit VMEM
+MAX_TEXELS = 4096      # one-hot atlas sampling: [texels, rays] per fetch
+RAY_TILE = 512
+
+
+class _Atlas:
+    """In-kernel atlas handle: [3, texels] VMEM value + static dims."""
+
+    __slots__ = ("data", "h", "w")
+
+    def __init__(self, data, h: int, w: int):
+        self.data = data
+        self.h = h
+        self.w = w
+
+
+def fused_eligible(buffers: SceneBuffers, config=None) -> bool:
+    """Scene fits the in-kernel tables and atlas one-hot sampling."""
+    atlases = (buffers.albedo_atlas, buffers.pbr_atlas, buffers.tpo_atlas)
+    return (buffers.id_buffer.shape[0] <= MAX_TRIS
+            and all(a.shape[0] * a.shape[1] <= MAX_TEXELS for a in atlases))
+
+
+def _pad_rows(a: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return jnp.pad(a, [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+
+def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
+                  alb_ref, pbr_ref, tpo_ref, ox, oy, oz, dx, dy, dz,
+                  nx, ny, out_ref, *, config, n_local: int,
+                  sample_offset: float, n_bounce_rec: int, tex_dims):
+    tp = w_ref.shape[1] // 4
+    rt = ox.shape[1]
+    random_seed = seed_ref[0]
+    texture_width = texw_ref[0]
+    zero = jnp.zeros((1, rt), jnp.float32)
+    one = jnp.ones((1, rt), jnp.float32)
+
+    w = w_ref[...]                                      # [16, 4Tp] grouped
+    mat = mat_ref[...]                                  # [Tp, C]
+    rows_iota = lax.broadcasted_iota(jnp.int32, (tp, rt), 0)
+    cols_iota = lax.broadcasted_iota(jnp.int32, (rt, tp), 1)
+
+    shim = SceneBuffers(
+        geometry=None, attributes=None, id_buffer=None, rotations=None,
+        shifts=None, lights=lights_ref[...], ambient=amb_ref[0],
+        albedo_atlas=_Atlas(alb_ref[...], *tex_dims[0]),
+        pbr_atlas=_Atlas(pbr_ref[...], *tex_dims[1]),
+        tpo_atlas=_Atlas(tpo_ref[...], *tex_dims[2]),
+        texture_width=texture_width)
+
+    def tex_fetch(atlas: _Atlas, u, v, tex_num, default3, tw):
+        """fetch_tex_val_soa with the gather as an exact one-hot
+        contraction over the whole (small) atlas."""
+        h, aw = atlas.h, atlas.w
+        miss = tex_num == -1.0
+        if h * aw == 1:
+            return tuple(jnp.where(miss, d, atlas.data[c, 0])
+                         for c, d in enumerate(default3))
+        height_factor = jnp.float32(aw) / jnp.float32(h)
+        cx = (u + jnp.mod(tex_num, tw)) / tw
+        cy = (v + jnp.floor(tex_num / tw)) * height_factor / tw
+        px = jnp.floor(jnp.mod(cx, 1.0) * aw).astype(jnp.int32).clip(0, aw - 1)
+        py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
+        flat = py * aw + px                            # (1, rt)
+        iota = lax.broadcasted_iota(jnp.int32, (h * aw, rt), 0)
+        onehot = (flat == iota).astype(jnp.float32)
+        sampled = jnp.dot(atlas.data, onehot,
+                          precision=MATMUL_PRECISION)  # [3, rt]
+        return tuple(jnp.where(miss, d, sampled[c:c + 1])
+                     for c, d in enumerate(default3))
+
+    def mt_products(o3, d3):
+        """[rt, 16] @ [16, 4Tp] — the same dot orientation as
+        traverse_mxu._mt_products, so det/u/v/s are BIT-equal to the mxu
+        scheme (plane-grouped columns only permute independent output
+        columns). Products land [rt, Tp]; epilogue reduces along lanes."""
+        comps = [one, o3[0], o3[1], o3[2], d3[0], d3[1], d3[2]]
+        comps += [d3[i] * o3[k] for i in range(3) for k in range(3)]
+        f = jnp.concatenate(comps, axis=0).T            # [rt, 16]
+        prod = jnp.dot(f, w, precision=MATMUL_PRECISION)  # [rt, 4Tp]
+        det = prod[:, 0:tp]
+        inv = 1.0 / det
+        return (det, prod[:, tp:2 * tp] * inv, prod[:, 2 * tp:3 * tp] * inv,
+                prod[:, 3 * tp:4 * tp] * inv)
+
+    def mt_closest(o3, d3, edge):
+        """traverse_mxu._closest_hit_block semantics; returns drawable
+        indices (the material/location tables are drawable-ordered)."""
+        det, u, v, s = mt_products(o3, d3)
+        valid = (jnp.abs(det) >= BIAS)
+        valid &= (u >= edge) & (u <= 1.0)
+        valid &= (v >= edge) & (u + v <= 1.0)
+        valid &= (s > BIAS)
+        s_masked = jnp.where(valid, s, POW32)
+        best_s = jnp.min(s_masked, axis=1, keepdims=True)
+        # argmin tie-break = lowest column index among the minima
+        best_col = jnp.min(jnp.where(s_masked == best_s, cols_iota, tp),
+                           axis=1, keepdims=True)
+        hit = best_s < POW32
+        sel = cols_iota == best_col
+        best_u = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+        best_v = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+        out = (jnp.where(hit, best_s, 0.0), jnp.where(hit, best_u, 0.0),
+               jnp.where(hit, best_v, 0.0),
+               jnp.where(hit, best_col, -1).astype(jnp.int32))
+        return tuple(x.T for x in out)                   # [rt,1] -> (1, rt)
+
+    def traverse_soa(o3, d3, alive=None, hint=None):
+        return mt_closest(o3, d3, edge=BIAS)
+
+    def shadow_soa(o3, d3, max_len, alive=None, hint=None):
+        det, u, v, s = mt_products(o3, d3)
+        valid = (det >= BIAS)
+        valid &= (u >= BIAS) & (u <= 1.0)
+        valid &= (v >= BIAS) & (u + v <= 1.0)
+        valid &= (s > BIAS) & (s <= max_len.T)
+        return jnp.any(valid, axis=1, keepdims=True).T
+
+    def fetch_rows(table, idx):
+        onehot = (idx == rows_iota).astype(table.dtype)     # [Tp, rt]
+        rows = jnp.dot(table.T, onehot, precision=MATMUL_PRECISION)
+        return rows[:, None, :]                             # [C, 1, rt]
+
+    def pack_id_stub(n3, rough, metal, emis):
+        return (zero, zero, zero)
+
+    records = []
+
+    def bounce_hook(i, df, n3, rough, metal, emis):
+        if len(records) <= i:
+            records.append([])
+        records[i] = [df.astype(jnp.float32), n3[0], n3[1], n3[2],
+                      rough, metal, emis]
+
+    # camera origin/direction/ndc for this tile
+    o3 = (ox[...], oy[...], oz[...])
+    d3 = (dx[...], dy[...], dz[...])
+    ndc2 = (nx[...], ny[...])
+
+    # primary hits use the relaxed edge window (see render_mrt)
+    ps, pu, pv, ptri = mt_closest(o3, d3, edge=-BIAS)
+    primary_parts = (ps, pu, pv, ptri)
+
+    aux = ((zero, zero, zero, zero), (zero, zero, zero, zero),
+           zero, zero, zero, one)
+    total = (zero, zero, zero)
+    original_color = (one, one, one)
+    original_tpo_x = zero
+    # render_id[0:3] accumulates ACROSS samples (aux is carried), so the
+    # packing inputs are emitted per (sample, bounce), sample-major —
+    # matching the reconstruction order in render_mrt_fused.
+    sample_records = []
+    for s in range(n_local):
+        records.clear()
+        cos_sample_n = jnp.cos(jnp.float32(s) + jnp.float32(sample_offset))
+        color, original_color, original_tpo_x, aux = light_trace(
+            shim, mat, primary_parts, o3, d3, ndc2, cos_sample_n, config,
+            random_seed, traverse_soa, shadow_soa, aux,
+            fetch_rows_fn=fetch_rows, pack_id_fn=pack_id_stub,
+            bounce_hook=bounce_hook, force_unroll_lights=True,
+            tex_fetch_fn=tex_fetch)
+        total = v3.add3(total, color)
+        sample_records.extend(list(r) for r in records)
+
+    final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
+    render_id, _oid_acc, glass, rme_x, original_tpo_x, frl = aux
+
+    chans = [
+        final_color[0], final_color[1], final_color[2],
+        original_color[0], original_color[1], original_color[2],
+        original_tpo_x, glass, rme_x, frl,
+        render_id[3],
+        ptri.astype(jnp.float32), pu, pv,
+    ]
+    for rec in sample_records:
+        chans.extend(rec)
+    # pad to the static record count (dead bounces: df=0 rows)
+    while len(chans) < 14 + 7 * n_bounce_rec:
+        chans.append(zero)
+    out_ref[0] = jnp.concatenate(chans, axis=0)
+
+
+class _ValRef:
+    """Array-as-ref shim so _fused_kernel can run OUTSIDE pallas (the
+    `pallas=False` test/debug mode — same trace, whole image as one tile,
+    fused by XLA). Interpret-mode Pallas evaluates per-op, which changes
+    sin codegen, which the hash RNG amplifies into flipped pixels — so
+    exact-equivalence tests vs the wavefront schemes must run the kernel
+    function under plain XLA, where it matches scheme="mxu" bit-for-bit
+    (tests/test_fused.py)."""
+
+    def __init__(self, v):
+        self.v = jnp.asarray(v)
+
+    @property
+    def shape(self):
+        return self.v.shape
+
+    def __getitem__(self, idx):
+        return self.v[idx]
+
+
+class _OutRef:
+    def __setitem__(self, idx, val):
+        assert idx == 0
+        self.val = val
+
+
+def render_mrt_fused(buffers: SceneBuffers, width: int, height: int,
+                     camera_pos, view_matrix, config, random_seed,
+                     row0=0, rows: int | None = None, sample_offset=0.0,
+                     local_samples: int | None = None,
+                     with_raw_aux: bool = False, interpret: bool | None = None,
+                     ray_tile: int | None = None, pallas: bool = True):
+    """Drop-in for ops.pathtrace.render_mrt(scheme="fused")."""
+    assert fused_eligible(buffers), "scene not eligible for the fused kernel"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    rt = ray_tile or int(os.environ.get("FLEXLIGHT_FUSED_RAY_TILE", "0")) or RAY_TILE
+
+    world_geom = world_geometry(buffers)
+    det, udet, vdet, sdet = tri_rows(world_geom, buffers.id_buffer)
+    t = det.shape[0]
+    tp = max(-(-t // 128) * 128, 128)
+    # plane-grouped [16, 4Tp]: columns [det | udet | vdet | sdet]
+    w_grouped = jnp.concatenate(
+        [_pad_rows(x, tp) for x in (det, udet, vdet, sdet)], axis=0).T
+    mat = _pad_rows(build_material_table(buffers, world_geom)[buffers.id_buffer], tp)
+    # atlases as [3, texels] (lane-major) + static dims for the in-kernel
+    # one-hot sampler
+    atlases = (buffers.albedo_atlas, buffers.pbr_atlas, buffers.tpo_atlas)
+    tex_dims = tuple((a.shape[0], a.shape[1]) for a in atlases)
+    atlas2d = tuple(a.reshape(-1, a.shape[-1]).T for a in atlases)
+    loc_geometry = buffers.geometry[buffers.id_buffer]
+
+    n_rows = height if rows is None else rows
+    origin, direction, ndc = camera_rays(width, height, camera_pos,
+                                         view_matrix, row0=row0, rows=n_rows)
+    n = origin.shape[0]
+    if not pallas:
+        rt = -(-n // 128) * 128  # whole image as one tile
+    pad = (-n) % rt
+    g = (n + pad) // rt
+
+    def grid_arr(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(g, rt)
+
+    o_t, d_t, ndc_t = origin.T, direction.T, ndc.T
+    ray_ins = [grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]),
+               grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0),
+               grid_arr(ndc_t[0]), grid_arr(ndc_t[1])]
+
+    n_local = config.samples_per_ray if local_samples is None else local_samples
+    n_bounce_rec = config.max_reflections * n_local
+    n_chan = 14 + 7 * n_bounce_rec
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    row = pl.BlockSpec((1, rt), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            full((16, 4 * tp)),
+            full((tp, mat.shape[1])),
+            full(tuple(buffers.lights.shape)),
+            full((1, 3)),
+            full(tuple(atlas2d[0].shape)),
+            full(tuple(atlas2d[1].shape)),
+            full(tuple(atlas2d[2].shape)),
+        ] + [row] * 8,
+        out_specs=pl.BlockSpec((1, n_chan, rt), lambda i, *_: (i, 0, 0)),
+    )
+    kernel = partial(_fused_kernel, config=config, n_local=n_local,
+                     sample_offset=float(sample_offset),
+                     n_bounce_rec=n_bounce_rec, tex_dims=tex_dims)
+    args = (jnp.asarray(random_seed, jnp.float32).reshape(1),
+            jnp.asarray(buffers.texture_width, jnp.float32).reshape(1),
+            w_grouped, mat, buffers.lights, buffers.ambient.reshape(1, 3),
+            *atlas2d)
+    if pallas:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((g, n_chan, rt), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(*args, *ray_ins)
+        chan = jnp.moveaxis(out, 1, 0).reshape(n_chan, -1)[:, :n]  # [C, N]
+    else:
+        oref = _OutRef()
+        kernel(*[_ValRef(a) for a in args],
+               *[_ValRef(r) for r in ray_ins], oref)
+        chan = oref.val[:, :n]
+    (fc0, fc1, fc2, oc0, oc1, oc2, otpo, glass, rme_x, frl, idw,
+     ptri_f, pu, pv) = (chan[i] for i in range(14))
+    ptri = ptri_f.astype(jnp.int32)
+    covered = ptri != -1
+
+    # render_id[0:3]: reconstruct the in-kernel-deferred packing with the
+    # exact per-bounce accumulation order of light_trace (glsl:553-573)
+    rid = (jnp.zeros_like(idw),) * 3
+    for s in range(n_local):
+        for i in range(config.max_reflections):
+            base = 14 + 7 * (s * config.max_reflections + i)
+            df = chan[base] > 0.0
+            n3 = (chan[base + 1], chan[base + 2], chan[base + 3])
+            idu = combine_normal_rme_soa(n3, chan[base + 4], chan[base + 5],
+                                         chan[base + 6])
+            scale_i = 2.0 ** -i
+            rid = tuple(rid[c] + jnp.where(df, scale_i * idu[c], 0.0)
+                        for c in range(3))
+
+    # location id from the primary hit (glsl:641-642), drawable-ordered
+    lrow = fetch_rows_t(loc_geometry, jnp.maximum(ptri, 0))      # [12, N]
+    puvw = (1.0 - pu - pv, pu, pv)
+    rel_pos = (jnp.zeros_like(pu),) * 3
+    for k in range(3):
+        lv = (lrow[3 * k], lrow[3 * k + 1], lrow[3 * k + 2])
+        rel_pos = v3.add3(rel_pos, v3.scale3(lv, puvw[k]))
+    cam3 = tuple(jnp.broadcast_to(camera_pos[c], pu.shape) for c in range(3))
+    div = jnp.maximum(2.0 * v3.norm3(v3.sub3(rel_pos, cam3)), 1e-30)
+    loc3 = tuple(jnp.mod(rel_pos[c], div) / div for c in range(3))
+
+    covf = covered[:, None]
+    zero3 = jnp.zeros((n, 3), dtype=jnp.float32)
+    render_id4 = jnp.stack([rid[0], rid[1], rid[2], idw + INV_255], axis=-1)
+    location_id4 = jnp.stack(
+        [loc3[0], loc3[1], loc3[2], jnp.full((n,), INV_255)], axis=-1)
+    mrt = MRT(
+        color=jnp.where(covf, jnp.stack([fc0, fc1, fc2], axis=-1), zero3),
+        glass=jnp.where(covered, glass, 0.0),
+        original_color=jnp.where(covf, jnp.stack([oc0, oc1, oc2], axis=-1),
+                                 zero3),
+        original_w=jnp.where(covered, jnp.minimum(rme_x, frl) + INV_255, 0.0),
+        render_id=jnp.where(covf, render_id4, jnp.zeros((n, 4))),
+        original_id_w=jnp.where(covered, otpo + INV_255, 0.0),
+        location_id=jnp.where(covf, location_id4, jnp.zeros((n, 4))),
+        alpha=covered.astype(jnp.float32),
+    )
+    if with_raw_aux:
+        return mrt, (rme_x, frl)
+    return mrt

@@ -261,7 +261,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 direction3, ndc2, cos_sample_n, config, random_seed,
                 traverse_soa, shadow_soa, aux, fetch_rows_fn=None,
                 pack_id_fn=None, bounce_hook=None,
-                force_unroll_lights: bool = False):
+                force_unroll_lights: bool = False, tex_fetch_fn=None):
     """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
     [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
     3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
@@ -280,6 +280,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     fetch_rows_fn = fetch_rows_t if fetch_rows_fn is None else fetch_rows_fn
     pack_id_fn = (combine_normal_rme_soa if pack_id_fn is None
                   else pack_id_fn)
+    tex_fetch_fn = fetch_tex_val_soa if tex_fetch_fn is None else tex_fetch_fn
     ps, pu, pv, ptri = primary_parts
     shp = ps.shape
     render_id, original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length = aux
@@ -352,13 +353,13 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             rough, metal, emis = rowt[33], rowt[34], rowt[35]
             tpo = (rowt[36], rowt[37], rowt[38])
         else:
-            albedo = fetch_tex_val_soa(
+            albedo = tex_fetch_fn(
                 buffers.albedo_atlas, bary_u, bary_v, rowt[27],
                 (rowt[30], rowt[31], rowt[32]), buffers.texture_width)
-            rough, metal, emis = fetch_tex_val_soa(
+            rough, metal, emis = tex_fetch_fn(
                 buffers.pbr_atlas, bary_u, bary_v, rowt[28],
                 (rowt[33], rowt[34], rowt[35]), buffers.texture_width)
-            tpo = fetch_tex_val_soa(
+            tpo = tex_fetch_fn(
                 buffers.tpo_atlas, bary_u, bary_v, rowt[29],
                 (rowt[36], rowt[37], rowt[38]), buffers.texture_width)
 
@@ -548,6 +549,13 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     rme sums across samples while frl is a running min, so sample shards
     must combine the raw channels before folding (parallel.tile_sharding).
     """
+    if scheme == "fused":
+        from .fused import render_mrt_fused
+
+        return render_mrt_fused(
+            buffers, width, height, camera_pos, view_matrix, config,
+            random_seed, row0=row0, rows=rows, sample_offset=sample_offset,
+            local_samples=local_samples, with_raw_aux=with_raw_aux)
     world_geom = world_geometry(buffers)
 
     if scheme == "mxu":

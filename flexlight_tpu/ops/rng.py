@@ -32,8 +32,11 @@ def noise(n: jnp.ndarray, seed, random_seed) -> jnp.ndarray:
 
 def noise4(n0: jnp.ndarray, n1: jnp.ndarray, seed, random_seed):
     """SoA form of `noise`: two [N] coordinate components -> four [N]
-    channels (full-lane layout; see ops.vec3)."""
-    d = n0.astype(jnp.float32) * _DOT[0] + n1.astype(jnp.float32) * _DOT[1]
+    channels (full-lane layout; see ops.vec3). Uses python-float
+    constants (not the module jnp arrays) so it can trace inside Pallas
+    kernels without captured-constant inputs (ops.fused)."""
+    d = (n0.astype(jnp.float32) * jnp.float32(12.9898)
+         + n1.astype(jnp.float32) * jnp.float32(78.233))
     t = jnp.float32(seed) + jnp.float32(random_seed) * jnp.float32(PHI)
     mul = jnp.float32(43758.5453)
     return tuple(fract(jnp.sin(d + jnp.float32(o) * t) * mul) * 2.0 - 1.0

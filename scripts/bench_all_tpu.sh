@@ -23,6 +23,10 @@ run scripts/bench_direct.py dragon
 echo "=== FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+run scripts/bench_direct.py wave
+echo "=== FLEXLIGHT_SCHEME=fused bench_direct wave (whole-frame fused kernel A/B) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=fused python scripts/bench_direct.py wave >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_ablate.py theater
 run scripts/bench_stages.py theater
 echo "=== FLEXLIGHT_FXAA=gather bench_stages theater (kernel-vs-XLA FXAA A/B) ===" >> "$LOG"
