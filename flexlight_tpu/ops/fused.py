@@ -88,11 +88,12 @@ def _pad_rows(a: jnp.ndarray, rows: int) -> jnp.ndarray:
 
 
 def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
-                  alb_ref, pbr_ref, tpo_ref, ox, oy, oz, dx, dy, dz,
-                  nx, ny, out_ref, *, config, n_local: int,
-                  sample_offset: float, n_bounce_rec: int, tex_dims):
+                  alb_ref, pbr_ref, tpo_ref, rays_ref, out_ref, *,
+                  config, n_local: int, sample_offset: float,
+                  n_bounce_rec: int, tex_dims):
     tp = w_ref.shape[1] // 4
-    rt = ox.shape[1]
+    rays = rays_ref[0]                                  # [8, rt]
+    rt = rays.shape[1]
     random_seed = seed_ref[0]
     texture_width = texw_ref[0]
     zero = jnp.zeros((1, rt), jnp.float32)
@@ -195,10 +196,10 @@ def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
         records[i] = [df.astype(jnp.float32), n3[0], n3[1], n3[2],
                       rough, metal, emis]
 
-    # camera origin/direction/ndc for this tile
-    o3 = (ox[...], oy[...], oz[...])
-    d3 = (dx[...], dy[...], dz[...])
-    ndc2 = (nx[...], ny[...])
+    # camera origin/direction/ndc for this tile (packed as sublanes)
+    o3 = (rays[0:1], rays[1:2], rays[2:3])
+    d3 = (rays[3:4], rays[4:5], rays[5:6])
+    ndc2 = (rays[6:7], rays[7:8])
 
     # primary hits use the relaxed edge window (see render_mrt)
     ps, pu, pv, ptri = mt_closest(o3, d3, edge=-BIAS)
@@ -237,8 +238,8 @@ def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
     ]
     for rec in sample_records:
         chans.extend(rec)
-    # pad to the static record count (dead bounces: df=0 rows)
-    while len(chans) < 14 + 7 * n_bounce_rec:
+    # pad to the static (8-aligned) channel count (Mosaic block shapes)
+    while len(chans) < out_ref.shape[1]:
         chans.append(zero)
     out_ref[0] = jnp.concatenate(chans, axis=0)
 
@@ -264,6 +265,9 @@ class _ValRef:
 
 
 class _OutRef:
+    def __init__(self, shape):
+        self.shape = shape
+
     def __setitem__(self, idx, val):
         assert idx == 0
         self.val = val
@@ -309,16 +313,19 @@ def render_mrt_fused(buffers: SceneBuffers, width: int, height: int,
         return jnp.pad(x, (0, pad), constant_values=fill).reshape(g, rt)
 
     o_t, d_t, ndc_t = origin.T, direction.T, ndc.T
-    ray_ins = [grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]),
-               grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0),
-               grid_arr(ndc_t[0]), grid_arr(ndc_t[1])]
+    # camera rays packed channel-as-sublane: [G, 8, rt] (Mosaic block
+    # shapes must have 8/128-divisible trailing dims)
+    rays_in = jnp.stack(
+        [grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]),
+         grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0),
+         grid_arr(ndc_t[0]), grid_arr(ndc_t[1])], axis=1)
 
     n_local = config.samples_per_ray if local_samples is None else local_samples
     n_bounce_rec = config.max_reflections * n_local
-    n_chan = 14 + 7 * n_bounce_rec
+    n_chan_real = 14 + 7 * n_bounce_rec
+    n_chan = -(-n_chan_real // 8) * 8
 
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
-    row = pl.BlockSpec((1, rt), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g,),
@@ -330,7 +337,8 @@ def render_mrt_fused(buffers: SceneBuffers, width: int, height: int,
             full(tuple(atlas2d[0].shape)),
             full(tuple(atlas2d[1].shape)),
             full(tuple(atlas2d[2].shape)),
-        ] + [row] * 8,
+            pl.BlockSpec((1, 8, rt), lambda i, *_: (i, 0, 0)),
+        ],
         out_specs=pl.BlockSpec((1, n_chan, rt), lambda i, *_: (i, 0, 0)),
     )
     kernel = partial(_fused_kernel, config=config, n_local=n_local,
@@ -348,12 +356,11 @@ def render_mrt_fused(buffers: SceneBuffers, width: int, height: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(*args, *ray_ins)
+        )(*args, rays_in)
         chan = jnp.moveaxis(out, 1, 0).reshape(n_chan, -1)[:, :n]  # [C, N]
     else:
-        oref = _OutRef()
-        kernel(*[_ValRef(a) for a in args],
-               *[_ValRef(r) for r in ray_ins], oref)
+        oref = _OutRef((1, n_chan, rt))
+        kernel(*[_ValRef(a) for a in args], _ValRef(rays_in), oref)
         chan = oref.val[:, :n]
     (fc0, fc1, fc2, oc0, oc1, oc2, otpo, glass, rme_x, frl, idw,
      ptri_f, pu, pv) = (chan[i] for i in range(14))

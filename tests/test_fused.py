@@ -175,3 +175,24 @@ def test_fused_textured_small_atlas_matches_mxu():
                            jnp.float32(0.0), interpret=True)
     a, b = np.asarray(got.color), np.asarray(ker.color)
     assert np.isclose(a, b, atol=1e-3).all(axis=-1).mean() >= 0.85
+
+
+def test_fused_kernel_lowers_for_tpu():
+    """Cross-platform export runs the full Pallas->Mosaic lowering on a
+    CPU host: catches any op in the fused kernel (or future edits to
+    light_trace it traces) that Mosaic cannot lower — e.g. arctan2, which
+    is why id packing is deferred — without needing a chip."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export
+
+    buffers, pos, view = _setup()
+    config = cornell_config(max_reflections=2)
+
+    def f(buffers, pos, view, seed):
+        return render_mrt_fused(buffers, 16, 16, pos, view, config, seed,
+                                interpret=False)
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        buffers, pos, view, jnp.float32(0.0))
+    assert len(exp.mlir_module_serialized) > 0
