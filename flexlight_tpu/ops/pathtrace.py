@@ -257,6 +257,315 @@ def combine_normal_rme_soa(n3, rough, metal, emis):
             to_4bit_representation(metal, emis))
 
 
+class BounceCarry(NamedTuple):
+    """Loop-carried wavefront state of the bounce loop: the GLSL
+    per-pixel locals (glsl:464-599) plus the shader globals threaded via
+    `aux`. Exposed so a split pipeline (ops.fused's planned per-bounce
+    kernels) can cross HBM between stages; plain light_trace threads it
+    through the three bounce stages below."""
+    alive: jnp.ndarray
+    tri: jnp.ndarray
+    hs: jnp.ndarray
+    hu: jnp.ndarray
+    hv: jnp.ndarray
+    ray_origin: tuple
+    ray_dir: tuple
+    last_hit_point: tuple
+    importancy: tuple
+    original_color: tuple
+    dont_filter: jnp.ndarray
+    final_color: tuple
+    render_id: tuple
+    original_id_acc: tuple
+    glass: jnp.ndarray
+    original_rme_x: jnp.ndarray
+    original_tpo_x: jnp.ndarray
+    first_ray_length: jnp.ndarray
+
+
+class BounceSurface(NamedTuple):
+    """Per-bounce surface quantities produced BEFORE the texture fetch
+    (bounce_pre) and consumed after it (bounce_post)."""
+    m: jnp.ndarray
+    smooth_normal: tuple
+    geometry_offset: jnp.ndarray
+    bary_u: jnp.ndarray
+    bary_v: jnp.ndarray
+    tex_nums: tuple
+    inline_albedo: tuple
+    inline_rme: tuple
+    inline_tpo: tuple
+
+
+def bounce_carry_init(primary_parts, camera_pos, direction3, aux) -> BounceCarry:
+    ps, pu, pv, ptri = primary_parts
+    shp = ps.shape
+    zero = jnp.zeros(shp, dtype=jnp.float32)
+    one = jnp.ones(shp, dtype=jnp.float32)
+    (render_id, original_id_acc, glass, original_rme_x, original_tpo_x,
+     first_ray_length) = aux
+    ray_origin = tuple(jnp.broadcast_to(camera_pos[c], shp).astype(jnp.float32)
+                       for c in range(3))
+    return BounceCarry(
+        alive=ptri != -1, tri=jnp.maximum(ptri, 0), hs=ps, hu=pu, hv=pv,
+        ray_origin=ray_origin, ray_dir=direction3, last_hit_point=ray_origin,
+        importancy=(one, one, one), original_color=(one, one, one),
+        dont_filter=jnp.ones(shp, dtype=bool), final_color=(zero, zero, zero),
+        render_id=render_id, original_id_acc=original_id_acc, glass=glass,
+        original_rme_x=original_rme_x, original_tpo_x=original_tpo_x,
+        first_ray_length=first_ray_length)
+
+
+def bounce_pre(carry: BounceCarry, i: int, mat, config, fetch_rows_fn=None):
+    """Bounce stage 1 (glsl:475-526): importance kill, material row
+    fetch, hit-point update, normal interpolation, texture coords.
+    Returns (carry, BounceSurface)."""
+    fetch_rows_fn = fetch_rows_t if fetch_rows_fn is None else fetch_rows_fn
+    shp = carry.hs.shape
+    zero = jnp.zeros(shp, dtype=jnp.float32)
+    importance_len = v3.norm3(v3.mul3(carry.importancy, carry.original_color))
+    alive = carry.alive & (importance_len >= config.min_importancy * SQRT3)
+    m = alive
+    tri = carry.tri
+
+    # NB: gather full rows, then transpose once — per-column extracts
+    # from a [N, 49] row-major array re-read whole lane tiles, and a
+    # fused row+column-slice gather falls off TPU's vectorized path.
+    if "matfetch" in DEBUG_DISABLE:
+        # ablation: broadcast row 0 instead of gathering — isolates
+        # the gather+relayout cost of the per-bounce material fetch
+        rowt = jnp.broadcast_to(mat[0][(slice(None),) + (None,) * tri.ndim],
+                                (mat.shape[1],) + tri.shape)
+    else:
+        rowt = fetch_rows_fn(mat, tri)      # [49, N]
+    rot = tuple(rowt[40 + k] for k in range(9))
+
+    new_origin = v3.add3(v3.scale3(carry.ray_dir, carry.hs), carry.ray_origin)
+    ray_origin = v3.where3(m, new_origin, carry.ray_origin)
+    uvw = (1.0 - carry.hu - carry.hv, carry.hu, carry.hv)
+
+    # World-space triangle (glsl:492)
+    wv = [(rowt[3 * k], rowt[3 * k + 1], rowt[3 * k + 2]) for k in range(3)]
+    geometry_normal = v3.normalize3(v3.cross3(
+        v3.sub3(wv[0], wv[1]), v3.sub3(wv[0], wv[2])))
+
+    if "interp" in DEBUG_DISABLE:
+        smooth_normal = geometry_normal
+        geometry_offset = zero
+        bary_u, bary_v = carry.hu, carry.hv
+    else:
+        smooth_normal = (zero, zero, zero)
+        geometry_offset = zero
+        bary_u = zero
+        bary_v = zero
+        for k in range(3):
+            vn = (rowt[12 + 3 * k], rowt[13 + 3 * k], rowt[14 + 3 * k])
+            wn = v3.matvec3(rot, vn)
+            smooth_normal = v3.add3(smooth_normal, v3.scale3(wn, uvw[k]))
+            # tan(acos(x)) = sqrt(1-x^2)/x — shadow-acne offset (glsl:516-518)
+            cos_a = jnp.abs(jnp.clip(v3.dot3(geometry_normal, wn), -1.0, 1.0))
+            tan_a = jnp.clip(jnp.sqrt(1.0 - cos_a * cos_a) / cos_a, 0.0, 1.0)
+            diff = v3.norm3(v3.sub3(ray_origin, wv[k]))
+            geometry_offset = geometry_offset + diff * tan_a * uvw[k]
+            bary_u = bary_u + rowt[21 + 2 * k] * uvw[k]
+            bary_v = bary_v + rowt[22 + 2 * k] * uvw[k]
+        smooth_normal = v3.normalize3(smooth_normal)
+
+    surface = BounceSurface(
+        m=m, smooth_normal=smooth_normal, geometry_offset=geometry_offset,
+        bary_u=bary_u, bary_v=bary_v,
+        tex_nums=(rowt[27], rowt[28], rowt[29]),
+        inline_albedo=(rowt[30], rowt[31], rowt[32]),
+        inline_rme=(rowt[33], rowt[34], rowt[35]),
+        inline_tpo=(rowt[36], rowt[37], rowt[38]))
+    return carry._replace(alive=alive, ray_origin=ray_origin), surface
+
+
+def bounce_tex(buffers: SceneBuffers, surface: BounceSurface,
+               tex_fetch_fn=None):
+    """Bounce stage 2: the three atlas fetches (glsl:502-510). Returns
+    (albedo3, rough, metal, emis, tpo3)."""
+    tex_fetch_fn = fetch_tex_val_soa if tex_fetch_fn is None else tex_fetch_fn
+    if "texfetch" in DEBUG_DISABLE:
+        return (surface.inline_albedo, surface.inline_rme[0],
+                surface.inline_rme[1], surface.inline_rme[2],
+                surface.inline_tpo)
+    albedo = tex_fetch_fn(
+        buffers.albedo_atlas, surface.bary_u, surface.bary_v,
+        surface.tex_nums[0], surface.inline_albedo, buffers.texture_width)
+    rough, metal, emis = tex_fetch_fn(
+        buffers.pbr_atlas, surface.bary_u, surface.bary_v,
+        surface.tex_nums[1], surface.inline_rme, buffers.texture_width)
+    tpo = tex_fetch_fn(
+        buffers.tpo_atlas, surface.bary_u, surface.bary_v,
+        surface.tex_nums[2], surface.inline_tpo, buffers.texture_width)
+    return (albedo, rough, metal, emis, tpo)
+
+
+def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
+                buffers: SceneBuffers, camera_pos, ndc2, cos_sample_n,
+                config, random_seed, traverse_soa, shadow_soa,
+                pack_id_fn=None, bounce_hook=None,
+                force_unroll_lights: bool = False,
+                next_traverse: bool | None = None) -> BounceCarry:
+    """Bounce stage 3 (glsl:529-599): shading frame, Fresnel-chance
+    decision, first-surface bookkeeping, reservoir NEE + shadow ray,
+    radiance accumulation, reflect/refract next ray, next closest hit."""
+    pack_id_fn = (combine_normal_rme_soa if pack_id_fn is None
+                  else pack_id_fn)
+    albedo, rough, metal, emis, tpo = tex
+    m = surface.m
+    smooth_normal = surface.smooth_normal
+    geometry_offset = surface.geometry_offset
+    shp = carry.hs.shape
+    zero = jnp.zeros(shp, dtype=jnp.float32)
+    one = jnp.ones(shp, dtype=jnp.float32)
+    if next_traverse is None:
+        next_traverse = i + 1 < config.max_reflections
+
+    ray_origin = carry.ray_origin
+    tri = carry.tri
+    alive = carry.alive
+    hs, hu, hv = carry.hs, carry.hu, carry.hv
+    last_hit_point = carry.last_hit_point
+    dont_filter = carry.dont_filter
+    render_id = carry.render_id
+    original_id_acc = carry.original_id_acc
+
+    ray_dir = v3.where3(m, v3.normalize3(v3.sub3(ray_origin, last_hit_point)),
+                        carry.ray_dir)
+    sign_dir = jnp.sign(v3.dot3(ray_dir, smooth_normal))
+    smooth_normal = v3.scale3(smooth_normal, -sign_dir)
+
+    rv = noise4(ndc2[0], ndc2[1], jnp.float32(i) + cos_sample_n, random_seed)
+    random_sphere = v3.normalize3(v3.add3(
+        smooth_normal, v3.normalize3((rv[0], rv[1], rv[2]))))
+    brdf = _mix(1.0, jnp.abs(v3.dot3(smooth_normal, ray_dir)), metal)
+    roughness_brdf = rough * brdf
+    rough_normal = v3.normalize3(v3.mix3(smooth_normal, random_sphere,
+                                         roughness_brdf))
+
+    h = v3.normalize3(v3.sub3(rough_normal, ray_dir))
+    v_dot_h = jnp.maximum(-v3.dot3(ray_dir, h), 0.0)
+    one_m_theta5 = (1.0 - v_dot_h) ** 5
+    fresnel_reflect = zero
+    for c in range(3):
+        f0 = albedo[c] * brdf
+        fresnel_reflect = jnp.maximum(
+            fresnel_reflect, f0 + (1.0 - f0) * one_m_theta5)
+    # Fresnel-chance solid/translucent decision (glsl:550)
+    is_solid = tpo[0] * fresnel_reflect <= jnp.abs(rv[3])
+
+    # First-surface bookkeeping vs importancy accumulation (glsl:553-573)
+    df = dont_filter & m
+    if "idchannels" in DEBUG_DISABLE:
+        df = df & (i == 0)
+    original_tpo_x = jnp.where(df, tpo[0], carry.original_tpo_x)
+    original_color = v3.where3(df, v3.mul3(carry.original_color, albedo),
+                               carry.original_color)
+    original_rme_x = jnp.where(df, carry.original_rme_x + rough,
+                               carry.original_rme_x)
+    if bounce_hook is not None:
+        bounce_hook(i, df, smooth_normal, rough, metal, emis)
+    idu = pack_id_fn(smooth_normal, rough, metal, emis)
+    scale_i = 2.0 ** -i
+    render_id = (
+        render_id[0] + jnp.where(df, scale_i * idu[0], 0.0),
+        render_id[1] + jnp.where(df, scale_i * idu[1], 0.0),
+        render_id[2] + jnp.where(df, scale_i * idu[2], 0.0),
+        render_id[3],
+    )
+    if i == 0:
+        original_id_acc = tuple(
+            original_id_acc[c] + jnp.where(df, scale_i * idu[c], 0.0)
+            for c in range(3)) + (original_id_acc[3],)
+    new_dont_filter = ((rough < 0.01) & is_solid) | ~is_solid
+    is_glass = is_solid & (tpo[0] > 0.01)
+    glass = jnp.where(df & is_glass, carry.glass + 1.0, carry.glass)
+    new_dont_filter = jnp.where(is_glass, False, new_dont_filter)
+    importancy = v3.where3(~dont_filter & m,
+                           v3.mul3(carry.importancy, albedo),
+                           carry.importancy)
+    dont_filter = jnp.where(df, new_dont_filter, dont_filter)
+
+    first_ray_length = carry.first_ray_length
+    if i == 1:
+        ratio = (v3.norm3(v3.sub3(ray_origin, last_hit_point))
+                 / jnp.maximum(v3.norm3(v3.sub3(
+                     last_hit_point,
+                     tuple(jnp.broadcast_to(camera_pos[c], shp)
+                           for c in range(3)))), 1e-30))
+        first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length),
+                                     first_ray_length)
+
+    if "reservoir" in DEBUG_DISABLE:
+        local_color, id_w = (emis, emis, emis), zero
+    else:
+        # shadow rays leave the same surface tile as the ray being
+        # shaded — give the wavefront sort the same locality hint as
+        # the bounce traversal below
+        def shadow_h(o, d, ml, alive=None, _tri=tri):
+            return shadow_soa(o, d, ml, alive=alive, hint=_tri)
+
+        local_color, id_w = reservoir_sample(
+            buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
+            rv, v3.scale3(rough_normal, -sign_dir),
+            v3.scale3(smooth_normal, -sign_dir), geometry_offset,
+            random_seed, shadow_h, alive_mask=m,
+            force_unroll=force_unroll_lights)
+    write_id_w = (dont_filter | (i == 0)) & m
+    render_id = render_id[0:3] + (
+        jnp.where(write_id_w, id_w, render_id[3]),)
+
+    final_color = v3.where3(
+        m, v3.add3(carry.final_color, v3.mul3(local_color, importancy)),
+        carry.final_color)
+
+    # Next ray: reflect, or Fresnel-chance refract (glsl:582-589)
+    if "nextdir" in DEBUG_DISABLE:
+        ray_dir = v3.where3(m, v3.neg3(ray_dir), ray_dir)
+    else:
+        n_dot_i = v3.dot3(smooth_normal, ray_dir)
+        reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
+        eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(sign_dir, 0.0))
+        k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
+        refr_coef = eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))
+        refracted = v3.where3(
+            k < 0.0, (zero, zero, zero),
+            v3.sub3(v3.scale3(ray_dir, eta),
+                    v3.scale3(smooth_normal, refr_coef)))
+        bounce_base = v3.where3(is_solid, reflected, refracted)
+        new_dir = v3.normalize3(v3.mix3(bounce_base, random_sphere,
+                                        roughness_brdf))
+        ray_dir = v3.where3(m, new_dir, ray_dir)
+
+    if next_traverse:
+        zdir = (zero, zero, one)
+        if DEBUG_CAPTURE is not None:
+            DEBUG_CAPTURE.setdefault("bounces", []).append(
+                (v3.where3(m, ray_origin, (zero, zero, zero)),
+                 v3.where3(m, ray_dir, zdir), m, tri))
+        ns, nu, nv, ntri = traverse_soa(
+            v3.where3(m, ray_origin, (zero, zero, zero)),
+            v3.where3(m, ray_dir, zdir), alive=m, hint=tri)
+        hs = jnp.where(m, ns, hs)
+        hu = jnp.where(m, nu, hu)
+        hv = jnp.where(m, nv, hv)
+        new_tri = jnp.where(m, ntri, -1)
+        alive = alive & (new_tri != -1)
+        tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
+        last_hit_point = v3.where3(m, ray_origin, last_hit_point)
+
+    return carry._replace(
+        alive=alive, tri=tri, hs=hs, hu=hu, hv=hv, ray_origin=ray_origin,
+        ray_dir=ray_dir, last_hit_point=last_hit_point,
+        importancy=importancy, original_color=original_color,
+        dont_filter=dont_filter, final_color=final_color,
+        render_id=render_id, original_id_acc=original_id_acc, glass=glass,
+        original_rme_x=original_rme_x, original_tpo_x=original_tpo_x,
+        first_ray_length=first_ray_length)
+
+
 def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 direction3, ndc2, cos_sample_n, config, random_seed,
                 traverse_soa, shadow_soa, aux, fetch_rows_fn=None,
@@ -265,241 +574,38 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
     [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
     3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
+    Composed of the three stage functions above (pre -> tex -> post) so a
+    split pipeline can put kernel boundaries between them.
 
     `aux` carries the shader's globals across samples (glsl:84-89).
 
-    The three hooks exist for the fused Pallas path (ops.fused), which
-    traces this SAME function inside a TPU kernel: `fetch_rows_fn`
+    The injected hooks exist for the fused Pallas path (ops.fused), which
+    traces these SAME stages inside a TPU kernel: `fetch_rows_fn`
     replaces fetch_rows_t (whose gather fallback cannot lower in Mosaic),
-    `pack_id_fn` replaces combine_normal_rme_soa (arctan2 has no Mosaic
-    lowering), and `bounce_hook(i, df, smooth_normal, rough, metal,
-    emis)` records the packing inputs per bounce so the id channels are
-    reconstructed outside the kernel with identical arithmetic. Defaults
-    preserve the plain XLA behavior exactly.
+    `tex_fetch_fn` replaces the atlas gather, `pack_id_fn` replaces
+    combine_normal_rme_soa (arctan2 has no Mosaic lowering), and
+    `bounce_hook(i, df, smooth_normal, rough, metal, emis)` records the
+    packing inputs per bounce so the id channels are reconstructed
+    outside the kernel with identical arithmetic. Defaults preserve the
+    plain XLA behavior exactly.
     """
-    fetch_rows_fn = fetch_rows_t if fetch_rows_fn is None else fetch_rows_fn
-    pack_id_fn = (combine_normal_rme_soa if pack_id_fn is None
-                  else pack_id_fn)
-    tex_fetch_fn = fetch_tex_val_soa if tex_fetch_fn is None else tex_fetch_fn
-    ps, pu, pv, ptri = primary_parts
-    shp = ps.shape
-    render_id, original_id_acc, glass, original_rme_x, original_tpo_x, first_ray_length = aux
-
-    zero = jnp.zeros(shp, dtype=jnp.float32)
-    one = jnp.ones(shp, dtype=jnp.float32)
-    dont_filter = jnp.ones(shp, dtype=bool)
-    final_color = (zero, zero, zero)
-    importancy = (one, one, one)
-    original_color = (one, one, one)
-
-    ray_origin = tuple(jnp.broadcast_to(camera_pos[c], shp).astype(jnp.float32)
-                       for c in range(3))
-    ray_dir = direction3
-    last_hit_point = ray_origin
-    alive = ptri != -1
-    tri = jnp.maximum(ptri, 0)
-    hs, hu, hv = ps, pu, pv
-
+    carry = bounce_carry_init(primary_parts, camera_pos, direction3, aux)
     for i in range(config.max_reflections):
-        importance_len = v3.norm3(v3.mul3(importancy, original_color))
-        alive = alive & (importance_len >= config.min_importancy * SQRT3)
-        m = alive
+        carry, surface = bounce_pre(carry, i, mat, config, fetch_rows_fn)
+        tex = bounce_tex(buffers, surface, tex_fetch_fn)
+        carry = bounce_post(
+            carry, surface, tex, i, buffers, camera_pos, ndc2, cos_sample_n,
+            config, random_seed, traverse_soa, shadow_soa,
+            pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
+            force_unroll_lights=force_unroll_lights)
 
-        # NB: gather full rows, then transpose once — per-column extracts
-        # from a [N, 49] row-major array re-read whole lane tiles, and a
-        # fused row+column-slice gather falls off TPU's vectorized path.
-        if "matfetch" in DEBUG_DISABLE:
-            # ablation: broadcast row 0 instead of gathering — isolates
-            # the gather+relayout cost of the per-bounce material fetch
-            rowt = jnp.broadcast_to(mat[0][(slice(None),) + (None,) * tri.ndim],
-                                    (mat.shape[1],) + tri.shape)
-        else:
-            rowt = fetch_rows_fn(mat, tri)      # [49, N]
-        rot = tuple(rowt[40 + k] for k in range(9))
-
-        new_origin = v3.add3(v3.scale3(ray_dir, hs), ray_origin)
-        ray_origin = v3.where3(m, new_origin, ray_origin)
-        uvw = (1.0 - hu - hv, hu, hv)
-
-        # World-space triangle (glsl:492)
-        wv = [(rowt[3 * k], rowt[3 * k + 1], rowt[3 * k + 2]) for k in range(3)]
-        geometry_normal = v3.normalize3(v3.cross3(
-            v3.sub3(wv[0], wv[1]), v3.sub3(wv[0], wv[2])))
-
-        if "interp" in DEBUG_DISABLE:
-            smooth_normal = geometry_normal
-            geometry_offset = zero
-            bary_u, bary_v = hu, hv
-        else:
-            smooth_normal = (zero, zero, zero)
-            geometry_offset = zero
-            bary_u = zero
-            bary_v = zero
-            for k in range(3):
-                vn = (rowt[12 + 3 * k], rowt[13 + 3 * k], rowt[14 + 3 * k])
-                wn = v3.matvec3(rot, vn)
-                smooth_normal = v3.add3(smooth_normal, v3.scale3(wn, uvw[k]))
-                # tan(acos(x)) = sqrt(1-x^2)/x — shadow-acne offset (glsl:516-518)
-                cos_a = jnp.abs(jnp.clip(v3.dot3(geometry_normal, wn), -1.0, 1.0))
-                tan_a = jnp.clip(jnp.sqrt(1.0 - cos_a * cos_a) / cos_a, 0.0, 1.0)
-                diff = v3.norm3(v3.sub3(ray_origin, wv[k]))
-                geometry_offset = geometry_offset + diff * tan_a * uvw[k]
-                bary_u = bary_u + rowt[21 + 2 * k] * uvw[k]
-                bary_v = bary_v + rowt[22 + 2 * k] * uvw[k]
-            smooth_normal = v3.normalize3(smooth_normal)
-
-        if "texfetch" in DEBUG_DISABLE:
-            albedo = (rowt[30], rowt[31], rowt[32])
-            rough, metal, emis = rowt[33], rowt[34], rowt[35]
-            tpo = (rowt[36], rowt[37], rowt[38])
-        else:
-            albedo = tex_fetch_fn(
-                buffers.albedo_atlas, bary_u, bary_v, rowt[27],
-                (rowt[30], rowt[31], rowt[32]), buffers.texture_width)
-            rough, metal, emis = tex_fetch_fn(
-                buffers.pbr_atlas, bary_u, bary_v, rowt[28],
-                (rowt[33], rowt[34], rowt[35]), buffers.texture_width)
-            tpo = tex_fetch_fn(
-                buffers.tpo_atlas, bary_u, bary_v, rowt[29],
-                (rowt[36], rowt[37], rowt[38]), buffers.texture_width)
-
-        ray_dir = v3.where3(m, v3.normalize3(v3.sub3(ray_origin, last_hit_point)),
-                            ray_dir)
-        sign_dir = jnp.sign(v3.dot3(ray_dir, smooth_normal))
-        smooth_normal = v3.scale3(smooth_normal, -sign_dir)
-
-        rv = noise4(ndc2[0], ndc2[1], jnp.float32(i) + cos_sample_n, random_seed)
-        random_sphere = v3.normalize3(v3.add3(
-            smooth_normal, v3.normalize3((rv[0], rv[1], rv[2]))))
-        brdf = _mix(1.0, jnp.abs(v3.dot3(smooth_normal, ray_dir)), metal)
-        roughness_brdf = rough * brdf
-        rough_normal = v3.normalize3(v3.mix3(smooth_normal, random_sphere,
-                                             roughness_brdf))
-
-        h = v3.normalize3(v3.sub3(rough_normal, ray_dir))
-        v_dot_h = jnp.maximum(-v3.dot3(ray_dir, h), 0.0)
-        one_m_theta5 = (1.0 - v_dot_h) ** 5
-        fresnel_reflect = zero
-        for c in range(3):
-            f0 = albedo[c] * brdf
-            fresnel_reflect = jnp.maximum(
-                fresnel_reflect, f0 + (1.0 - f0) * one_m_theta5)
-        # Fresnel-chance solid/translucent decision (glsl:550)
-        is_solid = tpo[0] * fresnel_reflect <= jnp.abs(rv[3])
-
-        # First-surface bookkeeping vs importancy accumulation (glsl:553-573)
-        df = dont_filter & m
-        if "idchannels" in DEBUG_DISABLE:
-            df = df & (i == 0)
-        original_tpo_x = jnp.where(df, tpo[0], original_tpo_x)
-        original_color = v3.where3(df, v3.mul3(original_color, albedo),
-                                   original_color)
-        original_rme_x = jnp.where(df, original_rme_x + rough, original_rme_x)
-        if bounce_hook is not None:
-            bounce_hook(i, df, smooth_normal, rough, metal, emis)
-        idu = pack_id_fn(smooth_normal, rough, metal, emis)
-        scale_i = 2.0 ** -i
-        render_id = (
-            render_id[0] + jnp.where(df, scale_i * idu[0], 0.0),
-            render_id[1] + jnp.where(df, scale_i * idu[1], 0.0),
-            render_id[2] + jnp.where(df, scale_i * idu[2], 0.0),
-            render_id[3],
-        )
-        if i == 0:
-            original_id_acc = tuple(
-                original_id_acc[c] + jnp.where(df, scale_i * idu[c], 0.0)
-                for c in range(3)) + (original_id_acc[3],)
-        new_dont_filter = ((rough < 0.01) & is_solid) | ~is_solid
-        is_glass = is_solid & (tpo[0] > 0.01)
-        glass = jnp.where(df & is_glass, glass + 1.0, glass)
-        new_dont_filter = jnp.where(is_glass, False, new_dont_filter)
-        importancy = v3.where3(~dont_filter & m, v3.mul3(importancy, albedo),
-                               importancy)
-        dont_filter = jnp.where(df, new_dont_filter, dont_filter)
-
-        if i == 1:
-            ratio = (v3.norm3(v3.sub3(ray_origin, last_hit_point))
-                     / jnp.maximum(v3.norm3(v3.sub3(
-                         last_hit_point,
-                         tuple(jnp.broadcast_to(camera_pos[c], shp)
-                               for c in range(3)))), 1e-30))
-            first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length),
-                                         first_ray_length)
-
-        if "reservoir" in DEBUG_DISABLE:
-            local_color, id_w = (emis, emis, emis), zero
-        else:
-            # shadow rays leave the same surface tile as the ray being
-            # shaded — give the wavefront sort the same locality hint as
-            # the bounce traversal below
-            def shadow_h(o, d, ml, alive=None, _tri=tri):
-                return shadow_soa(o, d, ml, alive=alive, hint=_tri)
-
-            local_color, id_w = reservoir_sample(
-                buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
-                rv, v3.scale3(rough_normal, -sign_dir),
-                v3.scale3(smooth_normal, -sign_dir), geometry_offset,
-                random_seed, shadow_h, alive_mask=m,
-                force_unroll=force_unroll_lights)
-        write_id_w = (dont_filter | (i == 0)) & m
-        render_id = render_id[0:3] + (
-            jnp.where(write_id_w, id_w, render_id[3]),)
-
-        final_color = v3.where3(
-            m, v3.add3(final_color, v3.mul3(local_color, importancy)),
-            final_color)
-
-        # Next ray: reflect, or Fresnel-chance refract (glsl:582-589)
-        if "nextdir" in DEBUG_DISABLE:
-            ray_dir = v3.where3(m, v3.neg3(ray_dir), ray_dir)
-            if i + 1 < config.max_reflections:
-                zdir = (zero, zero, one)
-                ns, nu, nv, ntri = traverse_soa(
-                    v3.where3(m, ray_origin, (zero, zero, zero)),
-                    v3.where3(m, ray_dir, zdir), alive=m, hint=tri)
-                hs = jnp.where(m, ns, hs)
-                hu = jnp.where(m, nu, hu)
-                hv = jnp.where(m, nv, hv)
-                new_tri = jnp.where(m, ntri, -1)
-                alive = alive & (new_tri != -1)
-                tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
-                last_hit_point = v3.where3(m, ray_origin, last_hit_point)
-            continue
-        n_dot_i = v3.dot3(smooth_normal, ray_dir)
-        reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
-        eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(sign_dir, 0.0))
-        k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
-        refr_coef = eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))
-        refracted = v3.where3(
-            k < 0.0, (zero, zero, zero),
-            v3.sub3(v3.scale3(ray_dir, eta), v3.scale3(smooth_normal, refr_coef)))
-        bounce_base = v3.where3(is_solid, reflected, refracted)
-        new_dir = v3.normalize3(v3.mix3(bounce_base, random_sphere,
-                                        roughness_brdf))
-        ray_dir = v3.where3(m, new_dir, ray_dir)
-
-        if i + 1 < config.max_reflections:
-            zdir = (zero, zero, one)
-            if DEBUG_CAPTURE is not None:
-                DEBUG_CAPTURE.setdefault("bounces", []).append(
-                    (v3.where3(m, ray_origin, (zero, zero, zero)),
-                     v3.where3(m, ray_dir, zdir), m, tri))
-            ns, nu, nv, ntri = traverse_soa(
-                v3.where3(m, ray_origin, (zero, zero, zero)),
-                v3.where3(m, ray_dir, zdir), alive=m, hint=tri)
-            hs = jnp.where(m, ns, hs)
-            hu = jnp.where(m, nu, hu)
-            hv = jnp.where(m, nv, hv)
-            new_tri = jnp.where(m, ntri, -1)
-            alive = alive & (new_tri != -1)
-            tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
-            last_hit_point = v3.where3(m, ray_origin, last_hit_point)
-
-    final_color = tuple(final_color[c] + importancy[c] * buffers.ambient[c]
-                        for c in range(3))
-    aux = (render_id, original_id_acc, glass, original_rme_x, original_tpo_x,
-           first_ray_length)
-    return final_color, original_color, original_tpo_x, aux
+    final_color = tuple(
+        carry.final_color[c] + carry.importancy[c] * buffers.ambient[c]
+        for c in range(3))
+    aux = (carry.render_id, carry.original_id_acc, carry.glass,
+           carry.original_rme_x, carry.original_tpo_x,
+           carry.first_ray_length)
+    return final_color, carry.original_color, carry.original_tpo_x, aux
 
 
 def _pick_block(rows: int, width: int):
