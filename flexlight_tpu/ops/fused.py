@@ -87,57 +87,17 @@ def _pad_rows(a: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(a, [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
 
 
-def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
-                  alb_ref, pbr_ref, tpo_ref, rays_ref, out_ref, *,
-                  config, n_local: int, sample_offset: float,
-                  n_bounce_rec: int, tex_dims):
-    tp = w_ref.shape[1] // 4
-    rays = rays_ref[0]                                  # [8, rt]
-    rt = rays.shape[1]
-    random_seed = seed_ref[0]
-    texture_width = texw_ref[0]
-    zero = jnp.zeros((1, rt), jnp.float32)
+def _make_mt_closures(w, tp: int, rt: int):
+    """In-kernel Möller-Trumbore closures over the plane-grouped W matrix
+    [16, 4Tp]. Same dot orientation as traverse_mxu._mt_products, so
+    det/u/v/s match the mxu scheme (plane-grouped columns only permute
+    independent output columns); products land [rt, Tp] and the epilogue
+    reduces along lanes. Returns (mt_closest, traverse_soa, shadow_soa)
+    operating on (1, rt)-shaped SoA tuples with drawable indices."""
     one = jnp.ones((1, rt), jnp.float32)
-
-    w = w_ref[...]                                      # [16, 4Tp] grouped
-    mat = mat_ref[...]                                  # [Tp, C]
-    rows_iota = lax.broadcasted_iota(jnp.int32, (tp, rt), 0)
     cols_iota = lax.broadcasted_iota(jnp.int32, (rt, tp), 1)
 
-    shim = SceneBuffers(
-        geometry=None, attributes=None, id_buffer=None, rotations=None,
-        shifts=None, lights=lights_ref[...], ambient=amb_ref[0],
-        albedo_atlas=_Atlas(alb_ref[...], *tex_dims[0]),
-        pbr_atlas=_Atlas(pbr_ref[...], *tex_dims[1]),
-        tpo_atlas=_Atlas(tpo_ref[...], *tex_dims[2]),
-        texture_width=texture_width)
-
-    def tex_fetch(atlas: _Atlas, u, v, tex_num, default3, tw):
-        """fetch_tex_val_soa with the gather as an exact one-hot
-        contraction over the whole (small) atlas."""
-        h, aw = atlas.h, atlas.w
-        miss = tex_num == -1.0
-        if h * aw == 1:
-            return tuple(jnp.where(miss, d, atlas.data[c, 0])
-                         for c, d in enumerate(default3))
-        height_factor = jnp.float32(aw) / jnp.float32(h)
-        cx = (u + jnp.mod(tex_num, tw)) / tw
-        cy = (v + jnp.floor(tex_num / tw)) * height_factor / tw
-        px = jnp.floor(jnp.mod(cx, 1.0) * aw).astype(jnp.int32).clip(0, aw - 1)
-        py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
-        flat = py * aw + px                            # (1, rt)
-        iota = lax.broadcasted_iota(jnp.int32, (h * aw, rt), 0)
-        onehot = (flat == iota).astype(jnp.float32)
-        sampled = jnp.dot(atlas.data, onehot,
-                          precision=MATMUL_PRECISION)  # [3, rt]
-        return tuple(jnp.where(miss, d, sampled[c:c + 1])
-                     for c, d in enumerate(default3))
-
     def mt_products(o3, d3):
-        """[rt, 16] @ [16, 4Tp] — the same dot orientation as
-        traverse_mxu._mt_products, so det/u/v/s are BIT-equal to the mxu
-        scheme (plane-grouped columns only permute independent output
-        columns). Products land [rt, Tp]; epilogue reduces along lanes."""
         comps = [one, o3[0], o3[1], o3[2], d3[0], d3[1], d3[2]]
         comps += [d3[i] * o3[k] for i in range(3) for k in range(3)]
         f = jnp.concatenate(comps, axis=0).T            # [rt, 16]
@@ -179,6 +139,56 @@ def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
         valid &= (v >= BIAS) & (u + v <= 1.0)
         valid &= (s > BIAS) & (s <= max_len.T)
         return jnp.any(valid, axis=1, keepdims=True).T
+
+    return mt_closest, traverse_soa, shadow_soa
+
+
+def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
+                  alb_ref, pbr_ref, tpo_ref, rays_ref, out_ref, *,
+                  config, n_local: int, sample_offset: float,
+                  n_bounce_rec: int, tex_dims):
+    tp = w_ref.shape[1] // 4
+    rays = rays_ref[0]                                  # [8, rt]
+    rt = rays.shape[1]
+    random_seed = seed_ref[0]
+    texture_width = texw_ref[0]
+    zero = jnp.zeros((1, rt), jnp.float32)
+    one = jnp.ones((1, rt), jnp.float32)
+
+    w = w_ref[...]                                      # [16, 4Tp] grouped
+    mat = mat_ref[...]                                  # [Tp, C]
+    rows_iota = lax.broadcasted_iota(jnp.int32, (tp, rt), 0)
+
+    shim = SceneBuffers(
+        geometry=None, attributes=None, id_buffer=None, rotations=None,
+        shifts=None, lights=lights_ref[...], ambient=amb_ref[0],
+        albedo_atlas=_Atlas(alb_ref[...], *tex_dims[0]),
+        pbr_atlas=_Atlas(pbr_ref[...], *tex_dims[1]),
+        tpo_atlas=_Atlas(tpo_ref[...], *tex_dims[2]),
+        texture_width=texture_width)
+
+    def tex_fetch(atlas: _Atlas, u, v, tex_num, default3, tw):
+        """fetch_tex_val_soa with the gather as an exact one-hot
+        contraction over the whole (small) atlas."""
+        h, aw = atlas.h, atlas.w
+        miss = tex_num == -1.0
+        if h * aw == 1:
+            return tuple(jnp.where(miss, d, atlas.data[c, 0])
+                         for c, d in enumerate(default3))
+        height_factor = jnp.float32(aw) / jnp.float32(h)
+        cx = (u + jnp.mod(tex_num, tw)) / tw
+        cy = (v + jnp.floor(tex_num / tw)) * height_factor / tw
+        px = jnp.floor(jnp.mod(cx, 1.0) * aw).astype(jnp.int32).clip(0, aw - 1)
+        py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
+        flat = py * aw + px                            # (1, rt)
+        iota = lax.broadcasted_iota(jnp.int32, (h * aw, rt), 0)
+        onehot = (flat == iota).astype(jnp.float32)
+        sampled = jnp.dot(atlas.data, onehot,
+                          precision=MATMUL_PRECISION)  # [3, rt]
+        return tuple(jnp.where(miss, d, sampled[c:c + 1])
+                     for c, d in enumerate(default3))
+
+    mt_closest, traverse_soa, shadow_soa = _make_mt_closures(w, tp, rt)
 
     def fetch_rows(table, idx):
         onehot = (idx == rows_iota).astype(table.dtype)     # [Tp, rt]
@@ -362,24 +372,37 @@ def render_mrt_fused(buffers: SceneBuffers, width: int, height: int,
         oref = _OutRef((1, n_chan, rt))
         kernel(*[_ValRef(a) for a in args], _ValRef(rays_in), oref)
         chan = oref.val[:, :n]
+    fields = [chan[i] for i in range(14)]
+    records = []
+    for k in range(n_bounce_rec):
+        base = 14 + 7 * k
+        records.append((chan[base] > 0.0,
+                        (chan[base + 1], chan[base + 2], chan[base + 3]),
+                        chan[base + 4], chan[base + 5], chan[base + 6]))
+    return _mrt_from_channels(fields, records, loc_geometry, camera_pos,
+                              config, with_raw_aux)
+
+
+def _mrt_from_channels(fields, records, loc_geometry, camera_pos, config,
+                       with_raw_aux: bool):
+    """Shared MRT assembly for the fused paths: reconstructs the deferred
+    render_id packing from per-(sample, bounce) records with light_trace's
+    exact accumulation order, computes the primary-hit location channel
+    (glsl:641-642), and applies the coverage masks (glsl:601-646)."""
     (fc0, fc1, fc2, oc0, oc1, oc2, otpo, glass, rme_x, frl, idw,
-     ptri_f, pu, pv) = (chan[i] for i in range(14))
+     ptri_f, pu, pv) = fields
+    n = fc0.shape[0]
     ptri = ptri_f.astype(jnp.int32)
     covered = ptri != -1
 
-    # render_id[0:3]: reconstruct the in-kernel-deferred packing with the
-    # exact per-bounce accumulation order of light_trace (glsl:553-573)
     rid = (jnp.zeros_like(idw),) * 3
-    for s in range(n_local):
-        for i in range(config.max_reflections):
-            base = 14 + 7 * (s * config.max_reflections + i)
-            df = chan[base] > 0.0
-            n3 = (chan[base + 1], chan[base + 2], chan[base + 3])
-            idu = combine_normal_rme_soa(n3, chan[base + 4], chan[base + 5],
-                                         chan[base + 6])
-            scale_i = 2.0 ** -i
-            rid = tuple(rid[c] + jnp.where(df, scale_i * idu[c], 0.0)
-                        for c in range(3))
+    n_bounces = config.max_reflections
+    for k, (df, n3, rough, metal, emis) in enumerate(records):
+        i = k % n_bounces                # records are sample-major
+        idu = combine_normal_rme_soa(n3, rough, metal, emis)
+        scale_i = 2.0 ** -i
+        rid = tuple(rid[c] + jnp.where(df, scale_i * idu[c], 0.0)
+                    for c in range(3))
 
     # location id from the primary hit (glsl:641-642), drawable-ordered
     lrow = fetch_rows_t(loc_geometry, jnp.maximum(ptri, 0))      # [12, N]
