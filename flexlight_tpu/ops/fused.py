@@ -52,10 +52,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .buffers import SceneBuffers
+from .buffers import SceneBuffers, fetch_tex_val_soa
 from .geometry import world_geometry
 from .intersect import BIAS, POW32
-from .pathtrace import (MRT, INV_255, build_material_table, camera_rays,
+from .pathtrace import (MRT, INV_255, BounceCarry, BounceSurface,
+                        bounce_carry_init, bounce_pre, bounce_post,
+                        bounce_tex, build_material_table, camera_rays,
                         combine_normal_rme_soa, fetch_rows_t, light_trace)
 from .traverse_mxu import MATMUL_PRECISION, tri_rows
 from . import vec3 as v3
@@ -63,6 +65,7 @@ from . import vec3 as v3
 MAX_TRIS = 1024        # w-plane products [Tp, rays] x4 must fit VMEM
 MAX_TEXELS = 4096      # one-hot atlas sampling: [texels, rays] per fetch
 RAY_TILE = 512
+SPLIT_RAY_TILE = 1024  # split pipeline: state crossings amortize grid steps
 
 
 class _Atlas:
@@ -434,3 +437,310 @@ def _mrt_from_channels(fields, records, loc_geometry, camera_pos, config,
     if with_raw_aux:
         return mrt, (rme_x, frl)
     return mrt
+
+
+# ---------------------------------------------------------------------------
+# Split per-bounce pipeline — big-atlas scenes (theater class).
+#
+# The whole-frame kernel above needs every atlas VMEM-resident, which caps
+# it at MAX_TEXELS. Scenes with real textures (theater: 3 multi-megatexel
+# atlases over 20 triangles) instead run each bounce as
+#
+#     PRE kernel  (importance kill + one-hot material fetch + interp)
+#  -> XLA         (the three atlas gathers of bounce_tex — arbitrary size)
+#  -> POST kernel (shading frame, reservoir NEE + shadow rays, radiance,
+#                  next direction, next closest hit)
+#
+# with the loop-carried BounceCarry crossing HBM as a packed [G, C, rt]
+# f32 block between stages (~45 channels x 2 crossings x bounces; at 1080p
+# x 5 bounces that is ~4 GB/frame ~= 5 ms of HBM traffic, vs the wavefront
+# path's hundreds of ms of per-op round trips). The shading arithmetic is
+# the same oracle-pinned bounce_pre/bounce_tex/bounce_post stage functions
+# light_trace itself is composed of; id packing is deferred exactly as in
+# the whole-frame kernel (records reconstructed by _mrt_from_channels).
+# ---------------------------------------------------------------------------
+
+N_CARRY = 29
+
+
+def fused_split_eligible(buffers: SceneBuffers, config=None) -> bool:
+    """Triangle tables fit VMEM; atlases are unconstrained (fetched by
+    XLA gathers between the kernels)."""
+    return buffers.id_buffer.shape[0] <= MAX_TRIS
+
+
+def _carry_to_channels(c: BounceCarry):
+    """BounceCarry -> N_CARRY same-shaped f32 channels. render_id[0:3] and
+    original_id_acc are dropped: the split kernels run with the id packing
+    stubbed (arctan2 has no Mosaic lowering), so those stay zero in-kernel
+    and are reconstructed outside from the per-bounce records."""
+    return [
+        c.alive.astype(jnp.float32), c.tri.astype(jnp.float32),
+        c.hs, c.hu, c.hv,
+        *c.ray_origin, *c.ray_dir, *c.last_hit_point,
+        *c.importancy, *c.original_color,
+        c.dont_filter.astype(jnp.float32),
+        *c.final_color,
+        c.render_id[3], c.glass, c.original_rme_x, c.original_tpo_x,
+        c.first_ray_length,
+    ]
+
+
+def _carry_from_channels(ch, zero) -> BounceCarry:
+    z4 = (zero, zero, zero, zero)
+    return BounceCarry(
+        alive=ch[0] > 0.0, tri=ch[1].astype(jnp.int32),
+        hs=ch[2], hu=ch[3], hv=ch[4],
+        ray_origin=(ch[5], ch[6], ch[7]), ray_dir=(ch[8], ch[9], ch[10]),
+        last_hit_point=(ch[11], ch[12], ch[13]),
+        importancy=(ch[14], ch[15], ch[16]),
+        original_color=(ch[17], ch[18], ch[19]),
+        dont_filter=ch[20] > 0.0,
+        final_color=(ch[21], ch[22], ch[23]),
+        render_id=(zero, zero, zero, ch[24]), original_id_acc=z4,
+        glass=ch[25], original_rme_x=ch[26], original_tpo_x=ch[27],
+        first_ray_length=ch[28])
+
+
+def _primary_kernel(scal_ref, w_ref, rays_ref, out_ref):
+    rays = rays_ref[0]
+    rt = rays.shape[1]
+    tp = w_ref.shape[1] // 4
+    mt_closest, _, _ = _make_mt_closures(w_ref[...], tp, rt)
+    o3 = (rays[0:1], rays[1:2], rays[2:3])
+    d3 = (rays[3:4], rays[4:5], rays[5:6])
+    # primary rays use the relaxed edge window (see render_mrt)
+    ps, pu, pv, ptri = mt_closest(o3, d3, edge=-BIAS)
+    zero = jnp.zeros((1, rt), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [ps, pu, pv, ptri.astype(jnp.float32), zero, zero, zero, zero],
+        axis=0)
+
+
+def _pre_kernel(scal_ref, mat_ref, state_ref, out_ref, *, config, i: int):
+    state = state_ref[0]                                 # [C, rt]
+    rt = state.shape[1]
+    zero = jnp.zeros((1, rt), jnp.float32)
+    carry = _carry_from_channels(
+        [state[k:k + 1] for k in range(N_CARRY)], zero)
+    mat = mat_ref[...]                                   # [Tp, C]
+    rows_iota = lax.broadcasted_iota(jnp.int32, (mat.shape[0], rt), 0)
+
+    def fetch_rows(table, idx):
+        onehot = (idx == rows_iota).astype(table.dtype)
+        rows = jnp.dot(table.T, onehot, precision=MATMUL_PRECISION)
+        return rows[:, None, :]                          # [C, 1, rt]
+
+    carry, s = bounce_pre(carry, i, mat, config, fetch_rows_fn=fetch_rows)
+    chans = _carry_to_channels(carry) + [
+        s.m.astype(jnp.float32), *s.smooth_normal, s.geometry_offset,
+        s.bary_u, s.bary_v, *s.tex_nums, *s.inline_albedo, *s.inline_rme,
+        *s.inline_tpo]
+    while len(chans) < out_ref.shape[1]:
+        chans.append(zero)
+    out_ref[0] = jnp.concatenate(chans, axis=0)
+
+
+def _post_kernel(scal_ref, w_ref, lights_ref, cam_ref, state_ref, out_ref, *,
+                 config, i: int):
+    state = state_ref[0]
+    rt = state.shape[1]
+    zero = jnp.zeros((1, rt), jnp.float32)
+    ch = [state[k:k + 1] for k in range(N_CARRY + 16)]
+    carry = _carry_from_channels(ch[:N_CARRY], zero)
+    b = N_CARRY
+    surface = BounceSurface(
+        m=ch[b] > 0.0, smooth_normal=(ch[b + 1], ch[b + 2], ch[b + 3]),
+        geometry_offset=ch[b + 4],
+        # bounce_post only consumes m/smooth_normal/geometry_offset
+        bary_u=zero, bary_v=zero, tex_nums=(zero,) * 3,
+        inline_albedo=(zero,) * 3, inline_rme=(zero,) * 3,
+        inline_tpo=(zero,) * 3)
+    tex = ((ch[b + 5], ch[b + 6], ch[b + 7]), ch[b + 8], ch[b + 9],
+           ch[b + 10], (ch[b + 11], ch[b + 12], ch[b + 13]))
+    ndc2 = (ch[b + 14], ch[b + 15])
+    random_seed = scal_ref[0]
+    cos_sample_n = scal_ref[1]
+
+    tp = w_ref.shape[1] // 4
+    _, traverse_soa, shadow_soa = _make_mt_closures(w_ref[...], tp, rt)
+    shim = SceneBuffers(
+        geometry=None, attributes=None, id_buffer=None, rotations=None,
+        shifts=None, lights=lights_ref[...], ambient=None,
+        albedo_atlas=None, pbr_atlas=None, tpo_atlas=None,
+        texture_width=None)
+
+    rec = []
+
+    def bounce_hook(bi, df, n3, rough, metal, emis):
+        rec[:] = [df.astype(jnp.float32), n3[0], n3[1], n3[2],
+                  rough, metal, emis]
+
+    def pack_id_stub(n3, rough, metal, emis):
+        return (zero, zero, zero)
+
+    carry = bounce_post(
+        carry, surface, tex, i, shim, cam_ref[0], ndc2, cos_sample_n,
+        config, random_seed, traverse_soa, shadow_soa,
+        pack_id_fn=pack_id_stub, bounce_hook=bounce_hook,
+        force_unroll_lights=True)
+    chans = _carry_to_channels(carry) + rec
+    while len(chans) < out_ref.shape[1]:
+        chans.append(zero)
+    out_ref[0] = jnp.concatenate(chans, axis=0)
+
+
+def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
+                           camera_pos, view_matrix, config, random_seed,
+                           row0=0, rows: int | None = None, sample_offset=0.0,
+                           local_samples: int | None = None,
+                           with_raw_aux: bool = False,
+                           interpret: bool | None = None,
+                           ray_tile: int | None = None, pallas: bool = True):
+    """Drop-in for ops.pathtrace.render_mrt(scheme="fused_split")."""
+    assert fused_split_eligible(buffers), \
+        "scene too large for the split fused pipeline"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    rt = (ray_tile
+          or int(os.environ.get("FLEXLIGHT_SPLIT_RAY_TILE", "0"))
+          or SPLIT_RAY_TILE)
+
+    world_geom = world_geometry(buffers)
+    det, udet, vdet, sdet = tri_rows(world_geom, buffers.id_buffer)
+    t = det.shape[0]
+    tp = max(-(-t // 128) * 128, 128)
+    w_grouped = jnp.concatenate(
+        [_pad_rows(x, tp) for x in (det, udet, vdet, sdet)], axis=0).T
+    mat = _pad_rows(
+        build_material_table(buffers, world_geom)[buffers.id_buffer], tp)
+    loc_geometry = buffers.geometry[buffers.id_buffer]
+    cam = jnp.stack([jnp.asarray(camera_pos[c], jnp.float32)
+                     for c in range(3)]).reshape(1, 3)
+
+    n_rows = height if rows is None else rows
+    origin, direction, ndc = camera_rays(width, height, camera_pos,
+                                         view_matrix, row0=row0, rows=n_rows)
+    n = origin.shape[0]
+    if not pallas:
+        rt = -(-n // 128) * 128  # whole image as one tile
+    pad = (-n) % rt
+    g = (n + pad) // rt
+
+    def grid_arr(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(g, rt)
+
+    o_t, d_t, ndc_t = origin.T, direction.T, ndc.T
+    o3 = (grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]))
+    d3 = (grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0))
+    ndc2 = (grid_arr(ndc_t[0]), grid_arr(ndc_t[1]))
+    rays_in = jnp.stack([*o3, *d3, *ndc2], axis=1)       # [G, 8, rt]
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+
+    def run_kernel(kernel, scalars, inputs, state, n_out):
+        c_in = state.shape[1]
+        if pallas:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(g,),
+                in_specs=[full(tuple(a.shape)) for a in inputs]
+                + [pl.BlockSpec((1, c_in, rt), lambda i, *_: (i, 0, 0))],
+                out_specs=pl.BlockSpec((1, n_out, rt),
+                                       lambda i, *_: (i, 0, 0)),
+            )
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((g, n_out, rt), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+                interpret=interpret,
+            )(scalars, *inputs, state)
+        oref = _OutRef((1, n_out, rt))
+        kernel(*[_ValRef(a) for a in (scalars, *inputs, state)], oref)
+        return oref.val[None]
+
+    def pack(channels):
+        cpad = -(-len(channels) // 8) * 8
+        z = jnp.zeros_like(channels[0])
+        return jnp.stack(list(channels) + [z] * (cpad - len(channels)),
+                         axis=1)
+
+    seedf = jnp.asarray(random_seed, jnp.float32)
+    pout = run_kernel(_primary_kernel, seedf.reshape(1), [w_grouped],
+                      rays_in, 8)
+    primary_parts = (pout[:, 0], pout[:, 1], pout[:, 2],
+                     pout[:, 3].astype(jnp.int32))
+
+    GR = (g, rt)
+    zero = jnp.zeros(GR, jnp.float32)
+    one = jnp.ones(GR, jnp.float32)
+    aux = ((zero, zero, zero, zero), (zero, zero, zero, zero),
+           zero, zero, zero, one)
+    total = (zero, zero, zero)
+    original_color = (one, one, one)
+    records = []
+    n_local = config.samples_per_ray if local_samples is None else local_samples
+    for s in range(n_local):
+        cos_sample_n = jnp.cos(jnp.float32(s) + jnp.float32(sample_offset))
+        scalars = jnp.stack([seedf, cos_sample_n])
+        carry = bounce_carry_init(primary_parts, o3, d3, aux)
+        for i in range(config.max_reflections):
+            pre_k = partial(_pre_kernel, config=config, i=i)
+            out = run_kernel(pre_k, scalars, [mat],
+                             pack(_carry_to_channels(carry)), 48)
+            ch = [out[:, k] for k in range(48)]
+            carry = _carry_from_channels(ch[:N_CARRY], zero)
+            b = N_CARRY
+            surface = BounceSurface(
+                m=ch[b] > 0.0,
+                smooth_normal=(ch[b + 1], ch[b + 2], ch[b + 3]),
+                geometry_offset=ch[b + 4], bary_u=ch[b + 5],
+                bary_v=ch[b + 6],
+                tex_nums=(ch[b + 7], ch[b + 8], ch[b + 9]),
+                inline_albedo=(ch[b + 10], ch[b + 11], ch[b + 12]),
+                inline_rme=(ch[b + 13], ch[b + 14], ch[b + 15]),
+                inline_tpo=(ch[b + 16], ch[b + 17], ch[b + 18]))
+            # the atlas gathers run in XLA — arbitrary atlas sizes
+            albedo, rough, metal, emis, tpo = bounce_tex(buffers, surface)
+            post_in = (_carry_to_channels(carry)
+                       + [surface.m.astype(jnp.float32),
+                          *surface.smooth_normal, surface.geometry_offset,
+                          *albedo, rough, metal, emis, *tpo, *ndc2])
+            post_k = partial(_post_kernel, config=config, i=i)
+            out2 = run_kernel(post_k, scalars, [w_grouped, buffers.lights,
+                                                cam], pack(post_in), 40)
+            carry = _carry_from_channels(
+                [out2[:, k] for k in range(N_CARRY)], zero)
+            records.append(
+                (out2[:, N_CARRY] > 0.0,
+                 (out2[:, N_CARRY + 1], out2[:, N_CARRY + 2],
+                  out2[:, N_CARRY + 3]),
+                 out2[:, N_CARRY + 4], out2[:, N_CARRY + 5],
+                 out2[:, N_CARRY + 6]))
+        # light_trace epilogue (glsl:595-597): ambient by importancy
+        color = tuple(carry.final_color[c]
+                      + carry.importancy[c] * buffers.ambient[c]
+                      for c in range(3))
+        total = v3.add3(total, color)
+        original_color = carry.original_color
+        aux = (carry.render_id, carry.original_id_acc, carry.glass,
+               carry.original_rme_x, carry.original_tpo_x,
+               carry.first_ray_length)
+
+    final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
+    _rid, _oid, glass, rme_x, otpo, frl = aux
+
+    flat = lambda x: x.reshape(-1)[:n]
+    fields = [flat(final_color[0]), flat(final_color[1]),
+              flat(final_color[2]), flat(original_color[0]),
+              flat(original_color[1]), flat(original_color[2]),
+              flat(otpo), flat(glass), flat(rme_x), flat(frl),
+              flat(_rid[3]), flat(primary_parts[3].astype(jnp.float32)),
+              flat(primary_parts[1]), flat(primary_parts[2])]
+    flat_records = [
+        (flat(df), tuple(flat(c) for c in n3), flat(ro), flat(me), flat(em))
+        for df, n3, ro, me, em in records]
+    return _mrt_from_channels(fields, flat_records, loc_geometry, camera_pos,
+                              config, with_raw_aux)

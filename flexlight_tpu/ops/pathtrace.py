@@ -662,6 +662,13 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             buffers, width, height, camera_pos, view_matrix, config,
             random_seed, row0=row0, rows=rows, sample_offset=sample_offset,
             local_samples=local_samples, with_raw_aux=with_raw_aux)
+    if scheme == "fused_split":
+        from .fused import render_mrt_fused_split
+
+        return render_mrt_fused_split(
+            buffers, width, height, camera_pos, view_matrix, config,
+            random_seed, row0=row0, rows=rows, sample_offset=sample_offset,
+            local_samples=local_samples, with_raw_aux=with_raw_aux)
     world_geom = world_geometry(buffers)
 
     if scheme == "mxu":

@@ -27,6 +27,15 @@ run scripts/bench_direct.py wave
 echo "=== FLEXLIGHT_SCHEME=fused bench_direct wave (whole-frame fused kernel A/B) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SCHEME=fused python scripts/bench_direct.py wave >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SCHEME=fused_split bench_direct theater (per-bounce split pipeline A/B) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=fused_split python scripts/bench_direct.py theater >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SCHEME=fused_split FLEXLIGHT_SPLIT_RAY_TILE=4096 bench_direct theater ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=fused_split FLEXLIGHT_SPLIT_RAY_TILE=4096 python scripts/bench_direct.py theater >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SCHEME=fused_split bench_direct cornell (1080p) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=fused_split python scripts/bench_direct.py cornell >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_ablate.py theater
 run scripts/bench_stages.py theater
 echo "=== FLEXLIGHT_FXAA=gather bench_stages theater (kernel-vs-XLA FXAA A/B) ===" >> "$LOG"

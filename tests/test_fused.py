@@ -196,3 +196,138 @@ def test_fused_kernel_lowers_for_tpu():
     exp = export.export(jax.jit(f), platforms=["tpu"])(
         buffers, pos, view, jnp.float32(0.0))
     assert len(exp.mlir_module_serialized) > 0
+
+
+# ---------------------------------------------------------------------------
+# Split per-bounce pipeline (render_mrt_fused_split) — big-atlas scenes
+# ---------------------------------------------------------------------------
+
+def _setup_big_atlas(size=24):
+    """Cornell + a 128x128 RME texture (16k texels): over the whole-frame
+    kernel's MAX_TEXELS, so only the split pipeline is eligible. The
+    texture is load-bearing: removing it moves color by O(1)."""
+    import jax.numpy as jnp
+
+    scene, camera = cornell_scene()
+    rng = np.random.default_rng(0)
+    tex = scene.texture_from_rme(
+        rng.uniform(0.1, 0.9, 128 * 128 * 3).astype(np.float32), 128, 128)
+    scene.pbr_textures.push(tex)
+    scene.standardTextureSizes = [128, 128]
+    scene.queue[0][0].textureNums = [-1, 0, -1]
+    buffers = build_scene_buffers(scene)
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    return buffers, pos, view
+
+
+@pytest.mark.parametrize("big_atlas,spp,bounces", [
+    (False, 1, 3),
+    (False, 2, 2),    # sample loop + carried aux
+    (True, 1, 3),     # atlas too big for the whole-frame kernel
+])
+def test_fused_split_xla_mode_matches_mxu(big_atlas, spp, bounces):
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    if big_atlas:
+        buffers, pos, view = _setup_big_atlas()
+        assert not fused_eligible(buffers)
+    else:
+        buffers, pos, view = _setup()
+    config = cornell_config(max_reflections=bounces, samples_per_ray=spp)
+    size = 24
+    ref = pt.render_mrt(buffers, size, size, pos, view, config,
+                        jnp.float32(0.0), scheme="mxu")
+    got = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                 jnp.float32(0.0), pallas=False)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            atol=5e-5, rtol=0, err_msg=name)
+
+
+def test_fused_split_kernel_statistics_vs_xla_mode():
+    """The interpret kernels: coverage exact, RNG-downstream budgeted
+    (same sin-codegen chaos class as the whole-frame kernel)."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    buffers, pos, view = _setup()
+    config = cornell_config(max_reflections=3)
+    size = 24
+    xla = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                 jnp.float32(0.0), pallas=False)
+    ker = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                 jnp.float32(0.0), interpret=True)
+    np.testing.assert_array_equal(np.asarray(xla.alpha), np.asarray(ker.alpha))
+    np.testing.assert_allclose(np.asarray(xla.location_id),
+                               np.asarray(ker.location_id), atol=1e-6)
+    a, b = np.asarray(xla.color), np.asarray(ker.color)
+    assert abs(a.mean() - b.mean()) <= 0.05 * max(a.mean(), 1e-6)
+    close = np.isclose(a, b, atol=1e-3).all(axis=-1)
+    assert close.mean() >= 0.85, close.mean()
+
+
+def test_fused_split_tiling_matches_single_tile():
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    buffers, pos, view = _setup(size=32)
+    config = cornell_config(max_reflections=2)
+    size = 32
+    one_tile = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                      jnp.float32(0.0), interpret=True,
+                                      ray_tile=1024)
+    tiled = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                   jnp.float32(0.0), interpret=True,
+                                   ray_tile=256)
+    for name in one_tile._fields:
+        a = np.asarray(getattr(one_tile, name))
+        b = np.asarray(getattr(tiled, name))
+        bad = (np.abs(a - b) > 1e-3).mean()
+        assert bad <= 0.05, (name, bad)
+
+
+def test_fused_split_scheme_dispatch_and_eligibility():
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import (fused_split_eligible,
+                                         render_mrt_fused_split)
+
+    buffers, pos, view = _setup()
+    assert fused_split_eligible(buffers)
+    config = cornell_config(max_reflections=2)
+    mrt = pt.render_mrt(buffers, 16, 16, pos, view, config, jnp.float32(0.0),
+                        scheme="fused_split")
+    assert np.asarray(mrt.alpha).max() == 1.0
+    big = buffers._replace(id_buffer=jnp.zeros(5000, jnp.int32))
+    assert not fused_split_eligible(big)
+    with pytest.raises(AssertionError):
+        render_mrt_fused_split(big, 8, 8, pos, view, config, 0.0,
+                               pallas=False)
+
+
+def test_fused_split_lowers_for_tpu():
+    """Pallas->Mosaic lowering of all three split kernels (primary, pre,
+    post) on a big-atlas scene — the configuration the split pipeline
+    exists for."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    buffers, pos, view = _setup_big_atlas()
+    config = cornell_config(max_reflections=2)
+
+    def f(buffers, pos, view, seed):
+        return render_mrt_fused_split(buffers, 16, 16, pos, view, config,
+                                      seed, interpret=False)
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        buffers, pos, view, jnp.float32(0.0))
+    assert len(exp.mlir_module_serialized) > 0
