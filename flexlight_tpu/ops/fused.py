@@ -532,17 +532,34 @@ def _pre_kernel(scal_ref, mat_ref, state_ref, out_ref, *, config, i: int):
         return rows[:, None, :]                          # [C, 1, rt]
 
     carry, s = bounce_pre(carry, i, mat, config, fetch_rows_fn=fetch_rows)
-    chans = _carry_to_channels(carry) + [
-        s.m.astype(jnp.float32), *s.smooth_normal, s.geometry_offset,
-        s.bary_u, s.bary_v, *s.tex_nums, *s.inline_albedo, *s.inline_rme,
-        *s.inline_tpo]
+    chans = _carry_to_channels(carry) + _surface_channels(s)
     while len(chans) < out_ref.shape[1]:
         chans.append(zero)
     out_ref[0] = jnp.concatenate(chans, axis=0)
 
 
-def _post_kernel(scal_ref, w_ref, lights_ref, cam_ref, state_ref, out_ref, *,
-                 config, i: int):
+def _surface_channels(s: BounceSurface):
+    return [s.m.astype(jnp.float32), *s.smooth_normal, s.geometry_offset,
+            s.bary_u, s.bary_v, *s.tex_nums, *s.inline_albedo,
+            *s.inline_rme, *s.inline_tpo]
+
+
+def _surface_from_channels(ch, zero) -> BounceSurface:
+    return BounceSurface(
+        m=ch[0] > 0.0, smooth_normal=(ch[1], ch[2], ch[3]),
+        geometry_offset=ch[4], bary_u=ch[5], bary_v=ch[6],
+        tex_nums=(ch[7], ch[8], ch[9]),
+        inline_albedo=(ch[10], ch[11], ch[12]),
+        inline_rme=(ch[13], ch[14], ch[15]),
+        inline_tpo=(ch[16], ch[17], ch[18]))
+
+
+def _post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, state_ref,
+                 out_ref, *, config, i: int, fuse_next_pre: bool):
+    """bounce_post for bounce i; with `fuse_next_pre`, bounce_pre(i+1)
+    runs in the same program (halves the dispatches and skips one carry
+    crossing per bounce), emitting the next BounceSurface for the XLA
+    atlas gathers."""
     state = state_ref[0]
     rt = state.shape[1]
     zero = jnp.zeros((1, rt), jnp.float32)
@@ -585,6 +602,18 @@ def _post_kernel(scal_ref, w_ref, lights_ref, cam_ref, state_ref, out_ref, *,
         pack_id_fn=pack_id_stub, bounce_hook=bounce_hook,
         force_unroll_lights=True)
     chans = _carry_to_channels(carry) + rec
+    if fuse_next_pre:
+        mat = mat_ref[...]
+        rows_iota = lax.broadcasted_iota(jnp.int32, (mat.shape[0], rt), 0)
+
+        def fetch_rows(table, idx):
+            onehot = (idx == rows_iota).astype(table.dtype)
+            rows = jnp.dot(table.T, onehot, precision=MATMUL_PRECISION)
+            return rows[:, None, :]
+
+        carry, s = bounce_pre(carry, i + 1, mat, config,
+                              fetch_rows_fn=fetch_rows)
+        chans = _carry_to_channels(carry) + rec + _surface_channels(s)
     while len(chans) < out_ref.shape[1]:
         chans.append(zero)
     out_ref[0] = jnp.concatenate(chans, axis=0)
@@ -686,31 +715,26 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
         cos_sample_n = jnp.cos(jnp.float32(s) + jnp.float32(sample_offset))
         scalars = jnp.stack([seedf, cos_sample_n])
         carry = bounce_carry_init(primary_parts, o3, d3, aux)
-        for i in range(config.max_reflections):
-            pre_k = partial(_pre_kernel, config=config, i=i)
-            out = run_kernel(pre_k, scalars, [mat],
-                             pack(_carry_to_channels(carry)), 48)
-            ch = [out[:, k] for k in range(48)]
-            carry = _carry_from_channels(ch[:N_CARRY], zero)
-            b = N_CARRY
-            surface = BounceSurface(
-                m=ch[b] > 0.0,
-                smooth_normal=(ch[b + 1], ch[b + 2], ch[b + 3]),
-                geometry_offset=ch[b + 4], bary_u=ch[b + 5],
-                bary_v=ch[b + 6],
-                tex_nums=(ch[b + 7], ch[b + 8], ch[b + 9]),
-                inline_albedo=(ch[b + 10], ch[b + 11], ch[b + 12]),
-                inline_rme=(ch[b + 13], ch[b + 14], ch[b + 15]),
-                inline_tpo=(ch[b + 16], ch[b + 17], ch[b + 18]))
+        n_bounces = config.max_reflections
+        pre_k = partial(_pre_kernel, config=config, i=0)
+        out = run_kernel(pre_k, scalars, [mat],
+                         pack(_carry_to_channels(carry)), 48)
+        ch = [out[:, k] for k in range(48)]
+        carry = _carry_from_channels(ch[:N_CARRY], zero)
+        surface = _surface_from_channels(ch[N_CARRY:N_CARRY + 19], zero)
+        for i in range(n_bounces):
             # the atlas gathers run in XLA — arbitrary atlas sizes
             albedo, rough, metal, emis, tpo = bounce_tex(buffers, surface)
             post_in = (_carry_to_channels(carry)
                        + [surface.m.astype(jnp.float32),
                           *surface.smooth_normal, surface.geometry_offset,
                           *albedo, rough, metal, emis, *tpo, *ndc2])
-            post_k = partial(_post_kernel, config=config, i=i)
-            out2 = run_kernel(post_k, scalars, [w_grouped, buffers.lights,
-                                                cam], pack(post_in), 40)
+            fuse = i + 1 < n_bounces  # bounce_pre(i+1) in the same program
+            post_k = partial(_post_kernel, config=config, i=i,
+                             fuse_next_pre=fuse)
+            out2 = run_kernel(post_k, scalars,
+                              [w_grouped, buffers.lights, cam, mat],
+                              pack(post_in), 56 if fuse else 40)
             carry = _carry_from_channels(
                 [out2[:, k] for k in range(N_CARRY)], zero)
             records.append(
@@ -719,6 +743,9 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                   out2[:, N_CARRY + 3]),
                  out2[:, N_CARRY + 4], out2[:, N_CARRY + 5],
                  out2[:, N_CARRY + 6]))
+            if fuse:
+                surface = _surface_from_channels(
+                    [out2[:, N_CARRY + 7 + k] for k in range(19)], zero)
         # light_trace epilogue (glsl:595-597): ambient by importancy
         color = tuple(carry.final_color[c]
                       + carry.importancy[c] * buffers.ambient[c]
