@@ -221,12 +221,13 @@ def _setup_big_atlas(size=24):
     return buffers, pos, view
 
 
-@pytest.mark.parametrize("big_atlas,spp,bounces", [
-    (False, 1, 3),
-    (False, 2, 2),    # sample loop + carried aux
-    (True, 1, 3),     # atlas too big for the whole-frame kernel
+@pytest.mark.parametrize("big_atlas,n_lights,spp,bounces", [
+    (False, 1, 1, 3),
+    (False, 8, 1, 2),   # multi-light reservoir incl. jitter path
+    (False, 1, 2, 2),   # sample loop + carried aux
+    (True, 1, 1, 3),    # atlas too big for the whole-frame kernel
 ])
-def test_fused_split_xla_mode_matches_mxu(big_atlas, spp, bounces):
+def test_fused_split_xla_mode_matches_mxu(big_atlas, n_lights, spp, bounces):
     import jax.numpy as jnp
 
     from flexlight_tpu.ops.fused import render_mrt_fused_split
@@ -235,7 +236,7 @@ def test_fused_split_xla_mode_matches_mxu(big_atlas, spp, bounces):
         buffers, pos, view = _setup_big_atlas()
         assert not fused_eligible(buffers)
     else:
-        buffers, pos, view = _setup()
+        buffers, pos, view = _setup(n_lights)
     config = cornell_config(max_reflections=bounces, samples_per_ray=spp)
     size = 24
     ref = pt.render_mrt(buffers, size, size, pos, view, config,
