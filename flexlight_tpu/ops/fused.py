@@ -639,6 +639,11 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     det, udet, vdet, sdet = tri_rows(world_geom, buffers.id_buffer)
     t = det.shape[0]
     tp = max(-(-t // 128) * 128, 128)
+    if ray_tile is None and not os.environ.get("FLEXLIGHT_SPLIT_RAY_TILE"):
+        # cap the in-kernel MT product [rt, 4*Tp] at ~4 MB of VMEM: at
+        # Tp=1024 (bike) the default 1024-ray tile would need 16 MB
+        budget_rays = ((4 << 20) // (16 * tp)) // 128 * 128
+        rt = max(256, min(rt, budget_rays))
     w_grouped = jnp.concatenate(
         [_pad_rows(x, tp) for x in (det, udet, vdet, sdet)], axis=0).T
     mat = _pad_rows(
