@@ -79,10 +79,17 @@ class _Atlas:
         self.w = w
 
 
+MAX_LIGHTS = 16        # in-kernel reservoir is force-unrolled over lights
+                       # (Mosaic cannot lower lax.scan); past this the
+                       # unrolled chain explodes compile time (example2's
+                       # 64 lights: >20 min) — keep the wavefront path
+
+
 def fused_eligible(buffers: SceneBuffers, config=None) -> bool:
     """Scene fits the in-kernel tables and atlas one-hot sampling."""
     atlases = (buffers.albedo_atlas, buffers.pbr_atlas, buffers.tpo_atlas)
     return (buffers.id_buffer.shape[0] <= MAX_TRIS
+            and buffers.lights.shape[0] <= MAX_LIGHTS
             and all(a.shape[0] * a.shape[1] <= MAX_TEXELS for a in atlases))
 
 
@@ -465,8 +472,10 @@ N_CARRY = 29
 
 def fused_split_eligible(buffers: SceneBuffers, config=None) -> bool:
     """Triangle tables fit VMEM; atlases are unconstrained (fetched by
-    XLA gathers between the kernels)."""
-    return buffers.id_buffer.shape[0] <= MAX_TRIS
+    XLA gathers between the kernels). Same light cap as the whole-frame
+    kernel (the POST kernel unrolls the reservoir loop)."""
+    return (buffers.id_buffer.shape[0] <= MAX_TRIS
+            and buffers.lights.shape[0] <= MAX_LIGHTS)
 
 
 def _carry_to_channels(c: BounceCarry):

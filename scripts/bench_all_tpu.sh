@@ -37,6 +37,7 @@ echo "=== FLEXLIGHT_SCHEME=fused_split bench_direct cornell (1080p) ===" >> "$LO
 timeout 2400 env FLEXLIGHT_SCHEME=fused_split python scripts/bench_direct.py cornell >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
 run scripts/bench_ablate.py theater
+run scripts/bench_ablate.py dragon
 run scripts/bench_stages.py theater
 echo "=== FLEXLIGHT_FXAA=gather bench_stages theater (kernel-vs-XLA FXAA A/B) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_FXAA=gather python scripts/bench_stages.py theater >> "$LOG" 2>&1
