@@ -28,10 +28,13 @@ implementations —
   the whole atlas, with the reference's exact index arithmetic.
 
 Eligibility (checked by `fused_eligible`): the scene's triangle count
-fits the in-VMEM tables (<= MAX_TRIS) and every atlas has <= MAX_TEXELS
-texels. Big-texture scenes keep the wavefront path; a split-kernel
-variant (traverse+interp kernel -> XLA atlas fetch -> shade kernel) is
-the planned extension.
+fits the in-VMEM tables (<= MAX_TRIS), the light count fits the
+unrolled in-kernel reservoir (<= MAX_LIGHTS), and every atlas has
+<= MAX_TEXELS texels. Big-ATLAS scenes run the per-bounce SPLIT
+pipeline instead (`render_mrt_fused_split`, scheme="fused_split",
+second half of this file): PRE/POST Pallas kernels around XLA atlas
+gathers, loop-carried state crossing HBM as one packed block. Scenes
+over MAX_TRIS (dragon) keep the sparse wavefront path.
 
 Equivalence: in interpret mode the kernel traces to the same XLA ops as
 scheme="mxu", so tests pin near-exact equality; on real TPU hardware the
