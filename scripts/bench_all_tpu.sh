@@ -36,6 +36,12 @@ echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_SCHEME=fused_split bench_direct cornell (1080p) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SCHEME=fused_split python scripts/bench_direct.py cornell >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SCHEME=fused_split bench_direct obj (720p) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=fused_split python scripts/bench_direct.py obj 1280 720 >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SCHEME=fused_split bench_direct emissive (512) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SCHEME=fused_split python scripts/bench_direct.py emissive 512 512 >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_ablate.py theater
 run scripts/bench_ablate.py dragon
 run scripts/bench_stages.py theater
