@@ -124,6 +124,31 @@ def camera_rays(width: int, height: int, position, view_matrix,
     return origin, direction, ndc
 
 
+class ReservoirPick(NamedTuple):
+    """Reservoir-selection outputs (glsl:400-447): the shadow-ray request
+    plus everything `reservoir_finish` consumes after the shadow test.
+    Splitting at the shadow ray lets a kernel pipeline run the selection
+    loop in one program and the traversal elsewhere."""
+    local_color: tuple
+    res_num: jnp.ndarray
+    show_color: jnp.ndarray
+    show_shadow: jnp.ndarray
+    offset_target: tuple
+    light_dir: tuple            # unit direction to the selected light
+    max_len: jnp.ndarray        # distance to the selected light
+
+
+def reservoir_finish(pick: ReservoirPick, emis, shadowed):
+    """Reservoir epilogue after the shadow test (glsl:448-461)."""
+    in_shadow = ~pick.show_color & (pick.show_shadow | shadowed)
+    id_w = (jnp.mod(pick.res_num, 128) * 2).astype(jnp.float32) * INV_255
+    id_w = id_w + jnp.where(in_shadow, INV_255, 0.0)
+    keep = pick.show_color | ~in_shadow
+    color = v3.where3(keep, v3.add3(pick.local_color, (emis, emis, emis)),
+                      (emis, emis, emis))
+    return color, id_w
+
+
 def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
                      origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
                      geometry_offset, random_seed, shadow_soa, alive_mask=None,
@@ -131,7 +156,27 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
     """Weighted reservoir NEE over all lights + one shadow ray
     (glsl:400-461), SoA form (see ops.vec3). Returns (color 3-tuple, id_w
     [N]). `force_unroll` keeps the light loop unrolled past
-    SCAN_LIGHTS_MIN (the fused Pallas path cannot lower lax.scan)."""
+    SCAN_LIGHTS_MIN (the fused Pallas path cannot lower lax.scan).
+    Composition of reservoir_select -> shadow -> reservoir_finish."""
+    pick = reservoir_select(buffers, albedo3, rough, metal, emis, origin3,
+                            unit_dir3, random_vec4, n_rough3, n_smooth3,
+                            geometry_offset, random_seed,
+                            force_unroll=force_unroll)
+    shp = origin3[0].shape
+    if "shadow" in DEBUG_DISABLE:
+        shadowed = jnp.zeros(shp, dtype=bool)
+    else:
+        shadowed = shadow_soa(pick.offset_target, pick.light_dir,
+                              pick.max_len, alive=alive_mask)
+    return reservoir_finish(pick, emis, shadowed)
+
+
+def reservoir_select(buffers: SceneBuffers, albedo3, rough, metal, emis,
+                     origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
+                     geometry_offset, random_seed,
+                     force_unroll: bool = False) -> ReservoirPick:
+    """The reservoir light loop + selection, up to (and excluding) the
+    shadow ray (glsl:400-447)."""
     shp = origin3[0].shape
     num_lights = buffers.lights.shape[0]
     zero = jnp.zeros(shp, dtype=jnp.float32)
@@ -193,21 +238,11 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
     unit_light_dir = v3.normalize3(res_dir)
     show_color = (res_length == 0.0) | (res_weight == 0.0)
     show_shadow = v3.dot3(n_smooth3, unit_light_dir) <= BIAS
-
     offset_target = v3.add3(origin3, v3.scale3(n_smooth3, geometry_offset))
-    if "shadow" in DEBUG_DISABLE:
-        shadowed = jnp.zeros(shp, dtype=bool)
-    else:
-        shadowed = shadow_soa(offset_target, unit_light_dir, v3.norm3(res_dir),
-                              alive=alive_mask)
-
-    in_shadow = ~show_color & (show_shadow | shadowed)
-    id_w = (jnp.mod(res_num, 128) * 2).astype(jnp.float32) * INV_255
-    id_w = id_w + jnp.where(in_shadow, INV_255, 0.0)
-    keep = show_color | ~in_shadow
-    color = v3.where3(keep, v3.add3(local_color, (emis, emis, emis)),
-                      (emis, emis, emis))
-    return color, id_w
+    return ReservoirPick(
+        local_color=local_color, res_num=res_num, show_color=show_color,
+        show_shadow=show_shadow, offset_target=offset_target,
+        light_dir=unit_light_dir, max_len=v3.norm3(res_dir))
 
 
 def build_material_table(buffers: SceneBuffers, world_geom) -> jnp.ndarray:
@@ -402,15 +437,29 @@ def bounce_tex(buffers: SceneBuffers, surface: BounceSurface,
     return (albedo, rough, metal, emis, tpo)
 
 
-def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
-                buffers: SceneBuffers, camera_pos, ndc2, cos_sample_n,
-                config, random_seed, traverse_soa, shadow_soa,
-                pack_id_fn=None, bounce_hook=None,
-                force_unroll_lights: bool = False,
-                next_traverse: bool | None = None) -> BounceCarry:
-    """Bounce stage 3 (glsl:529-599): shading frame, Fresnel-chance
-    decision, first-surface bookkeeping, reservoir NEE + shadow ray,
-    radiance accumulation, reflect/refract next ray, next closest hit."""
+class ShadeRequest(NamedTuple):
+    """bounce_shade -> bounce_apply crossing: the NEE shadow-ray request
+    (pick) plus the shading-frame values the post-shadow stage consumes.
+    `pick` is None when the reservoir is ablated (DEBUG_DISABLE)."""
+    m: jnp.ndarray
+    ray_dir: tuple              # recomputed incoming unit direction
+    smooth_normal: tuple        # sign-flipped shading normal
+    sign_dir: jnp.ndarray
+    random_sphere: tuple
+    roughness_brdf: jnp.ndarray
+    is_solid: jnp.ndarray
+    write_id_w: jnp.ndarray
+    pick: ReservoirPick | None
+
+
+def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
+                 buffers: SceneBuffers, camera_pos, ndc2, cos_sample_n,
+                 config, random_seed, pack_id_fn=None, bounce_hook=None,
+                 force_unroll_lights: bool = False):
+    """Bounce stage 3a (glsl:529-576 + reservoir selection 400-447):
+    shading frame, Fresnel-chance decision, first-surface bookkeeping,
+    reservoir light selection — everything up to (and excluding) the NEE
+    shadow ray. Returns (carry, ShadeRequest)."""
     pack_id_fn = (combine_normal_rme_soa if pack_id_fn is None
                   else pack_id_fn)
     albedo, rough, metal, emis, tpo = tex
@@ -419,9 +468,6 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     geometry_offset = surface.geometry_offset
     shp = carry.hs.shape
     zero = jnp.zeros(shp, dtype=jnp.float32)
-    one = jnp.ones(shp, dtype=jnp.float32)
-    if next_traverse is None:
-        next_traverse = i + 1 < config.max_reflections
 
     ray_origin = carry.ray_origin
     tri = carry.tri
@@ -499,71 +545,126 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
                                      first_ray_length)
 
     if "reservoir" in DEBUG_DISABLE:
-        local_color, id_w = (emis, emis, emis), zero
+        pick = None
     else:
-        # shadow rays leave the same surface tile as the ray being
-        # shaded — give the wavefront sort the same locality hint as
-        # the bounce traversal below
-        def shadow_h(o, d, ml, alive=None, _tri=tri):
-            return shadow_soa(o, d, ml, alive=alive, hint=_tri)
-
-        local_color, id_w = reservoir_sample(
+        pick = reservoir_select(
             buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
             rv, v3.scale3(rough_normal, -sign_dir),
             v3.scale3(smooth_normal, -sign_dir), geometry_offset,
-            random_seed, shadow_h, alive_mask=m,
-            force_unroll=force_unroll_lights)
+            random_seed, force_unroll=force_unroll_lights)
     write_id_w = (dont_filter | (i == 0)) & m
-    render_id = render_id[0:3] + (
-        jnp.where(write_id_w, id_w, render_id[3]),)
+
+    carry = carry._replace(
+        importancy=importancy, original_color=original_color,
+        dont_filter=dont_filter, original_id_acc=original_id_acc,
+        glass=glass, original_rme_x=original_rme_x,
+        original_tpo_x=original_tpo_x, first_ray_length=first_ray_length,
+        render_id=render_id)
+    return carry, ShadeRequest(
+        m=m, ray_dir=ray_dir, smooth_normal=smooth_normal,
+        sign_dir=sign_dir, random_sphere=random_sphere,
+        roughness_brdf=roughness_brdf, is_solid=is_solid,
+        write_id_w=write_id_w, pick=pick)
+
+
+def bounce_apply(carry: BounceCarry, tex, req: ShadeRequest, shadowed,
+                 i: int, config) -> BounceCarry:
+    """Bounce stage 3b (glsl:448-461 + 577-589): apply the NEE shadow
+    result, accumulate radiance, compute the next ray direction."""
+    albedo, rough, metal, emis, tpo = tex
+    m = req.m
+    shp = carry.hs.shape
+    zero = jnp.zeros(shp, dtype=jnp.float32)
+    if req.pick is None:
+        local_color, id_w = (emis, emis, emis), zero
+    else:
+        local_color, id_w = reservoir_finish(req.pick, emis, shadowed)
+    render_id = carry.render_id[0:3] + (
+        jnp.where(req.write_id_w, id_w, carry.render_id[3]),)
 
     final_color = v3.where3(
-        m, v3.add3(carry.final_color, v3.mul3(local_color, importancy)),
+        m, v3.add3(carry.final_color,
+                   v3.mul3(local_color, carry.importancy)),
         carry.final_color)
 
+    ray_dir = req.ray_dir
+    smooth_normal = req.smooth_normal
     # Next ray: reflect, or Fresnel-chance refract (glsl:582-589)
     if "nextdir" in DEBUG_DISABLE:
         ray_dir = v3.where3(m, v3.neg3(ray_dir), ray_dir)
     else:
         n_dot_i = v3.dot3(smooth_normal, ray_dir)
         reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
-        eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(sign_dir, 0.0))
+        eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(req.sign_dir, 0.0))
         k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
         refr_coef = eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))
         refracted = v3.where3(
             k < 0.0, (zero, zero, zero),
             v3.sub3(v3.scale3(ray_dir, eta),
                     v3.scale3(smooth_normal, refr_coef)))
-        bounce_base = v3.where3(is_solid, reflected, refracted)
-        new_dir = v3.normalize3(v3.mix3(bounce_base, random_sphere,
-                                        roughness_brdf))
+        bounce_base = v3.where3(req.is_solid, reflected, refracted)
+        new_dir = v3.normalize3(v3.mix3(bounce_base, req.random_sphere,
+                                        req.roughness_brdf))
         ray_dir = v3.where3(m, new_dir, ray_dir)
+    return carry._replace(render_id=render_id, final_color=final_color,
+                          ray_dir=ray_dir)
 
-    if next_traverse:
-        zdir = (zero, zero, one)
-        if DEBUG_CAPTURE is not None:
-            DEBUG_CAPTURE.setdefault("bounces", []).append(
-                (v3.where3(m, ray_origin, (zero, zero, zero)),
-                 v3.where3(m, ray_dir, zdir), m, tri))
-        ns, nu, nv, ntri = traverse_soa(
-            v3.where3(m, ray_origin, (zero, zero, zero)),
-            v3.where3(m, ray_dir, zdir), alive=m, hint=tri)
-        hs = jnp.where(m, ns, hs)
-        hu = jnp.where(m, nu, hu)
-        hv = jnp.where(m, nv, hv)
-        new_tri = jnp.where(m, ntri, -1)
-        alive = alive & (new_tri != -1)
-        tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
-        last_hit_point = v3.where3(m, ray_origin, last_hit_point)
 
-    return carry._replace(
-        alive=alive, tri=tri, hs=hs, hu=hu, hv=hv, ray_origin=ray_origin,
-        ray_dir=ray_dir, last_hit_point=last_hit_point,
-        importancy=importancy, original_color=original_color,
-        dont_filter=dont_filter, final_color=final_color,
-        render_id=render_id, original_id_acc=original_id_acc, glass=glass,
-        original_rme_x=original_rme_x, original_tpo_x=original_tpo_x,
-        first_ray_length=first_ray_length)
+def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
+                  next_traverse: bool | None = None) -> BounceCarry:
+    """Bounce stage 3c (glsl:591-597): the next closest hit."""
+    if next_traverse is None:
+        next_traverse = i + 1 < config.max_reflections
+    if not next_traverse:
+        return carry
+    shp = carry.hs.shape
+    zero = jnp.zeros(shp, dtype=jnp.float32)
+    one = jnp.ones(shp, dtype=jnp.float32)
+    zdir = (zero, zero, one)
+    ray_origin = carry.ray_origin
+    tri = carry.tri
+    if DEBUG_CAPTURE is not None:
+        DEBUG_CAPTURE.setdefault("bounces", []).append(
+            (v3.where3(m, ray_origin, (zero, zero, zero)),
+             v3.where3(m, carry.ray_dir, zdir), m, tri))
+    ns, nu, nv, ntri = traverse_soa(
+        v3.where3(m, ray_origin, (zero, zero, zero)),
+        v3.where3(m, carry.ray_dir, zdir), alive=m, hint=tri)
+    hs = jnp.where(m, ns, carry.hs)
+    hu = jnp.where(m, nu, carry.hu)
+    hv = jnp.where(m, nv, carry.hv)
+    new_tri = jnp.where(m, ntri, -1)
+    alive = carry.alive & (new_tri != -1)
+    tri = jnp.maximum(jnp.where(m, new_tri, tri), 0)
+    last_hit_point = v3.where3(m, ray_origin, carry.last_hit_point)
+    return carry._replace(alive=alive, tri=tri, hs=hs, hu=hu, hv=hv,
+                          last_hit_point=last_hit_point)
+
+
+def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
+                buffers: SceneBuffers, camera_pos, ndc2, cos_sample_n,
+                config, random_seed, traverse_soa, shadow_soa,
+                pack_id_fn=None, bounce_hook=None,
+                force_unroll_lights: bool = False,
+                next_traverse: bool | None = None) -> BounceCarry:
+    """Bounce stage 3 (glsl:529-599) — composition of bounce_shade ->
+    NEE shadow ray -> bounce_apply -> bounce_commit, split so a kernel
+    pipeline can place the traversals between Pallas programs."""
+    carry, req = bounce_shade(carry, surface, tex, i, buffers, camera_pos,
+                              ndc2, cos_sample_n, config, random_seed,
+                              pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
+                              force_unroll_lights=force_unroll_lights)
+    if req.pick is None or "shadow" in DEBUG_DISABLE:
+        shadowed = jnp.zeros(carry.hs.shape, dtype=bool)
+    else:
+        # shadow rays leave the same surface tile as the ray being
+        # shaded — give the wavefront sort the same locality hint as
+        # the bounce traversal in bounce_commit
+        shadowed = shadow_soa(req.pick.offset_target, req.pick.light_dir,
+                              req.pick.max_len, alive=req.m, hint=carry.tri)
+    carry = bounce_apply(carry, tex, req, shadowed, i, config)
+    return bounce_commit(carry, req.m, i, config, traverse_soa,
+                         next_traverse=next_traverse)
 
 
 def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
