@@ -59,8 +59,10 @@ from .buffers import SceneBuffers, fetch_tex_val_soa
 from .geometry import world_geometry
 from .intersect import BIAS, POW32
 from .pathtrace import (MRT, INV_255, BounceCarry, BounceSurface,
-                        bounce_carry_init, bounce_pre, bounce_post,
-                        bounce_tex, build_material_table, camera_rays,
+                        ReservoirPick, ShadeRequest, bounce_apply,
+                        bounce_carry_init, bounce_commit, bounce_pre,
+                        bounce_post, bounce_shade, bounce_tex,
+                        build_material_table, camera_rays,
                         combine_normal_rme_soa, fetch_rows_t, light_trace)
 from .traverse_mxu import MATMUL_PRECISION, tri_rows
 from . import vec3 as v3
@@ -788,3 +790,183 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
         for df, n3, ro, me, em in records]
     return _mrt_from_channels(fields, flat_records, loc_geometry, camera_pos,
                               config, with_raw_aux)
+
+
+# ---------------------------------------------------------------------------
+# Shade kernel — sparse-scheme scenes (dragon class).
+#
+# Scenes over MAX_TRIS keep their traversals in the sparse worklist
+# kernels (ops.intersect_sparse), but their per-bounce SHADING still ran
+# as hundreds of XLA ops round-tripping [N]-wide arrays through HBM
+# (theater ablation: shading, not traversal, dominates the direct frame).
+# `make_shade_bounce_post` builds a bounce_post drop-in that runs
+# bounce_shade — the shading frame, Fresnel-chance decision, bookkeeping
+# and the reservoir light SELECTION — as one Pallas program per ray tile,
+# while the NEE shadow ray and the next closest hit stay with the
+# caller's traversal closures, and bounce_apply/bounce_commit stay in XLA
+# (cheap glue). Enabled by FLEXLIGHT_SHADE_KERNEL=1 in render_mrt; needs
+# the 2-D [G, 1024] shading layout and no DEBUG_DISABLE ablations.
+# ---------------------------------------------------------------------------
+
+N_SHADE_IN = N_CARRY + 16   # carry + surface(m,normal,goff) + tex(8) + ndc
+N_SHADE_OUT = 64            # carry(29) + request(26) + record(7), 8-aligned
+
+
+def _shade_kernel(scal_ref, lights_ref, cam_ref, state_ref, out_ref, *,
+                  config, i: int):
+    state = state_ref[0]
+    rt = state.shape[1]
+    zero = jnp.zeros((1, rt), jnp.float32)
+    ch = [state[k:k + 1] for k in range(N_SHADE_IN)]
+    carry = _carry_from_channels(ch[:N_CARRY], zero)
+    b = N_CARRY
+    surface = BounceSurface(
+        m=ch[b] > 0.0, smooth_normal=(ch[b + 1], ch[b + 2], ch[b + 3]),
+        geometry_offset=ch[b + 4],
+        # bounce_shade only consumes m/smooth_normal/geometry_offset
+        bary_u=zero, bary_v=zero, tex_nums=(zero,) * 3,
+        inline_albedo=(zero,) * 3, inline_rme=(zero,) * 3,
+        inline_tpo=(zero,) * 3)
+    tex = ((ch[b + 5], ch[b + 6], ch[b + 7]), ch[b + 8], ch[b + 9],
+           ch[b + 10], (ch[b + 11], ch[b + 12], ch[b + 13]))
+    ndc2 = (ch[b + 14], ch[b + 15])
+    shim = SceneBuffers(
+        geometry=None, attributes=None, id_buffer=None, rotations=None,
+        shifts=None, lights=lights_ref[...], ambient=None,
+        albedo_atlas=None, pbr_atlas=None, tpo_atlas=None,
+        texture_width=None)
+
+    rec = []
+
+    def bounce_hook(bi, df, n3, rough, metal, emis):
+        rec[:] = [df.astype(jnp.float32), n3[0], n3[1], n3[2],
+                  rough, metal, emis]
+
+    def pack_id_stub(n3, rough, metal, emis):
+        return (zero, zero, zero)
+
+    carry, req = bounce_shade(
+        carry, surface, tex, i, shim, cam_ref[0], ndc2, scal_ref[1],
+        config, scal_ref[0], pack_id_fn=pack_id_stub,
+        bounce_hook=bounce_hook, force_unroll_lights=True)
+    p = req.pick
+    chans = (_carry_to_channels(carry)
+             + [*req.ray_dir, *req.smooth_normal, req.sign_dir,
+                *req.random_sphere, req.roughness_brdf,
+                req.is_solid.astype(jnp.float32),
+                req.write_id_w.astype(jnp.float32),
+                *p.local_color, p.res_num.astype(jnp.float32),
+                p.show_color.astype(jnp.float32),
+                p.show_shadow.astype(jnp.float32),
+                *p.offset_target, *p.light_dir, p.max_len]
+             + rec)
+    while len(chans) < out_ref.shape[1]:
+        chans.append(zero)
+    out_ref[0] = jnp.concatenate(chans, axis=0)
+
+
+def shade_kernel_eligible(buffers: SceneBuffers) -> bool:
+    return buffers.lights.shape[0] <= MAX_LIGHTS
+
+
+def make_shade_bounce_post(buffers: SceneBuffers, camera_pos, config,
+                           interpret: bool | None = None,
+                           pallas: bool = True):
+    """Returns a bounce_post drop-in (light_trace's `bounce_post_impl`)
+    running bounce_shade in a Pallas kernel. The caller's traversal
+    closures keep the shadow ray and next closest hit; the deferred id
+    packing is re-applied outside with identical arithmetic, so carried
+    render_id channels stay exact."""
+    assert shade_kernel_eligible(buffers)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cam = jnp.stack([jnp.asarray(camera_pos[c], jnp.float32)
+                     for c in range(3)]).reshape(1, 3)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    c_in = -(-N_SHADE_IN // 8) * 8
+
+    def bounce_post_fn(carry, surface, tex, i, buffers_, camera_pos_, ndc2,
+                       cos_sample_n, config_, random_seed, traverse_soa,
+                       shadow_soa, pack_id_fn=None, bounce_hook=None,
+                       force_unroll_lights=False,
+                       next_traverse=None) -> BounceCarry:
+        assert pack_id_fn is None and bounce_hook is None, \
+            "shade kernel cannot honor injected packing hooks"
+        assert carry.hs.ndim == 2, "shade kernel needs the 2-D ray layout"
+        albedo, rough, metal, emis, tpo = tex
+        g, rt = carry.hs.shape
+        chans = (_carry_to_channels(carry)
+                 + [surface.m.astype(jnp.float32), *surface.smooth_normal,
+                    surface.geometry_offset, *albedo, rough, metal, emis,
+                    *tpo, *ndc2])
+        zero = jnp.zeros((g, rt), jnp.float32)
+        state = jnp.stack(chans + [zero] * (c_in - len(chans)), axis=1)
+        scalars = jnp.stack([jnp.asarray(random_seed, jnp.float32),
+                             jnp.asarray(cos_sample_n, jnp.float32)])
+        kern = partial(_shade_kernel, config=config, i=i)
+        if pallas:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(g,),
+                in_specs=[full(tuple(buffers.lights.shape)), full((1, 3)),
+                          pl.BlockSpec((1, c_in, rt),
+                                       lambda i, *_: (i, 0, 0))],
+                out_specs=pl.BlockSpec((1, N_SHADE_OUT, rt),
+                                       lambda i, *_: (i, 0, 0)),
+            )
+            out = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((g, N_SHADE_OUT, rt),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+                interpret=interpret,
+            )(scalars, buffers.lights, cam, state)
+        else:
+            oref = _OutRef((1, N_SHADE_OUT, rt))
+            kern(_ValRef(scalars), _ValRef(buffers.lights), _ValRef(cam),
+                 _ValRef(state), oref)
+            out = oref.val[None]
+
+        c = lambda k: out[:, k]
+        carry2 = _carry_from_channels([c(k) for k in range(N_CARRY)], zero)
+        q = N_CARRY
+        req = ShadeRequest(
+            m=surface.m, ray_dir=(c(q), c(q + 1), c(q + 2)),
+            smooth_normal=(c(q + 3), c(q + 4), c(q + 5)), sign_dir=c(q + 6),
+            random_sphere=(c(q + 7), c(q + 8), c(q + 9)),
+            roughness_brdf=c(q + 10), is_solid=c(q + 11) > 0.0,
+            write_id_w=c(q + 12) > 0.0,
+            pick=ReservoirPick(
+                local_color=(c(q + 13), c(q + 14), c(q + 15)),
+                res_num=c(q + 16).astype(jnp.int32),
+                show_color=c(q + 17) > 0.0, show_shadow=c(q + 18) > 0.0,
+                offset_target=(c(q + 19), c(q + 20), c(q + 21)),
+                light_dir=(c(q + 22), c(q + 23), c(q + 24)),
+                max_len=c(q + 25)))
+        # re-apply the deferred id packing with light_trace's exact
+        # arithmetic (arctan2 has no Mosaic lowering)
+        df = c(q + 26) > 0.0
+        idu = combine_normal_rme_soa(
+            (c(q + 27), c(q + 28), c(q + 29)), c(q + 30), c(q + 31),
+            c(q + 32))
+        scale_i = 2.0 ** -i
+        rid = tuple(carry.render_id[k] + jnp.where(df, scale_i * idu[k], 0.0)
+                    for k in range(3))
+        if i == 0:
+            oid = tuple(
+                carry.original_id_acc[k] + jnp.where(df, scale_i * idu[k], 0.0)
+                for k in range(3)) + (carry.original_id_acc[3],)
+        else:
+            oid = carry.original_id_acc
+        carry2 = carry2._replace(render_id=rid + (carry2.render_id[3],),
+                                 original_id_acc=oid)
+
+        shadowed = shadow_soa(req.pick.offset_target, req.pick.light_dir,
+                              req.pick.max_len, alive=req.m, hint=carry.tri)
+        carry2 = bounce_apply(carry2, tex, req, shadowed, i, config)
+        return bounce_commit(carry2, req.m, i, config, traverse_soa,
+                             next_traverse=next_traverse)
+
+    return bounce_post_fn

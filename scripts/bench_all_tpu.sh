@@ -23,6 +23,12 @@ run scripts/bench_direct.py dragon
 echo "=== FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SHADE_KERNEL=1 bench_direct dragon (Pallas shading + sparse traversal) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SHADE_KERNEL=1 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SHADE_KERNEL=1 FLEXLIGHT_FORCE_2D=1 bench_direct theater (shading-cost calibration) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SHADE_KERNEL=1 FLEXLIGHT_FORCE_2D=1 python scripts/bench_direct.py theater >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 run scripts/bench_direct.py wave
 echo "=== FLEXLIGHT_SCHEME=fused bench_direct wave (whole-frame fused kernel A/B) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SCHEME=fused python scripts/bench_direct.py wave >> "$LOG" 2>&1

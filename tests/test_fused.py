@@ -332,3 +332,81 @@ def test_fused_split_lowers_for_tpu():
     exp = export.export(jax.jit(f), platforms=["tpu"])(
         buffers, pos, view, jnp.float32(0.0))
     assert len(exp.mlir_module_serialized) > 0
+
+
+# ---------------------------------------------------------------------------
+# Shade kernel (make_shade_bounce_post) — sparse-scheme shading in Pallas
+# ---------------------------------------------------------------------------
+
+def _run_shade_kernel(monkeypatch, mode, scheme="mxu", size=32, bounces=3):
+    import jax.numpy as jnp
+
+    buffers, pos, view = _setup(size=size)
+    config = cornell_config(max_reflections=bounces)
+    view = jnp.asarray(view)
+    if mode is None:
+        monkeypatch.delenv("FLEXLIGHT_SHADE_KERNEL", raising=False)
+        monkeypatch.delenv("FLEXLIGHT_FORCE_2D", raising=False)
+    else:
+        monkeypatch.setenv("FLEXLIGHT_SHADE_KERNEL", mode)
+        monkeypatch.setenv("FLEXLIGHT_FORCE_2D", "1")
+    return pt.render_mrt(buffers, size, size, pos, view, config,
+                         jnp.float32(0.0), scheme=scheme)
+
+
+def test_shade_kernel_xla_mode_bit_equals_plain(monkeypatch):
+    """ValRef trace of the shade kernel == plain bounce_post composition,
+    bit-for-bit (same stage functions, value-preserving pack/unpack, id
+    packing re-applied outside with identical arithmetic)."""
+    ref = _run_shade_kernel(monkeypatch, None)
+    got = _run_shade_kernel(monkeypatch, "xla")
+    for name in ref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            err_msg=name)
+
+
+def test_shade_kernel_statistics_vs_plain(monkeypatch):
+    """Interpret-mode kernel: RNG-free channels exact, color budgeted
+    (in-kernel sin codegen chaos — same class as the fused kernels)."""
+    ref = _run_shade_kernel(monkeypatch, None)
+    got = _run_shade_kernel(monkeypatch, "1")
+    for ch in ("alpha", "location_id", "original_color", "glass",
+               "original_id_w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, ch)), np.asarray(getattr(got, ch)),
+            atol=1e-6, err_msg=ch)
+    a, b = np.asarray(ref.color), np.asarray(got.color)
+    close = np.isclose(a, b, atol=1e-3).all(axis=-1)
+    assert close.mean() >= 0.85, close.mean()
+
+
+def test_shade_kernel_with_sparse_scheme(monkeypatch):
+    """The intended pairing: sparse worklist traversal + Pallas shading.
+    Compared against plain sparse on RNG-free channels."""
+    ref = _run_shade_kernel(monkeypatch, None, scheme="sparse", bounces=2)
+    got = _run_shade_kernel(monkeypatch, "1", scheme="sparse", bounces=2)
+    np.testing.assert_array_equal(np.asarray(ref.alpha),
+                                  np.asarray(got.alpha))
+    a, b = np.asarray(ref.color), np.asarray(got.color)
+    close = np.isclose(a, b, atol=1e-3).all(axis=-1)
+    assert close.mean() >= 0.85, close.mean()
+
+
+def test_shade_kernel_lowers_for_tpu(monkeypatch):
+    import jax
+    import jax.numpy as jnp
+    from jax import export
+
+    buffers, pos, view = _setup()
+    config = cornell_config(max_reflections=2)
+    monkeypatch.setenv("FLEXLIGHT_SHADE_KERNEL", "mosaic")
+    monkeypatch.setenv("FLEXLIGHT_FORCE_2D", "1")
+
+    def f(buffers, pos, view, seed):
+        return pt.render_mrt(buffers, 16, 16, pos, view, config, seed,
+                             scheme="mxu")
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        buffers, pos, jnp.asarray(view), jnp.float32(0.0))
+    assert len(exp.mlir_module_serialized) > 0
