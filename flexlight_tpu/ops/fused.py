@@ -970,3 +970,181 @@ def make_shade_bounce_post(buffers: SceneBuffers, camera_pos, config,
                              next_traverse=next_traverse)
 
     return bounce_post_fn
+
+
+# ---------------------------------------------------------------------------
+# Combined interp+shade kernel — trivial-atlas sparse scenes (dragon).
+#
+# When every atlas is the 1x1 placeholder (dragon: inline materials only),
+# bounce_tex is a constant select and the whole pre(interp) -> tex ->
+# shade chain fuses into ONE program per ray tile; only the material row
+# GATHER (XLA's fast [N,C] row-gather form) and the two traversals stay
+# outside. Selected automatically by FLEXLIGHT_SHADE_KERNEL=1 when
+# eligible; big-atlas scenes keep the shade-only kernel above.
+# ---------------------------------------------------------------------------
+
+N_STEP_IN = N_CARRY + 2      # carry + ndc2
+N_STEP_OUT = 72              # carry(29) + m + req(26) + rec(7) + emis,tpo3
+
+
+def fused_step_eligible(buffers: SceneBuffers) -> bool:
+    atlases = (buffers.albedo_atlas, buffers.pbr_atlas, buffers.tpo_atlas)
+    return (buffers.lights.shape[0] <= MAX_LIGHTS
+            and all(a.shape[0] * a.shape[1] == 1 for a in atlases))
+
+
+def _interp_shade_kernel(scal_ref, lights_ref, cam_ref, alb_ref, pbr_ref,
+                         tpo_ref, rows_ref, state_ref, out_ref, *,
+                         config, i: int):
+    state = state_ref[0]
+    rt = state.shape[1]
+    zero = jnp.zeros((1, rt), jnp.float32)
+    ch = [state[k:k + 1] for k in range(N_STEP_IN)]
+    carry = _carry_from_channels(ch[:N_CARRY], zero)
+    ndc2 = (ch[N_CARRY], ch[N_CARRY + 1])
+    rows = rows_ref[...]                                # [49, 1, rt]
+
+    def fetch_rows(table, idx):
+        return rows
+
+    carry, surface = bounce_pre(carry, i, None, config,
+                                fetch_rows_fn=fetch_rows)
+    shim = SceneBuffers(
+        geometry=None, attributes=None, id_buffer=None, rotations=None,
+        shifts=None, lights=lights_ref[...], ambient=None,
+        albedo_atlas=alb_ref[...].reshape(1, 1, 3),
+        pbr_atlas=pbr_ref[...].reshape(1, 1, 3),
+        tpo_atlas=tpo_ref[...].reshape(1, 1, 3), texture_width=None)
+    tex = bounce_tex(shim, surface)      # 1x1 atlases: constant select
+    albedo, rough, metal, emis, tpo = tex
+
+    rec = []
+
+    def bounce_hook(bi, df, n3, ro, me, em):
+        rec[:] = [df.astype(jnp.float32), n3[0], n3[1], n3[2], ro, me, em]
+
+    def pack_id_stub(n3, ro, me, em):
+        return (zero, zero, zero)
+
+    carry, req = bounce_shade(
+        carry, surface, tex, i, shim, cam_ref[0], ndc2, scal_ref[1],
+        config, scal_ref[0], pack_id_fn=pack_id_stub,
+        bounce_hook=bounce_hook, force_unroll_lights=True)
+    p = req.pick
+    chans = (_carry_to_channels(carry)
+             + [req.m.astype(jnp.float32)]
+             + [*req.ray_dir, *req.smooth_normal, req.sign_dir,
+                *req.random_sphere, req.roughness_brdf,
+                req.is_solid.astype(jnp.float32),
+                req.write_id_w.astype(jnp.float32),
+                *p.local_color, p.res_num.astype(jnp.float32),
+                p.show_color.astype(jnp.float32),
+                p.show_shadow.astype(jnp.float32),
+                *p.offset_target, *p.light_dir, p.max_len]
+             + rec + [emis, *tpo])
+    while len(chans) < out_ref.shape[1]:
+        chans.append(zero)
+    out_ref[0] = jnp.concatenate(chans, axis=0)
+
+
+def make_fused_bounce_step(buffers: SceneBuffers, camera_pos, config,
+                           interpret: bool | None = None,
+                           pallas: bool = True):
+    """Returns light_trace's `bounce_step_impl`: one Pallas program per
+    ray tile runs interp + (trivial) texture select + shading; the row
+    gather and the two traversals stay with the caller."""
+    assert fused_step_eligible(buffers)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cam = jnp.stack([jnp.asarray(camera_pos[c], jnp.float32)
+                     for c in range(3)]).reshape(1, 3)
+    atl = tuple(a.reshape(1, 3) for a in (buffers.albedo_atlas,
+                                          buffers.pbr_atlas,
+                                          buffers.tpo_atlas))
+    full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    c_in = -(-N_STEP_IN // 8) * 8
+
+    def bounce_step_fn(carry, i, mat, ndc2, cos_sample_n, random_seed,
+                       traverse_soa, shadow_soa,
+                       next_traverse=None) -> BounceCarry:
+        assert carry.hs.ndim == 2, "step kernel needs the 2-D ray layout"
+        g, rt = carry.hs.shape
+        rows = fetch_rows_t(mat, carry.tri)              # [49, G, rt]
+        chans = _carry_to_channels(carry) + [*ndc2]
+        zero = jnp.zeros((g, rt), jnp.float32)
+        state = jnp.stack(chans + [zero] * (c_in - len(chans)), axis=1)
+        scalars = jnp.stack([jnp.asarray(random_seed, jnp.float32),
+                             jnp.asarray(cos_sample_n, jnp.float32)])
+        kern = partial(_interp_shade_kernel, config=config, i=i)
+        n_rows = rows.shape[0]
+        if pallas:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(g,),
+                in_specs=[full(tuple(buffers.lights.shape)), full((1, 3)),
+                          full((1, 3)), full((1, 3)), full((1, 3)),
+                          pl.BlockSpec((n_rows, 1, rt),
+                                       lambda i, *_: (0, i, 0)),
+                          pl.BlockSpec((1, c_in, rt),
+                                       lambda i, *_: (i, 0, 0))],
+                out_specs=pl.BlockSpec((1, N_STEP_OUT, rt),
+                                       lambda i, *_: (i, 0, 0)),
+            )
+            out = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((g, N_STEP_OUT, rt),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+                interpret=interpret,
+            )(scalars, buffers.lights, cam, *atl, rows, state)
+        else:
+            oref = _OutRef((1, N_STEP_OUT, rt))
+            kern(_ValRef(scalars), _ValRef(buffers.lights), _ValRef(cam),
+                 *[_ValRef(a) for a in atl], _ValRef(rows), _ValRef(state),
+                 oref)
+            out = oref.val[None]
+
+        c = lambda k: out[:, k]
+        carry2 = _carry_from_channels([c(k) for k in range(N_CARRY)], zero)
+        m = c(N_CARRY) > 0.0
+        q = N_CARRY + 1
+        req = ShadeRequest(
+            m=m, ray_dir=(c(q), c(q + 1), c(q + 2)),
+            smooth_normal=(c(q + 3), c(q + 4), c(q + 5)), sign_dir=c(q + 6),
+            random_sphere=(c(q + 7), c(q + 8), c(q + 9)),
+            roughness_brdf=c(q + 10), is_solid=c(q + 11) > 0.0,
+            write_id_w=c(q + 12) > 0.0,
+            pick=ReservoirPick(
+                local_color=(c(q + 13), c(q + 14), c(q + 15)),
+                res_num=c(q + 16).astype(jnp.int32),
+                show_color=c(q + 17) > 0.0, show_shadow=c(q + 18) > 0.0,
+                offset_target=(c(q + 19), c(q + 20), c(q + 21)),
+                light_dir=(c(q + 22), c(q + 23), c(q + 24)),
+                max_len=c(q + 25)))
+        df = c(q + 26) > 0.0
+        idu = combine_normal_rme_soa(
+            (c(q + 27), c(q + 28), c(q + 29)), c(q + 30), c(q + 31),
+            c(q + 32))
+        tex = ((zero, zero, zero), zero, zero, c(q + 33),
+               (c(q + 34), c(q + 35), c(q + 36)))
+        scale_i = 2.0 ** -i
+        rid = tuple(carry.render_id[k] + jnp.where(df, scale_i * idu[k], 0.0)
+                    for k in range(3))
+        if i == 0:
+            oid = tuple(
+                carry.original_id_acc[k] + jnp.where(df, scale_i * idu[k], 0.0)
+                for k in range(3)) + (carry.original_id_acc[3],)
+        else:
+            oid = carry.original_id_acc
+        carry2 = carry2._replace(render_id=rid + (carry2.render_id[3],),
+                                 original_id_acc=oid)
+
+        shadowed = shadow_soa(req.pick.offset_target, req.pick.light_dir,
+                              req.pick.max_len, alive=req.m, hint=carry.tri)
+        carry2 = bounce_apply(carry2, tex, req, shadowed, i, config)
+        return bounce_commit(carry2, req.m, i, config, traverse_soa,
+                             next_traverse=next_traverse)
+
+    return bounce_step_fn

@@ -672,7 +672,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 traverse_soa, shadow_soa, aux, fetch_rows_fn=None,
                 pack_id_fn=None, bounce_hook=None,
                 force_unroll_lights: bool = False, tex_fetch_fn=None,
-                bounce_post_impl=None):
+                bounce_post_impl=None, bounce_step_impl=None):
     """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
     [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
     3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
@@ -694,6 +694,12 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     post = bounce_post if bounce_post_impl is None else bounce_post_impl
     carry = bounce_carry_init(primary_parts, camera_pos, direction3, aux)
     for i in range(config.max_reflections):
+        if bounce_step_impl is not None:
+            # whole bounce (interp + tex + shade + shadow + apply +
+            # next hit) handled by the injected kernel pipeline
+            carry = bounce_step_impl(carry, i, mat, ndc2, cos_sample_n,
+                                     random_seed, traverse_soa, shadow_soa)
+            continue
         carry, surface = bounce_pre(carry, i, mat, config, fetch_rows_fn)
         tex = bounce_tex(buffers, surface, tex_fetch_fn)
         carry = post(
@@ -964,18 +970,25 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     # "fused_split" — those scenes keep worklist traversal but their
     # shading otherwise runs as hundreds of XLA ops over HBM.
     bounce_post_impl = None
+    bounce_step_impl = None
     shade_k = os.environ.get("FLEXLIGHT_SHADE_KERNEL", "")
     if shade_k in ("1", "xla", "mosaic") and use2d and not DEBUG_DISABLE:
-        from .fused import make_shade_bounce_post, shade_kernel_eligible
+        from .fused import (fused_step_eligible, make_fused_bounce_step,
+                            make_shade_bounce_post, shade_kernel_eligible)
 
-        if shade_kernel_eligible(buffers):
-            # "xla" = trace the kernel function under plain XLA (exact-
-            # equivalence tests; whole image must be one tile); "mosaic"
-            # forces the real Pallas lowering (TPU-export tests on a CPU
-            # host, where interpret would otherwise default on)
+        # "xla" = trace the kernel function under plain XLA (exact-
+        # equivalence tests; whole image must be one tile); "mosaic"
+        # forces the real Pallas lowering (TPU-export tests on a CPU
+        # host, where interpret would otherwise default on)
+        kw = dict(pallas=shade_k != "xla",
+                  interpret=False if shade_k == "mosaic" else None)
+        if fused_step_eligible(buffers):
+            # trivial atlases (dragon): interp + tex + shade in ONE program
+            bounce_step_impl = make_fused_bounce_step(
+                buffers, camera_pos, config, **kw)
+        elif shade_kernel_eligible(buffers):
             bounce_post_impl = make_shade_bounce_post(
-                buffers, camera_pos, config, pallas=shade_k != "xla",
-                interpret=False if shade_k == "mosaic" else None)
+                buffers, camera_pos, config, **kw)
 
     n_local = config.samples_per_ray if local_samples is None else local_samples
     for s in range(n_local):
@@ -983,7 +996,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         color, original_color, original_tpo_x, aux = light_trace(
             buffers, mat, primary_parts, camera_pos, direction3, ndc2,
             cos_sample_n, config, random_seed, traverse_soa, shadow_soa, aux,
-            bounce_post_impl=bounce_post_impl)
+            bounce_post_impl=bounce_post_impl,
+            bounce_step_impl=bounce_step_impl)
         total = v3.add3(total, color)
     final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
 

@@ -410,3 +410,33 @@ def test_shade_kernel_lowers_for_tpu(monkeypatch):
     exp = export.export(jax.jit(f), platforms=["tpu"])(
         buffers, pos, jnp.asarray(view), jnp.float32(0.0))
     assert len(exp.mlir_module_serialized) > 0
+
+
+def test_step_kernel_routing_and_big_atlas_shade_path(monkeypatch):
+    """Routing: trivial atlases pick the combined step kernel; a big
+    atlas falls back to the shade-only kernel. Both are bit-exact vs the
+    plain composition in XLA trace mode."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import fused_step_eligible
+
+    # tests-cornell has no textures -> 1x1 placeholder atlases
+    buffers, pos, view = _setup(size=32)
+    assert fused_step_eligible(buffers)
+    # big-atlas cornell: shade-only path
+    buffers_big, pos_b, view_b = _setup_big_atlas(size=32)
+    assert not fused_step_eligible(buffers_big)
+
+    config = cornell_config(max_reflections=3)
+    monkeypatch.setenv("FLEXLIGHT_FORCE_2D", "1")
+    monkeypatch.setenv("FLEXLIGHT_SHADE_KERNEL", "xla")
+    got = pt.render_mrt(buffers_big, 32, 32, pos_b, view_b, config,
+                        jnp.float32(0.0), scheme="mxu")
+    monkeypatch.delenv("FLEXLIGHT_SHADE_KERNEL")
+    monkeypatch.delenv("FLEXLIGHT_FORCE_2D")
+    ref = pt.render_mrt(buffers_big, 32, 32, pos_b, view_b, config,
+                        jnp.float32(0.0), scheme="mxu")
+    for name in ref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            err_msg=name)
