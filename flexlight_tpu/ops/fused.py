@@ -84,10 +84,19 @@ class _Atlas:
         self.w = w
 
 
-MAX_LIGHTS = 16        # in-kernel reservoir is force-unrolled over lights
-                       # (Mosaic cannot lower lax.scan); past this the
-                       # unrolled chain explodes compile time (example2's
-                       # 64 lights: >20 min) — keep the wavefront path
+MAX_LIGHTS = 256       # in-kernel reservoir: unrolled light loop below
+                       # SCAN_LIGHTS_MIN, a Mosaic-lowerable fori_loop with
+                       # one-hot row fetch above it (lax.scan cannot lower);
+                       # the cap only bounds the sequential in-kernel loop
+
+
+def _unroll_mode(n_lights: int):
+    """In-kernel reservoir mode: unroll below SCAN_LIGHTS_MIN (XLA fuses
+    the chain), fori_loop above it (bounded compile time; Mosaic cannot
+    lower the scan the wavefront path uses)."""
+    from .pathtrace import SCAN_LIGHTS_MIN
+
+    return True if n_lights < SCAN_LIGHTS_MIN else "fori"
 
 
 def fused_eligible(buffers: SceneBuffers, config=None) -> bool:
@@ -246,7 +255,8 @@ def _fused_kernel(seed_ref, texw_ref, w_ref, mat_ref, lights_ref, amb_ref,
             shim, mat, primary_parts, o3, d3, ndc2, cos_sample_n, config,
             random_seed, traverse_soa, shadow_soa, aux,
             fetch_rows_fn=fetch_rows, pack_id_fn=pack_id_stub,
-            bounce_hook=bounce_hook, force_unroll_lights=True,
+            bounce_hook=bounce_hook,
+            force_unroll_lights=_unroll_mode(lights_ref.shape[0]),
             tex_fetch_fn=tex_fetch)
         total = v3.add3(total, color)
         sample_records.extend(list(r) for r in records)
@@ -614,7 +624,7 @@ def _post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, state_ref,
         carry, surface, tex, i, shim, cam_ref[0], ndc2, cos_sample_n,
         config, random_seed, traverse_soa, shadow_soa,
         pack_id_fn=pack_id_stub, bounce_hook=bounce_hook,
-        force_unroll_lights=True)
+        force_unroll_lights=_unroll_mode(lights_ref.shape[0]))
     chans = _carry_to_channels(carry) + rec
     if fuse_next_pre:
         mat = mat_ref[...]
@@ -848,7 +858,8 @@ def _shade_kernel(scal_ref, lights_ref, cam_ref, state_ref, out_ref, *,
     carry, req = bounce_shade(
         carry, surface, tex, i, shim, cam_ref[0], ndc2, scal_ref[1],
         config, scal_ref[0], pack_id_fn=pack_id_stub,
-        bounce_hook=bounce_hook, force_unroll_lights=True)
+        bounce_hook=bounce_hook,
+        force_unroll_lights=_unroll_mode(lights_ref.shape[0]))
     p = req.pick
     chans = (_carry_to_channels(carry)
              + [*req.ray_dir, *req.smooth_normal, req.sign_dir,
@@ -1029,7 +1040,8 @@ def _interp_shade_kernel(scal_ref, lights_ref, cam_ref, alb_ref, pbr_ref,
     carry, req = bounce_shade(
         carry, surface, tex, i, shim, cam_ref[0], ndc2, scal_ref[1],
         config, scal_ref[0], pack_id_fn=pack_id_stub,
-        bounce_hook=bounce_hook, force_unroll_lights=True)
+        bounce_hook=bounce_hook,
+        force_unroll_lights=_unroll_mode(lights_ref.shape[0]))
     p = req.pick
     chans = (_carry_to_channels(carry)
              + [req.m.astype(jnp.float32)]

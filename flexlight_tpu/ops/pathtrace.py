@@ -218,7 +218,25 @@ def reservoir_select(buffers: SceneBuffers, albedo3, rough, metal, emis,
 
     carry = (local_color, res_length, total_weight, res_num, res_weight,
              res_dir, lr)
-    if num_lights < SCAN_LIGHTS_MIN or force_unroll:
+    if force_unroll == "fori":
+        # many lights INSIDE a Pallas kernel: Mosaic cannot lower
+        # lax.scan, but fori_loop + an exact one-hot row contraction
+        # (HIGHEST -> bf16x6, lossless) lowers fine and keeps compile
+        # time bounded — same sequential arithmetic as the scan
+        import jax
+        from jax import lax
+
+        lights6 = buffers.lights.reshape(num_lights, 6)
+        iota = lax.broadcasted_iota(jnp.int32, (1, num_lights), 1)
+
+        def fori_body(j, carry):
+            onehot = (iota == j).astype(jnp.float32)
+            row6 = jnp.dot(onehot, lights6,
+                           precision=jax.lax.Precision.HIGHEST)
+            return light_step(carry, j, row6.reshape(2, 3))
+
+        carry = lax.fori_loop(0, num_lights, fori_body, carry)
+    elif num_lights < SCAN_LIGHTS_MIN or force_unroll:
         # few lights: unroll so XLA fuses the whole chain into the bounce
         for j in range(num_lights):
             carry = light_step(carry, j, buffers.lights[j])

@@ -440,3 +440,34 @@ def test_step_kernel_routing_and_big_atlas_shade_path(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
             err_msg=name)
+
+
+def test_fused_many_lights_fori_reservoir():
+    """64 lights (example2 class): the in-kernel reservoir switches to a
+    Mosaic-lowerable fori_loop with an exact one-hot row fetch — both
+    fused paths stay eligible, match mxu, and lower for TPU."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    buffers, pos, view = _setup(n_lights=64, size=16)
+    assert fused_eligible(buffers)
+    config = cornell_config(max_reflections=2)
+    ref = pt.render_mrt(buffers, 16, 16, pos, view, config, jnp.float32(0.0),
+                        scheme="mxu")
+    got = render_mrt_fused(buffers, 16, 16, pos, view, config,
+                           jnp.float32(0.0), pallas=False)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            atol=5e-5, rtol=0, err_msg=name)
+
+    def f(buffers, pos, view, seed):
+        return render_mrt_fused_split(buffers, 16, 16, pos, view, config,
+                                      seed, interpret=False)
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        buffers, pos, view, jnp.float32(0.0))
+    assert len(exp.mlir_module_serialized) > 0
