@@ -311,6 +311,190 @@ def sort_spatial(origin, direction, lo, hi, max_len, prev_tri=None,
     return perm, jnp.argsort(perm)
 
 
+"""Candidate-aware wavefront sort (FLEXLIGHT_SPARSE_SORT=nearest2).
+
+The surface-tile key groups bounce rays by where they COME FROM; their
+candidate unions still run 10-20x above the per-ray floor because rays
+leaving one surface head for different geometry. Grouping by where they
+are GOING — the first two supertile boxes (SUPER_TILES worklist tiles
+each) the ray can enter, by slab-entry distance — cuts dragon bounce
+unions 27-37% further (scripts/analyze_raygroup.py: bounce-1 59->43,
+bounce-2 39->25 per 1024-ray tile; supertile granularity measures within
+noise of full tile granularity at ~1/8 the prepass cost). The key needs
+one extra flags-shaped Pallas pass per sorted traversal (~2 ms per 2M
+rays at dragon scale vs ~13 ms for the 702-cluster flag pass). Sort keys
+never change traversal RESULTS (grouping only), so the mode is a pure
+perf knob."""
+SUPER_TILES = 4
+
+
+def _key_kernel(rays_ref, bmin_ref, bmax_ref, out_ref, *, nbp: int,
+                k_chunk: int, ray_tile: int, nb: int):
+    """Per-ray (nearest, 2nd-nearest) supertile box + direction octant,
+    packed into one int32 sort key. POW32-entry boxes (missed) map to
+    index `nb` so no-candidate rays group together at the back of the
+    live region."""
+    o = [rays_ref[0, c:c + 1, :] for c in range(3)]
+    inv = [rays_ref[0, 3 + c:4 + c, :] for c in range(3)]
+    ml = rays_ref[0, 6:7, :]
+    shp = (1, ray_tile)
+    e1 = jnp.full(shp, POW32, dtype=jnp.float32)
+    i1 = jnp.full(shp, nb, dtype=jnp.int32)
+    e2 = jnp.full(shp, POW32, dtype=jnp.float32)
+    i2 = jnp.full(shp, nb, dtype=jnp.int32)
+    big = jnp.int32(nbp + 1)
+    for kc in range(nbp // k_chunk):
+        sl = slice(kc * k_chunk, (kc + 1) * k_chunk)
+        tmin = jnp.full((k_chunk, ray_tile), -jnp.inf, dtype=jnp.float32)
+        tmax = jnp.full((k_chunk, ray_tile), jnp.inf, dtype=jnp.float32)
+        for c in range(3):
+            a = bmin_ref[c, sl]                            # [k_chunk, 1]
+            b = bmax_ref[c, sl]
+            t0 = (a - o[c]) * inv[c]                       # [k_chunk, R]
+            t1 = (b - o[c]) * inv[c]
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        entry = jnp.maximum(tmin, BIAS)
+        hit = (tmax >= entry) & (tmin < ml)
+        e = jnp.where(hit, entry, POW32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, ray_tile), 0)
+        iota = iota + kc * k_chunk
+        # padded boxes (inf min / -inf max) pass the slab test as
+        # inverted intervals — mask them by index instead
+        e = jnp.where(iota < nb, e, POW32)
+        # chunk-local best two (lowest index wins ties via min-of-iota)
+        f1 = jnp.min(e, axis=0, keepdims=True)
+        j1 = jnp.min(jnp.where(e <= f1, iota, big), axis=0, keepdims=True)
+        emask = jnp.where(iota == j1, POW32, e)
+        f2 = jnp.min(emask, axis=0, keepdims=True)
+        j2 = jnp.min(jnp.where(emask <= f2, iota, big), axis=0,
+                     keepdims=True)
+        j1 = jnp.where(f1 >= POW32, nb, j1)
+        j2 = jnp.where(f2 >= POW32, nb, j2)
+        # merge two sorted pairs, keep best two (ties prefer the running
+        # pair = earlier chunk = lower global index)
+        loser_e = jnp.where(f1 < e1, e1, f1)
+        loser_i = jnp.where(f1 < e1, i1, j1)
+        i1 = jnp.where(f1 < e1, j1, i1)
+        e1 = jnp.minimum(e1, f1)
+        i2 = jnp.where(f2 < e2, j2, i2)
+        e2 = jnp.minimum(e2, f2)
+        i2 = jnp.where(loser_e < e2, loser_i, i2)
+        e2 = jnp.minimum(e2, loser_e)
+    octant = ((inv[0] > 0.0).astype(jnp.int32) * 4
+              + (inv[1] > 0.0).astype(jnp.int32) * 2
+              + (inv[2] > 0.0).astype(jnp.int32))
+    key = (i1 * (nb + 1) + i2) * 8 + octant
+    out_ref[:] = jnp.where(ml <= 0.0, jnp.int32(1) << 30, key)[None]
+
+
+def _super_boxes(aabb_min, aabb_max, group: int):
+    """Group `group` consecutive cull clusters into one supertile AABB."""
+    k = aabb_min.shape[0]
+    kp = -(-k // group) * group
+    bmin = jnp.pad(aabb_min, ((0, kp - k), (0, 0)),
+                   constant_values=jnp.inf).reshape(-1, group, 3).min(1)
+    bmax = jnp.pad(aabb_max, ((0, kp - k), (0, 0)),
+                   constant_values=-jnp.inf).reshape(-1, group, 3).max(1)
+    return bmin, bmax
+
+
+@partial(jax.jit, static_argnames=("group",))
+def _nearest2_key_xla(aabb_min, aabb_max, origin, direction, max_len,
+                      group: int = 8):
+    """jnp formulation of nearest2_key (CPU fallback / kernel oracle)."""
+    bmin, bmax = _super_boxes(aabb_min, aabb_max, group)
+    nb = bmin.shape[0]
+    n = origin.shape[0]
+
+    def chunk_key(args):
+        o, d, ml = args
+        inv = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+        t0 = (bmin[None] - o[:, None]) * inv[:, None]
+        t1 = (bmax[None] - o[:, None]) * inv[:, None]
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        entry = jnp.maximum(tmin, BIAS)
+        hit = (tmax >= entry) & (tmin < ml[:, None])
+        e = jnp.where(hit, entry, POW32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+        e1 = jnp.min(e, axis=1, keepdims=True)
+        j1 = jnp.min(jnp.where(e <= e1, iota, nb + 1), axis=1)
+        emask = jnp.where(iota == j1[:, None], POW32, e)
+        e2 = jnp.min(emask, axis=1, keepdims=True)
+        j2 = jnp.min(jnp.where(emask <= e2, iota, nb + 1), axis=1)
+        j1 = jnp.where(e1[:, 0] >= POW32, nb, j1)
+        j2 = jnp.where(e2[:, 0] >= POW32, nb, j2)
+        # d >= 0 matches the kernel's inv > 0 (d == 0 maps to +1e-30)
+        octant = ((d[:, 0] >= 0.0).astype(jnp.int32) * 4
+                  + (d[:, 1] >= 0.0).astype(jnp.int32) * 2
+                  + (d[:, 2] >= 0.0).astype(jnp.int32))
+        key = (j1 * (nb + 1) + j2) * 8 + octant
+        return jnp.where(ml <= 0.0, jnp.int32(1) << 30, key)
+
+    chunk = 65536
+    if n <= chunk:
+        return chunk_key((origin, direction, max_len))
+    pad = (-n) % chunk
+    o = jnp.pad(origin, ((0, pad), (0, 0)))
+    d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+    ml = jnp.pad(max_len, (0, pad))
+    nc = (n + pad) // chunk
+    return jax.lax.map(
+        chunk_key, (o.reshape(nc, chunk, 3), d.reshape(nc, chunk, 3),
+                    ml.reshape(nc, chunk))).reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("ray_tile", "interpret", "group"))
+def nearest2_key(aabb_min, aabb_max, origin, direction, max_len,
+                 ray_tile: int = RAY_TILE, interpret: bool = False,
+                 group: int = 8):
+    """int32 [N] wavefront sort key: (nearest supertile, 2nd-nearest,
+    octant); dead rays (max_len <= 0) get 1<<30. `group` = cull clusters
+    per supertile (8 clusters x 64 tris = 4 worklist tiles). Pallas; see
+    _nearest2_key_xla for the jnp formulation (callers pick it on CPU)."""
+    bmin, bmax = _super_boxes(aabb_min, aabb_max, group)
+    nb = bmin.shape[0]
+    n = origin.shape[0]
+    pad = (-n) % ray_tile
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(direction, ((0, pad), (0, 0)),
+                            constant_values=1.0)
+        max_len = jnp.pad(max_len, (0, pad))
+    rt = (n + pad) // ray_tile
+    k_chunk = min(512, -(-nb // 8) * 8)
+    nbp = -(-nb // k_chunk) * k_chunk
+    if nbp > nb:
+        bmin = jnp.pad(bmin, ((0, nbp - nb), (0, 0)),
+                       constant_values=jnp.inf)
+        bmax = jnp.pad(bmax, ((0, nbp - nb), (0, 0)),
+                       constant_values=-jnp.inf)
+    safe = jnp.where(direction == 0.0, 1e-30, direction)
+    rays = jnp.stack([origin[:, 0], origin[:, 1], origin[:, 2],
+                      1.0 / safe[:, 0], 1.0 / safe[:, 1], 1.0 / safe[:, 2],
+                      max_len, jnp.zeros_like(max_len)], axis=0)
+    rays = rays.reshape(8, rt, ray_tile).transpose(1, 0, 2)
+    key = pl.pallas_call(
+        partial(_key_kernel, nbp=nbp, k_chunk=k_chunk, ray_tile=ray_tile,
+                nb=nb),
+        grid=(rt,),
+        in_specs=[
+            pl.BlockSpec((1, 8, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(rays, bmin.T.reshape(3, nbp, 1), bmax.T.reshape(3, nbp, 1))
+    return key.reshape(-1)[:n]
+
+
 """Early-exit slack: a tile is skippable when every live ray's best hit
 is strictly nearer than the tile's slab-entry bound. The bound and the
 MT s come from different float paths (slab f32 vs bf16x6 matmul), so the
@@ -651,16 +835,34 @@ def _apply_perm_rays(origin, direction, max_len, perm):
     return packed[:, 0:3], packed[:, 3:6], packed[:, 6]
 
 
+def _sort_perm(aabb_min, aabb_max, origin, direction, max_len, tri_tile,
+               sort_hint, sort_mode, interpret, ray_tile):
+    """Wavefront ordering: candidate-aware (nearest2) when requested for
+    hinted (bounce/shadow) casts, else the surface-tile/octant key."""
+    if sort_mode == "nearest2" and sort_hint is not None:
+        if interpret:
+            key = _nearest2_key_xla(aabb_min, aabb_max, origin, direction,
+                                    max_len)
+        else:
+            key = nearest2_key(aabb_min, aabb_max, origin, direction,
+                               max_len, ray_tile=ray_tile)
+        perm = jnp.argsort(key, stable=True)
+        return perm, jnp.argsort(perm)
+    lo = jnp.min(aabb_min, axis=0)
+    hi = jnp.max(aabb_max, axis=0)
+    return sort_spatial(origin, direction, lo, hi, max_len,
+                        prev_tri=sort_hint, tri_tile=tri_tile)
+
+
 def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
          interpret, precision, tri_tile, ray_tile, chunk, sort_rays,
-         edge=BIAS, sort_hint=None):
+         edge=BIAS, sort_hint=None, sort_mode: str = "prevtile"):
     from .intersect_kernel import _prep
 
     if sort_rays:
-        lo = jnp.min(aabb_min, axis=0)
-        hi = jnp.max(aabb_max, axis=0)
-        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len,
-                                      prev_tri=sort_hint, tri_tile=tri_tile)
+        perm, inv_perm = _sort_perm(aabb_min, aabb_max, origin, direction,
+                                    max_len, tri_tile, sort_hint, sort_mode,
+                                    interpret, ray_tile)
         origin, direction, max_len = _apply_perm_rays(
             origin, direction, max_len, perm)
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
@@ -698,20 +900,23 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile", "chunk", "sort_rays"))
+                                   "ray_tile", "chunk", "sort_rays",
+                                   "sort_mode"))
 def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                     chunk: int = CHUNK, sort_rays: bool = False,
-                    alive=None, edge=BIAS, sort_hint=None) -> Hit:
+                    alive=None, edge=BIAS, sort_hint=None,
+                    sort_mode: str = "prevtile") -> Hit:
     """Closest hit of N rays against all triangles; worklist-sparse.
 
     Hit.triangle is the DRAWABLE index (position in id_buffer order), not
     the geometry slot — map with id_buffer[tri] or use drawable-ordered
     tables downstream. `sort_hint` (optional int32 [N]): the drawable
     index each ray just bounced off; switches the wavefront sort to the
-    surface-tile-locality key (see sort_spatial).
+    surface-tile-locality key (see sort_spatial). `sort_mode="nearest2"`
+    instead sorts hinted casts by the candidate-aware nearest2_key.
     """
     max_len = jnp.full(origin.shape[:1], POW32, dtype=jnp.float32)
     if alive is not None:
@@ -719,20 +924,22 @@ def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
     s, u, v, tri = _run(w4t, w4f, aabb_min, aabb_max, origin, direction,
                         max_len, False, interpret, precision, tri_tile,
                         ray_tile, chunk, sort_rays, edge=edge,
-                        sort_hint=sort_hint)
+                        sort_hint=sort_hint, sort_mode=sort_mode)
     hit = tri >= 0
     suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile", "chunk", "sort_rays"))
+                                   "ray_tile", "chunk", "sort_rays",
+                                   "sort_mode"))
 def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
                   tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                   chunk: int = CHUNK, sort_rays: bool = False,
-                  alive=None, sort_hint=None) -> jnp.ndarray:
+                  alive=None, sort_hint=None,
+                  sort_mode: str = "prevtile") -> jnp.ndarray:
     """Front-face-culled any-hit within max_len; worklist-sparse with
     per-tile early exit (see _shadow_kernel)."""
     from .intersect_kernel import _prep
@@ -740,10 +947,9 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
     if sort_rays:
-        lo = jnp.min(aabb_min, axis=0)
-        hi = jnp.max(aabb_max, axis=0)
-        perm, inv_perm = sort_spatial(origin, direction, lo, hi, max_len,
-                                      prev_tri=sort_hint, tri_tile=tri_tile)
+        perm, inv_perm = _sort_perm(aabb_min, aabb_max, origin, direction,
+                                    max_len, tri_tile, sort_hint, sort_mode,
+                                    interpret, ray_tile)
         origin, direction, max_len = _apply_perm_rays(
             origin, direction, max_len, perm)
     o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)

@@ -816,6 +816,10 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer)
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
+        # Candidate-aware bounce/shadow wavefront sort (chip A/B knob;
+        # see intersect_sparse.nearest2_key). Trace-time like the other
+        # perf knobs here.
+        smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "prevtile")
 
         def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
             # NB: returns DRAWABLE indices; the material/location tables
@@ -824,13 +828,14 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
                                    alive=alive, edge=edge, sort_hint=hint,
-                                   ray_tile=rt)
+                                   ray_tile=rt, sort_mode=smode)
 
         def shadow_fn(o, d, l, alive=None, hint=None):
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
             return shadow_sparse(w4t, amin, amax, o, d, l,
                                  interpret=interp, sort_rays=sort,
-                                 alive=alive, sort_hint=hint, ray_tile=rt)
+                                 alive=alive, sort_hint=hint, ray_tile=rt,
+                                 sort_mode=smode)
     elif scheme == "kernel":
         import jax
 

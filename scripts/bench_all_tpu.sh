@@ -23,6 +23,12 @@ run scripts/bench_direct.py dragon
 echo "=== FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SPARSE_SORT=nearest2 bench_direct dragon (candidate-aware wavefront sort) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SPARSE_SORT=nearest2 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_SHADE_KERNEL=1 bench_direct dragon (Pallas shading + sparse traversal) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SHADE_KERNEL=1 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"

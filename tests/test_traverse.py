@@ -267,3 +267,123 @@ def test_sparse_sort_hint_matches_unhinted():
                            jnp.asarray(direction), max_len, interpret=True,
                            sort_rays=True, alive=alive, sort_hint=hint)
     np.testing.assert_array_equal(np.asarray(s_hint), np.asarray(s_base))
+
+
+def test_nearest2_key_kernel_matches_xla():
+    """The Pallas nearest2 sort-key kernel (interpret mode) must agree
+    bit-exactly with the jnp formulation callers use on CPU — including
+    dead rays, no-candidate rays, and padded supertile boxes."""
+    from flexlight_tpu.ops.intersect_sparse import (_nearest2_key_xla,
+                                                    nearest2_key)
+
+    rng = np.random.default_rng(21)
+    k = 41                                    # pads to 48 clusters, 6 boxes
+    centers = rng.uniform(-10, 10, (k, 3)).astype(np.float32)
+    half = rng.uniform(0.2, 3.0, (k, 3)).astype(np.float32)
+    amin = jnp.asarray(centers - half)
+    amax = jnp.asarray(centers + half)
+
+    n = 3000                                  # pads to 3 ray tiles of 1024
+    origin = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    direction[::17] = np.array([0.0, 1.0, 0.0])     # axis-aligned zeros
+    max_len = np.full(n, POW32, dtype=np.float32)
+    max_len[rng.uniform(size=n) < 0.3] = 0.0        # dead rays
+
+    ref = _nearest2_key_xla(amin, amax, jnp.asarray(origin),
+                            jnp.asarray(direction), jnp.asarray(max_len))
+    got = nearest2_key(amin, amax, jnp.asarray(origin),
+                       jnp.asarray(direction), jnp.asarray(max_len),
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sparse_nearest2_sort_matches_prevtile():
+    """sort_mode='nearest2' is a pure reordering: traversal and shadow
+    results must be identical to the prevtile sort for every ray."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse,
+                                                    traverse_sparse)
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
+
+    rng = np.random.default_rng(22)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    hint = jnp.asarray(rng.integers(0, buffers.id_buffer.shape[0], n),
+                       dtype=jnp.int32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+
+    base = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint)
+    near = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint,
+                           sort_mode="nearest2")
+    np.testing.assert_array_equal(np.asarray(near.triangle),
+                                  np.asarray(base.triangle))
+    np.testing.assert_array_equal(np.asarray(near.suv),
+                                  np.asarray(base.suv))
+
+    max_len = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+    s_base = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), max_len, interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint)
+    s_near = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), max_len, interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint,
+                           sort_mode="nearest2")
+    np.testing.assert_array_equal(np.asarray(s_near), np.asarray(s_base))
+
+
+def test_nearest2_key_lowers_for_tpu():
+    """Cross-platform export runs the nearest2 key kernel through the
+    full Pallas->Mosaic lowering on a CPU host (no chip needed)."""
+    from jax import export
+
+    from flexlight_tpu.ops.intersect_sparse import nearest2_key
+
+    rng = np.random.default_rng(23)
+    k = 96
+    centers = rng.uniform(-10, 10, (k, 3)).astype(np.float32)
+    half = rng.uniform(0.2, 3.0, (k, 3)).astype(np.float32)
+
+    def f(amin, amax, o, d, ml):
+        return nearest2_key(amin, amax, o, d, ml)
+
+    n = 2048
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        jnp.asarray(centers - half), jnp.asarray(centers + half),
+        jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
+        jnp.full((n,), POW32, jnp.float32))
+    assert len(exp.mlir_module_serialized) > 0
+
+
+def test_sparse_sort_env_knob_render(monkeypatch):
+    """FLEXLIGHT_SPARSE_SORT=nearest2 routes through render_mrt's sparse
+    scheme unchanged (bit-exact vs the default sort)."""
+    from flexlight_tpu import Config
+    import flexlight_tpu.ops.pathtrace as pt
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    config = Config(samples_per_ray=1, max_reflections=2, temporal=False,
+                    filter=False, antialiasing=None)
+    view = jnp.asarray(camera.view_matrix(16, 16))
+    pos = jnp.asarray(camera.position)
+
+    base = pt.render_mrt(buffers, 16, 16, pos, view, config,
+                         jnp.float32(0.0), scheme="sparse")
+    monkeypatch.setenv("FLEXLIGHT_SPARSE_SORT", "nearest2")
+    got = pt.render_mrt(buffers, 16, 16, pos, view, config,
+                        jnp.float32(0.0), scheme="sparse")
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
