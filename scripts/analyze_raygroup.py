@@ -248,5 +248,84 @@ def main():
                dead, cand)
 
 
+
+
+def exclusion_bound_cost(order, ent, cand, chunk=4):
+    """Simulated sparse-kernel chunks per ray tile when rays with no
+    remaining candidates stop blocking the early exit (hit-based exits
+    ignored -> a conservative upper bound on the new cost), vs the full
+    worklist length (today's cost when any ray in the tile never hits).
+
+    Per ray tile: worklist bounds b = sorted over candidate tiles of
+    (min over rays of entry); ray r is done once the next bound exceeds
+    e_last_r = max over r's candidate tiles of r's own entry."""
+    eo = ent[order]
+    n = eo.shape[0] // RAY_TILE * RAY_TILE
+    eo = eo[:n].reshape(-1, RAY_TILE, eo.shape[1])
+    full = []
+    excl = []
+    for tile in eo:
+        bounds = tile.min(axis=0)                    # [WT] min over rays
+        hitmask = np.isfinite(bounds)
+        u = int(hitmask.sum())
+        if u == 0:
+            continue
+        b_sorted = np.sort(bounds[hitmask])
+        e_last = np.where(np.isfinite(tile), tile, -np.inf).max(axis=1)
+        # tiles processed for ray r: count of bounds <= e_last_r
+        k = np.searchsorted(b_sorted, e_last[np.isfinite(e_last)],
+                            side="right")
+        cost = int(k.max()) if len(k) else 0
+        full.append(-(-u // chunk))
+        excl.append(-(-max(cost, 1) // chunk))
+    return np.array(full), np.array(excl)
+
+
+def main_exclusion():
+    scene_name = sys.argv[2] if len(sys.argv) > 2 else "dragon"
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 480
+    h = int(sys.argv[4]) if len(sys.argv) > 4 else 270
+    bounces = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    caps, verts = capture(scene_name, w, h, bounces)
+    tlo, thi = tile_aabbs(verts, TRI_TILE)
+    lo = verts.reshape(-1, 3).min(axis=0)
+    hi = verts.reshape(-1, 3).max(axis=0)
+    span = np.maximum(hi - lo, 1e-30)
+    t = len(verts)
+    wt = tlo.shape[0]
+    print(f"{scene_name} {w}x{h}: exclusion-bound chunk simulation "
+          f"(chunks of 4 tiles per kernel loop step)", flush=True)
+    for bi, (o, d, alive, prev) in enumerate(caps):
+        dead = ~alive
+        ent = entry_distances(o, d, alive, tlo, thi)
+        cand = np.isfinite(ent)
+        q = np.clip((o - lo) / span * 1023, 0, 1023).astype(np.int64)
+        mor = morton(q)
+        ptile = np.clip(prev, 0, t - 1).astype(np.int64) // TRI_TILE
+        oct_key = ((d[:, 0] >= 0) * 4 + (d[:, 1] >= 0) * 2
+                   + (d[:, 2] >= 0)).astype(np.int64)
+        o2 = np.argsort(ent, axis=1)[:, :2].astype(np.int64)
+        e1f = np.isfinite(np.take_along_axis(ent, o2[:, :1], 1)[:, 0])
+        e2f = np.isfinite(np.take_along_axis(ent, o2[:, 1:2], 1)[:, 0])
+        t1 = np.where(e1f, o2[:, 0], wt)
+        t2 = np.where(e2f, o2[:, 1], wt)
+        keys = {
+            "prevtile<<33|morton10 (shipped)": (ptile << 33) | mor,
+            "nearest2 (t1,t2,oct)": (t1 << 43) | (t2 << 33) | (oct_key << 30),
+        }
+        print(f"-- bounce {bi + 1}: {int(alive.sum())}/{len(o)} alive",
+              flush=True)
+        for name, key in keys.items():
+            key = np.where(dead, np.int64(1) << 62, key)
+            order = np.argsort(key, kind="stable")
+            full, excl = exclusion_bound_cost(order, ent, cand)
+            print(f"   {name:32s} chunks/tile full {full.mean():6.1f}  "
+                  f"with-exclusion <= {excl.mean():6.1f}  "
+                  f"(p90 {np.percentile(excl, 90):5.1f})", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "excl":
+        main_exclusion()
+    else:
+        main()
