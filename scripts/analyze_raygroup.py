@@ -236,6 +236,22 @@ def main():
                dead, cand)
         report("prevtile,endpoint10", (ptile << 33) | mkey_at(0.5),
                dead, cand)
+        # nearest2 at smaller ray tiles: matmul work per traversal scales
+        # as sum(union * ray_tile); smaller tiles pay more grid steps +
+        # repeated tile DMAs but cut wasted lanes (BOUNCE_RT knob)
+        import analyze_wavefront as aw
+        n2key = np.where(dead, np.int64(1) << 62,
+                         (t1 << 43) | (t2 << 33) | (oct_key << 30))
+        n2order = np.argsort(n2key, kind="stable")
+        for rt in (1024, 512, 256):
+            saved, aw.RAY_TILE = aw.RAY_TILE, rt
+            tiles = tiles_per_raytile(n2order, cand)
+            aw.RAY_TILE = saved
+            live = tiles[tiles > 0]
+            print(f"   nearest2 @ ray_tile={rt:4d}: union mean (live tiles) "
+                  f"{live.mean():6.1f}  work-proxy {live.mean() * rt:8.0f}",
+                  flush=True)
+
         # upper bound for any per-ray key: greedy exact-set grouping
         # (sort by the full candidate-set hash)
         h64 = np.zeros(len(o), np.int64)

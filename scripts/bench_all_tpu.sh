@@ -29,6 +29,9 @@ echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=512 bench_direct dragon ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=512 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=256 bench_direct dragon ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=256 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_SHADE_KERNEL=1 bench_direct dragon (Pallas shading + sparse traversal) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SHADE_KERNEL=1 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"

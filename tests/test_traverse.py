@@ -299,9 +299,11 @@ def test_nearest2_key_kernel_matches_xla():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_sparse_nearest2_sort_matches_prevtile():
+@pytest.mark.parametrize("ray_tile", [1024, 256])
+def test_sparse_nearest2_sort_matches_prevtile(ray_tile):
     """sort_mode='nearest2' is a pure reordering: traversal and shadow
-    results must be identical to the prevtile sort for every ray."""
+    results must be identical to the prevtile sort for every ray —
+    also at the smaller bounce ray tile (BOUNCE_RT sweep values)."""
     from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
                                                     shadow_sparse,
                                                     traverse_sparse)
@@ -323,11 +325,12 @@ def test_sparse_nearest2_sort_matches_prevtile():
 
     base = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
                            jnp.asarray(direction), interpret=True,
-                           sort_rays=True, alive=alive, sort_hint=hint)
+                           sort_rays=True, alive=alive, sort_hint=hint,
+                           ray_tile=ray_tile)
     near = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
                            jnp.asarray(direction), interpret=True,
                            sort_rays=True, alive=alive, sort_hint=hint,
-                           sort_mode="nearest2")
+                           sort_mode="nearest2", ray_tile=ray_tile)
     np.testing.assert_array_equal(np.asarray(near.triangle),
                                   np.asarray(base.triangle))
     np.testing.assert_array_equal(np.asarray(near.suv),
@@ -336,11 +339,12 @@ def test_sparse_nearest2_sort_matches_prevtile():
     max_len = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
     s_base = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
                            jnp.asarray(direction), max_len, interpret=True,
-                           sort_rays=True, alive=alive, sort_hint=hint)
+                           sort_rays=True, alive=alive, sort_hint=hint,
+                           ray_tile=ray_tile)
     s_near = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
                            jnp.asarray(direction), max_len, interpret=True,
                            sort_rays=True, alive=alive, sort_hint=hint,
-                           sort_mode="nearest2")
+                           sort_mode="nearest2", ray_tile=ray_tile)
     np.testing.assert_array_equal(np.asarray(s_near), np.asarray(s_base))
 
 
