@@ -236,9 +236,11 @@ def main():
                dead, cand)
         report("prevtile,endpoint10", (ptile << 33) | mkey_at(0.5),
                dead, cand)
-        # nearest2 at smaller ray tiles: matmul work per traversal scales
-        # as sum(union * ray_tile); smaller tiles pay more grid steps +
-        # repeated tile DMAs but cut wasted lanes (BOUNCE_RT knob)
+        # nearest2 at smaller ray tiles (BOUNCE_RT knob). Total matmul
+        # work per traversal = sum over tiles of union*rt*tri_tile =
+        # mean_live_union * n_live_rays * tri_tile — the live-tile union
+        # mean IS the work measure, independent of rt. Smaller rt pays
+        # ~4x grid steps + repeated candidate DMAs instead.
         import analyze_wavefront as aw
         n2key = np.where(dead, np.int64(1) << 62,
                          (t1 << 43) | (t2 << 33) | (oct_key << 30))
@@ -248,8 +250,9 @@ def main():
             tiles = tiles_per_raytile(n2order, cand)
             aw.RAY_TILE = saved
             live = tiles[tiles > 0]
-            print(f"   nearest2 @ ray_tile={rt:4d}: union mean (live tiles) "
-                  f"{live.mean():6.1f}  work-proxy {live.mean() * rt:8.0f}",
+            print(f"   nearest2 @ ray_tile={rt:4d}: matmul-work measure "
+                  f"(live-tile union mean) {live.mean():6.1f}  "
+                  f"dma-proxy (union*ntiles) {live.sum():8.0f}",
                   flush=True)
 
         # upper bound for any per-ray key: greedy exact-set grouping
