@@ -25,6 +25,10 @@ class Config:
     filter: bool = False
     hdr: bool = True
     antialiasing: str | None = "fxaa"
+    # RNG flavor (not a reference knob): "hash" = GLSL noise() compat
+    # (golden/oracle parity), "counter" = murmur3-quality counter hash
+    # (SURVEY §7 RNG plan). Changing it changes the sample sequence.
+    rng: str = "hash"
 
     # camelCase read aliases for 1:1 example ports
     @property

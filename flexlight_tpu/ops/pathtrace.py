@@ -152,7 +152,7 @@ def reservoir_finish(pick: ReservoirPick, emis, shadowed):
 def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
                      origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
                      geometry_offset, random_seed, shadow_soa, alive_mask=None,
-                     force_unroll: bool = False):
+                     force_unroll: bool = False, rng_mode: str = "hash"):
     """Weighted reservoir NEE over all lights + one shadow ray
     (glsl:400-461), SoA form (see ops.vec3). Returns (color 3-tuple, id_w
     [N]). `force_unroll` keeps the light loop unrolled past
@@ -161,7 +161,7 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
     pick = reservoir_select(buffers, albedo3, rough, metal, emis, origin3,
                             unit_dir3, random_vec4, n_rough3, n_smooth3,
                             geometry_offset, random_seed,
-                            force_unroll=force_unroll)
+                            force_unroll=force_unroll, rng_mode=rng_mode)
     shp = origin3[0].shape
     if "shadow" in DEBUG_DISABLE:
         shadowed = jnp.zeros(shp, dtype=bool)
@@ -174,7 +174,8 @@ def reservoir_sample(buffers: SceneBuffers, albedo3, rough, metal, emis,
 def reservoir_select(buffers: SceneBuffers, albedo3, rough, metal, emis,
                      origin3, unit_dir3, random_vec4, n_rough3, n_smooth3,
                      geometry_offset, random_seed,
-                     force_unroll: bool = False) -> ReservoirPick:
+                     force_unroll: bool = False,
+                     rng_mode: str = "hash") -> ReservoirPick:
     """The reservoir light loop + selection, up to (and excluding) the
     shadow ray (glsl:400-447)."""
     shp = origin3[0].shape
@@ -187,7 +188,8 @@ def reservoir_select(buffers: SceneBuffers, albedo3, rough, metal, emis,
     res_num = jnp.zeros(shp, dtype=jnp.int32)
     res_weight = zero
     res_dir = (zero, zero, zero)
-    lr = noise4(random_vec4[2], random_vec4[3], BIAS, random_seed)[0:2]
+    lr = noise4(random_vec4[2], random_vec4[3], BIAS, random_seed,
+                mode=rng_mode)[0:2]
 
     v = v3.neg3(unit_dir3)
 
@@ -211,7 +213,7 @@ def reservoir_select(buffers: SceneBuffers, albedo3, rough, metal, emis,
         res_num = jnp.where(sel, j, res_num)
         res_weight = jnp.where(sel, weight, res_weight)
         res_dir = v3.where3(sel, d, res_dir)
-        nxt = noise4(lr[0], lr[1], BIAS, random_seed)[2:4]
+        nxt = noise4(lr[0], lr[1], BIAS, random_seed, mode=rng_mode)[2:4]
         lr = (jnp.where(active, nxt[0], lr[0]), jnp.where(active, nxt[1], lr[1]))
         return (local_color, res_length, total_weight, res_num, res_weight,
                 res_dir, lr)
@@ -501,7 +503,8 @@ def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     sign_dir = jnp.sign(v3.dot3(ray_dir, smooth_normal))
     smooth_normal = v3.scale3(smooth_normal, -sign_dir)
 
-    rv = noise4(ndc2[0], ndc2[1], jnp.float32(i) + cos_sample_n, random_seed)
+    rv = noise4(ndc2[0], ndc2[1], jnp.float32(i) + cos_sample_n, random_seed,
+                mode=getattr(config, "rng", "hash"))
     random_sphere = v3.normalize3(v3.add3(
         smooth_normal, v3.normalize3((rv[0], rv[1], rv[2]))))
     brdf = _mix(1.0, jnp.abs(v3.dot3(smooth_normal, ray_dir)), metal)
@@ -569,7 +572,8 @@ def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
             buffers, albedo, rough, metal, emis, ray_origin, ray_dir,
             rv, v3.scale3(rough_normal, -sign_dir),
             v3.scale3(smooth_normal, -sign_dir), geometry_offset,
-            random_seed, force_unroll=force_unroll_lights)
+            random_seed, force_unroll=force_unroll_lights,
+            rng_mode=getattr(config, "rng", "hash"))
     write_id_w = (dont_filter | (i == 0)) & m
 
     carry = carry._replace(
