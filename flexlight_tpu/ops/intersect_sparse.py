@@ -506,25 +506,47 @@ _EXIT_ABS = np.float32(1e-5)
 def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             s_ref, tri_ref, w_s, tl_s, tm_s, sem_w, sem_tl,
             sem_tm, *, cull: bool, precision, tri_tile: int, ray_tile: int,
-            chunk: int, approx_rcp: bool):
+            chunk: int, approx_rcp: bool, subtile: int = 1):
+    """One grid step = `subtile` consecutive ray tiles walked
+    sequentially (each with its own worklist): smaller ray tiles cut
+    wasted matmul lanes ~45% at dragon scale (analyze_raygroup rt sweep)
+    without multiplying Mosaic program launches."""
     i = pl.program_id(0)
     m = chunk * tri_tile
 
-    shp = (1, 1, ray_tile)
+    shp = (1, subtile, ray_tile)
     s_ref[:] = jnp.full(shp, POW32, dtype=jnp.float32)
     tri_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
 
-    cnt = cnt_ref[i]
-    nch = pl.cdiv(cnt, chunk)
-
-    # This tile's worklist row: HBM -> SMEM (the full [RT, WTp] list is
-    # megabytes — beyond the 1 MB SMEM scalar-prefetch budget)
-    tl_dma = pltpu.make_async_copy(tlist_hbm.at[i], tl_s, sem_tl)  # [1, wtp]
+    # This program's worklist rows: HBM -> SMEM (the full [RT, WTp] list
+    # is megabytes — beyond the 1 MB SMEM scalar-prefetch budget).
+    # Unconditional: ~KBs even when every subtile is dead.
+    tl_dma = pltpu.make_async_copy(tlist_hbm.at[i], tl_s, sem_tl)
     tm_dma = pltpu.make_async_copy(tm_hbm.at[i], tm_s, sem_tm)
+    tl_dma.start()
+    tm_dma.start()
+    tl_dma.wait()
+    tm_dma.wait()
+
+    for g in range(subtile):
+        _kernel_subtile(cnt_ref, edge_ref, f_ref, ml_ref, w_hbm, s_ref,
+                        tri_ref, w_s, tl_s, tm_s, sem_w, i, g, m,
+                        cull=cull, precision=precision, tri_tile=tri_tile,
+                        ray_tile=ray_tile, chunk=chunk,
+                        approx_rcp=approx_rcp, subtile=subtile)
+
+
+def _kernel_subtile(cnt_ref, edge_ref, f_ref, ml_ref, w_hbm, s_ref,
+                    tri_ref, w_s, tl_s, tm_s, sem_w, i, g, m, *,
+                    cull: bool, precision, tri_tile: int, ray_tile: int,
+                    chunk: int, approx_rcp: bool, subtile: int):
+    cnt = cnt_ref[i * subtile + g]
+    nch = pl.cdiv(cnt, chunk)
+    rsl = slice(g * ray_tile, (g + 1) * ray_tile)
 
     def w_dma(slot, c, k):
         return pltpu.make_async_copy(
-            w_hbm.at[tl_s[0, c * chunk + k]],
+            w_hbm.at[tl_s[g, c * chunk + k]],
             w_s.at[slot, k], sem_w.at[slot, k])
 
     def start_chunk(slot, c):
@@ -537,18 +559,14 @@ def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
 
     @pl.when(cnt > 0)
     def _():
-        tl_dma.start()
-        tm_dma.start()
-        tl_dma.wait()
         start_chunk(0, 0)
-        tm_dma.wait()
-        live = ml_ref[0] > 0.0                  # [1, ray_tile]
+        live = ml_ref[0, g:g + 1, :] > 0.0      # [1, ray_tile]
 
         def body(carry):
             c, _ = carry
             slot = jax.lax.rem(c, 2)
             wait_chunk(slot, c)
-            ft = f_ref[:]                       # [16, ray_tile]
+            ft = f_ref[:, rsl]                  # [16, ray_tile]
             dn = (((0,), (0,)), ((), ()))       # contract both dim 0
 
             def plane(p):
@@ -563,7 +581,7 @@ def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             udet = plane(1)
             vdet = plane(2)
             sdet = plane(3)
-            ml = ml_ref[0]                      # [1, ray_tile]
+            ml = ml_ref[0, g:g + 1, :]          # [1, ray_tile]
             if cull:
                 da, ud, vd, sd = det, udet, vdet, sdet
             else:
@@ -603,7 +621,7 @@ def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             rows_m1 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
             gidx = rows_m1
             for k in range(chunk):
-                t_k = tl_s[0, c * chunk + k]
+                t_k = tl_s[g, c * chunk + k]
                 in_k = (rows_m1 >= k * tri_tile) & (rows_m1 < (k + 1) * tri_tile)
                 gidx = gidx + jnp.where(in_k, (t_k - k) * tri_tile, 0)
             # reference tie-break: among equal-s rows pick the LOWEST
@@ -615,21 +633,21 @@ def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
             tile_tri = jnp.min(jnp.where(is_best, gidx.astype(jnp.float32),
                                          big), axis=0, keepdims=True)
 
-            prev_s = s_ref[0]
-            prev_tri = tri_ref[0].astype(jnp.float32)
+            prev_s = s_ref[0, g:g + 1, :]
+            prev_tri = tri_ref[0, g:g + 1, :].astype(jnp.float32)
             hit_tile = tile_best_s < POW32
             better = (tile_best_s < prev_s) | (
                 hit_tile & (tile_best_s == prev_s) & (tile_tri < prev_tri))
-            s_ref[0] = jnp.where(better, tile_best_s, prev_s)
-            tri_ref[0] = jnp.where(better & hit_tile, tile_tri, prev_tri
-                                   ).astype(jnp.int32)
+            s_ref[0, g:g + 1, :] = jnp.where(better, tile_best_s, prev_s)
+            tri_ref[0, g:g + 1, :] = jnp.where(
+                better & hit_tile, tile_tri, prev_tri).astype(jnp.int32)
 
             # exit once no remaining tile can beat any live ray's best:
             # worklist is entry-distance sorted, so the next chunk's first
             # entry bounds everything after it (index clamped: the read
             # happens even on the final chunk — & does not short-circuit)
-            worst = jnp.max(jnp.where(live, s_ref[0], 0.0))
-            nxt = tm_s[0, jnp.minimum((c + 1) * chunk,
+            worst = jnp.max(jnp.where(live, s_ref[0, g:g + 1, :], 0.0))
+            nxt = tm_s[g, jnp.minimum((c + 1) * chunk,
                                       tm_s.shape[1] - 1)]
             cont = jnp.logical_and(c + 1 < nch,
                                    worst * _EXIT_REL + _EXIT_ABS >= nxt)
@@ -645,25 +663,38 @@ def _kernel(cnt_ref, edge_ref, f_ref, ml_ref, tlist_hbm, tm_hbm, w_hbm,
 
 def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
                    hit_ref, w_s, tl_s, sem_w, sem_tl,
-                   *, precision, tri_tile: int, ray_tile: int, chunk: int):
+                   *, precision, tri_tile: int, ray_tile: int, chunk: int,
+                   subtile: int = 1):
     """Any-hit specialization: no closest-hit bookkeeping (one reduction
     instead of five + onehot), and the worklist loop exits as soon as
     every live ray in the tile is occluded — shadow rays in penumbra-free
-    regions stop after their first chunk."""
+    regions stop after their first chunk. `subtile` as in _kernel."""
     i = pl.program_id(0)
-    m = chunk * tri_tile
 
-    hit_ref[:] = jnp.zeros((1, 1, ray_tile), dtype=jnp.int32)
-    cnt = cnt_ref[i]
-    nch = pl.cdiv(cnt, chunk)
-    ml = ml_ref[0]                              # [1, ray_tile]
-    dead = ml <= 0.0
-
+    hit_ref[:] = jnp.zeros((1, subtile, ray_tile), dtype=jnp.int32)
     tl_dma = pltpu.make_async_copy(tlist_hbm.at[i], tl_s, sem_tl)
+    tl_dma.start()
+    tl_dma.wait()
+
+    for g in range(subtile):
+        _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
+                        sem_w, i, g, precision=precision,
+                        tri_tile=tri_tile, ray_tile=ray_tile, chunk=chunk,
+                        subtile=subtile)
+
+
+def _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
+                    sem_w, i, g, *, precision, tri_tile: int,
+                    ray_tile: int, chunk: int, subtile: int):
+    cnt = cnt_ref[i * subtile + g]
+    nch = pl.cdiv(cnt, chunk)
+    rsl = slice(g * ray_tile, (g + 1) * ray_tile)
+    ml = ml_ref[0, g:g + 1, :]                  # [1, ray_tile]
+    dead = ml <= 0.0
 
     def w_dma(slot, c, k):
         return pltpu.make_async_copy(
-            w_hbm.at[tl_s[0, c * chunk + k]],
+            w_hbm.at[tl_s[g, c * chunk + k]],
             w_s.at[slot, k], sem_w.at[slot, k])
 
     def start_chunk(slot, c):
@@ -676,15 +707,13 @@ def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
 
     @pl.when(cnt > 0)
     def _():
-        tl_dma.start()
-        tl_dma.wait()
         start_chunk(0, 0)
 
         def body(carry):
             c, _ = carry
             slot = jax.lax.rem(c, 2)
             wait_chunk(slot, c)
-            ft = f_ref[:]
+            ft = f_ref[:, rsl]
             dn = (((0,), (0,)), ((), ()))
 
             def plane(p):
@@ -705,8 +734,9 @@ def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
             valid &= (vdet >= BIAS * det) & (udet + vdet <= det)
             valid &= (sdet > BIAS * det) & (sdet <= ml * det)
             newhit = jnp.any(valid, axis=0, keepdims=True)
-            hit_ref[0] = jnp.where(newhit, 1, hit_ref[0])
-            done = jnp.all((hit_ref[0] > 0) | dead)
+            hit_ref[0, g:g + 1, :] = jnp.where(newhit, 1,
+                                               hit_ref[0, g:g + 1, :])
+            done = jnp.all((hit_ref[0, g:g + 1, :] > 0) | dead)
             cont = jnp.logical_and(jnp.logical_not(done), c + 1 < nch)
 
             @pl.when(cont)
@@ -719,14 +749,15 @@ def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile", "chunk"))
+                                   "ray_tile", "chunk", "subtile"))
 def _any_hit_sparse(w4t, tlist, counts, f, max_len,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
-                    chunk: int = CHUNK):
+                    chunk: int = CHUNK, subtile: int = 1):
     rp = f.shape[0]
     rt = rp // ray_tile
+    ng = rt // subtile
     kdim = w4t.shape[2]
     if w4t.dtype == jnp.bfloat16:
         ft = pack_rhs_x6(f.T)
@@ -736,46 +767,49 @@ def _any_hit_sparse(w4t, tlist, counts, f, max_len,
     wtp = tlist.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(rt,),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((kdim, ray_tile), lambda i, *_: (0, i),
+            pl.BlockSpec((kdim, subtile * ray_tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, subtile, ray_tile), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, subtile, ray_tile),
+                               lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 4, kdim, tri_tile), w4t.dtype),
-            pltpu.SMEM((1, wtp), jnp.int32),
+            pltpu.SMEM((subtile, wtp), jnp.int32),
             pltpu.SemaphoreType.DMA((2, chunk)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     hit = pl.pallas_call(
         partial(_shadow_kernel, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, chunk=chunk),
+                ray_tile=ray_tile, chunk=chunk, subtile=subtile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ng, subtile, ray_tile), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(counts, ft, max_len.reshape(rt, 1, ray_tile),
-      tlist.reshape(rt, 1, -1), w4t)
+    )(counts, ft, max_len.reshape(ng, subtile, ray_tile),
+      tlist.reshape(ng, subtile, -1), w4t)
     return hit.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision",
-                                   "tri_tile", "ray_tile", "chunk"))
+                                   "tri_tile", "ray_tile", "chunk",
+                                   "subtile"))
 def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
                       interpret: bool = False,
                       precision=jax.lax.Precision.HIGHEST,
                       tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
-                      chunk: int = CHUNK, edge=BIAS):
+                      chunk: int = CHUNK, edge=BIAS, subtile: int = 1):
     rp = f.shape[0]
     rt = rp // ray_tile
+    ng = rt // subtile
     kdim = w4t.shape[2]
     if w4t.dtype == jnp.bfloat16:
         ft = pack_rhs_x6(f.T)                   # [96, Rp] bf16
@@ -783,19 +817,19 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
     else:
         ft = f.T
     out_shape = [
-        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
-        jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
+        jax.ShapeDtypeStruct((ng, subtile, ray_tile), jnp.float32),
+        jax.ShapeDtypeStruct((ng, subtile, ray_tile), jnp.int32),
     ]
-    out_spec = pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, subtile, ray_tile), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     wtp = tlist.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                  # counts, accept-window edge
-        grid=(rt,),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((kdim, ray_tile), lambda i, *_: (0, i),
+            pl.BlockSpec((kdim, subtile * ray_tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, subtile, ray_tile), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tlist rows in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # sorted tmins in HBM
@@ -804,8 +838,8 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
         out_specs=[out_spec] * 2,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, 4, kdim, tri_tile), w4t.dtype),
-            pltpu.SMEM((1, wtp), jnp.int32),
-            pltpu.SMEM((1, wtp), jnp.float32),
+            pltpu.SMEM((subtile, wtp), jnp.int32),
+            pltpu.SMEM((subtile, wtp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, chunk)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -814,14 +848,15 @@ def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
     edge_arr = jnp.asarray(edge, jnp.float32).reshape(1)
     s, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret),
+                ray_tile=ray_tile, chunk=chunk, approx_rcp=not interpret,
+                subtile=subtile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(counts, edge_arr, ft, max_len.reshape(rt, 1, ray_tile),
-      tlist.reshape(rt, 1, -1), tms.reshape(rt, 1, -1), w4t)
+    )(counts, edge_arr, ft, max_len.reshape(ng, subtile, ray_tile),
+      tlist.reshape(ng, subtile, -1), tms.reshape(ng, subtile, -1), w4t)
     return s.reshape(-1), tri.reshape(-1)
 
 
@@ -856,7 +891,8 @@ def _sort_perm(aabb_min, aabb_max, origin, direction, max_len, tri_tile,
 
 def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
          interpret, precision, tri_tile, ray_tile, chunk, sort_rays,
-         edge=BIAS, sort_hint=None, sort_mode: str = "prevtile"):
+         edge=BIAS, sort_hint=None, sort_mode: str = "prevtile",
+         subtile: int = 1):
     from .intersect_kernel import _prep
 
     if sort_rays:
@@ -865,7 +901,8 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
                                     interpret, ray_tile)
         origin, direction, max_len = _apply_perm_rays(
             origin, direction, max_len, perm)
-    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
+    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile * subtile)
+    rt = o.shape[0] // ray_tile
     wt = w4t.shape[0]
     if interpret:
         tmins = _tmins_xla(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
@@ -877,7 +914,8 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
     s_key, tri = _intersect_sparse(w4t, tlist, tms, counts, f, ml,
                                    cull=cull, interpret=interpret,
                                    precision=precision, tri_tile=tri_tile,
-                                   ray_tile=ray_tile, chunk=chunk, edge=edge)
+                                   ray_tile=ray_tile, chunk=chunk, edge=edge,
+                                   subtile=subtile)
     tri = tri[:n]
     # Exact f32 (s, u, v) of the winner: one vectorized row gather of its
     # MT constants + a 16-wide dot — the kernel's distance is only an
@@ -901,14 +939,14 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
                                    "ray_tile", "chunk", "sort_rays",
-                                   "sort_mode"))
+                                   "sort_mode", "subtile"))
 def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                     chunk: int = CHUNK, sort_rays: bool = False,
                     alive=None, edge=BIAS, sort_hint=None,
-                    sort_mode: str = "prevtile") -> Hit:
+                    sort_mode: str = "prevtile", subtile: int = 1) -> Hit:
     """Closest hit of N rays against all triangles; worklist-sparse.
 
     Hit.triangle is the DRAWABLE index (position in id_buffer order), not
@@ -924,7 +962,8 @@ def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
     s, u, v, tri = _run(w4t, w4f, aabb_min, aabb_max, origin, direction,
                         max_len, False, interpret, precision, tri_tile,
                         ray_tile, chunk, sort_rays, edge=edge,
-                        sort_hint=sort_hint, sort_mode=sort_mode)
+                        sort_hint=sort_hint, sort_mode=sort_mode,
+                        subtile=subtile)
     hit = tri >= 0
     suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
     return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32))
@@ -932,14 +971,15 @@ def traverse_sparse(w4t, w4f, aabb_min, aabb_max, origin, direction,
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
                                    "ray_tile", "chunk", "sort_rays",
-                                   "sort_mode"))
+                                   "sort_mode", "subtile"))
 def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
                   tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                   chunk: int = CHUNK, sort_rays: bool = False,
                   alive=None, sort_hint=None,
-                  sort_mode: str = "prevtile") -> jnp.ndarray:
+                  sort_mode: str = "prevtile",
+                  subtile: int = 1) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len; worklist-sparse with
     per-tile early exit (see _shadow_kernel)."""
     from .intersect_kernel import _prep
@@ -952,7 +992,8 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                                     interpret, ray_tile)
         origin, direction, max_len = _apply_perm_rays(
             origin, direction, max_len, perm)
-    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile)
+    o, d, ml, n, rt = _prep(origin, direction, max_len, ray_tile * subtile)
+    rt = o.shape[0] // ray_tile
     wt = w4t.shape[0]
     if interpret:
         tmins = _tmins_xla(aabb_min, aabb_max, o, d, ml, rt, wt, ray_tile)
@@ -963,7 +1004,8 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
     f = _ray_features(o, d)
     hit = _any_hit_sparse(w4t, tlist, counts, f, ml, interpret=interpret,
                           precision=precision, tri_tile=tri_tile,
-                          ray_tile=ray_tile, chunk=chunk)[:n]
+                          ray_tile=ray_tile, chunk=chunk,
+                          subtile=subtile)[:n]
     if sort_rays:
         # 4-wide row gather instead of a scalar-core 1-D gather
         hit4 = jnp.tile(hit[:, None].astype(jnp.float32), (1, 4))[inv_perm]

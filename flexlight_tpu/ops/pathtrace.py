@@ -821,25 +821,30 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
         # Candidate-aware bounce/shadow wavefront sort (chip A/B knob;
-        # see intersect_sparse.nearest2_key). Trace-time like the other
-        # perf knobs here.
+        # see intersect_sparse.nearest2_key) + subtiling (several small
+        # ray tiles per Mosaic program: small-tile matmul savings without
+        # the program-launch overhead). Trace-time like the other perf
+        # knobs here.
         smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "prevtile")
+        sub = int(os.environ.get("FLEXLIGHT_SPARSE_SUBTILE", "1"))
 
         def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
             # NB: returns DRAWABLE indices; the material/location tables
             # below are pre-gathered into drawable order for this scheme.
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
+            g = sub if hint is not None else 1
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
                                    alive=alive, edge=edge, sort_hint=hint,
-                                   ray_tile=rt, sort_mode=smode)
+                                   ray_tile=rt, sort_mode=smode, subtile=g)
 
         def shadow_fn(o, d, l, alive=None, hint=None):
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
+            g = sub if hint is not None else 1
             return shadow_sparse(w4t, amin, amax, o, d, l,
                                  interpret=interp, sort_rays=sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
-                                 sort_mode=smode)
+                                 sort_mode=smode, subtile=g)
     elif scheme == "kernel":
         import jax
 

@@ -32,6 +32,9 @@ echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=256 bench_direct dragon ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=256 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"
+echo "=== FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=256 FLEXLIGHT_SPARSE_SUBTILE=4 bench_direct dragon (subtiled small ray tiles) ===" >> "$LOG"
+timeout 2400 env FLEXLIGHT_SPARSE_SORT=nearest2 FLEXLIGHT_BOUNCE_RT=256 FLEXLIGHT_SPARSE_SUBTILE=4 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
+echo "rc=$?" >> "$LOG"
 echo "=== FLEXLIGHT_SHADE_KERNEL=1 bench_direct dragon (Pallas shading + sparse traversal) ===" >> "$LOG"
 timeout 2400 env FLEXLIGHT_SHADE_KERNEL=1 python scripts/bench_direct.py dragon >> "$LOG" 2>&1
 echo "rc=$?" >> "$LOG"

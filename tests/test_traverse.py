@@ -391,3 +391,88 @@ def test_sparse_sort_env_knob_render(monkeypatch):
                         jnp.float32(0.0), scheme="sparse")
     for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    monkeypatch.setenv("FLEXLIGHT_SPARSE_SUBTILE", "4")
+    got2 = pt.render_mrt(buffers, 16, 16, pos, view, config,
+                         jnp.float32(0.0), scheme="sparse")
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(got2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("subtile,ray_tile", [(2, 256), (4, 256)])
+def test_sparse_subtile_matches_single(subtile, ray_tile):
+    """Subtiling (several ray tiles per Mosaic program) is a pure
+    scheduling change: results must be bit-identical to subtile=1 at the
+    same ray_tile, for closest-hit and any-hit, including padding tails
+    (n not a multiple of ray_tile*subtile)."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse,
+                                                    traverse_sparse)
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
+
+    rng = np.random.default_rng(31)
+    n = 2048 + 300                         # forces a ragged padding tail
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    hint = jnp.asarray(rng.integers(0, buffers.id_buffer.shape[0], n),
+                       dtype=jnp.int32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+
+    base = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint,
+                           ray_tile=ray_tile)
+    got = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                          jnp.asarray(direction), interpret=True,
+                          sort_rays=True, alive=alive, sort_hint=hint,
+                          ray_tile=ray_tile, subtile=subtile)
+    np.testing.assert_array_equal(np.asarray(got.triangle),
+                                  np.asarray(base.triangle))
+    np.testing.assert_array_equal(np.asarray(got.suv),
+                                  np.asarray(base.suv))
+
+    max_len = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+    s_base = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), max_len, interpret=True,
+                           sort_rays=True, alive=alive, sort_hint=hint,
+                           ray_tile=ray_tile)
+    s_got = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                          jnp.asarray(direction), max_len, interpret=True,
+                          sort_rays=True, alive=alive, sort_hint=hint,
+                          ray_tile=ray_tile, subtile=subtile)
+    np.testing.assert_array_equal(np.asarray(s_got), np.asarray(s_base))
+
+
+def test_sparse_subtile_lowers_for_tpu():
+    """Subtiled closest-hit + any-hit kernels lower through Mosaic."""
+    from jax import export
+
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse,
+                                                    traverse_sparse)
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer)
+
+    n = 4096
+
+    def f(o, d, ml):
+        hit = traverse_sparse(w4t, w4f, amin, amax, o, d, sort_rays=True,
+                              sort_hint=jnp.zeros(n, jnp.int32),
+                              ray_tile=256, subtile=4)
+        sh = shadow_sparse(w4t, amin, amax, o, d, ml, sort_rays=True,
+                           sort_hint=jnp.zeros(n, jnp.int32),
+                           ray_tile=256, subtile=4)
+        return hit.suv, hit.triangle, sh
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
+        jnp.full((n,), 8.0, jnp.float32))
+    assert len(exp.mlir_module_serialized) > 0
