@@ -371,15 +371,21 @@ def _key_kernel(rays_ref, bmin_ref, bmax_ref, out_ref, *, nbp: int,
                      keepdims=True)
         j1 = jnp.where(f1 >= POW32, nb, j1)
         j2 = jnp.where(f2 >= POW32, nb, j2)
-        # merge two sorted pairs, keep best two (ties prefer the running
-        # pair = earlier chunk = lower global index)
+        # merge two sorted pairs, keep best two. Ties pick the LOWEST
+        # index (matches the xla one-pass min-of-iota): running-vs-chunk
+        # ties resolve to the running pair (earlier chunk = lower index),
+        # but the demoted loser needs an explicit (entry, index)
+        # lexicographic test — e.g. origins inside several boxes tie at
+        # entry=BIAS, and the loser (chunk's j1) must beat the chunk's
+        # own j2 for second place.
         loser_e = jnp.where(f1 < e1, e1, f1)
         loser_i = jnp.where(f1 < e1, i1, j1)
         i1 = jnp.where(f1 < e1, j1, i1)
         e1 = jnp.minimum(e1, f1)
         i2 = jnp.where(f2 < e2, j2, i2)
         e2 = jnp.minimum(e2, f2)
-        i2 = jnp.where(loser_e < e2, loser_i, i2)
+        take = (loser_e < e2) | ((loser_e == e2) & (loser_i < i2))
+        i2 = jnp.where(take, loser_i, i2)
         e2 = jnp.minimum(e2, loser_e)
     octant = ((inv[0] > 0.0).astype(jnp.int32) * 4
               + (inv[1] > 0.0).astype(jnp.int32) * 2
@@ -445,14 +451,18 @@ def _nearest2_key_xla(aabb_min, aabb_max, origin, direction, max_len,
                     ml.reshape(nc, chunk))).reshape(-1)[:n]
 
 
-@partial(jax.jit, static_argnames=("ray_tile", "interpret", "group"))
+@partial(jax.jit, static_argnames=("ray_tile", "interpret", "group",
+                                   "k_chunk"))
 def nearest2_key(aabb_min, aabb_max, origin, direction, max_len,
                  ray_tile: int = RAY_TILE, interpret: bool = False,
-                 group: int = 8):
+                 group: int = 8, k_chunk: int | None = None):
     """int32 [N] wavefront sort key: (nearest supertile, 2nd-nearest,
     octant); dead rays (max_len <= 0) get 1<<30. `group` = cull clusters
     per supertile (8 clusters x 64 tris = 4 worklist tiles). Pallas; see
-    _nearest2_key_xla for the jnp formulation (callers pick it on CPU)."""
+    _nearest2_key_xla for the jnp formulation (callers pick it on CPU).
+    `k_chunk` overrides the per-loop box-chunk size (tests exercise the
+    cross-chunk two-min merge that production sizes only hit above 512
+    supertiles ~ 262k triangles)."""
     bmin, bmax = _super_boxes(aabb_min, aabb_max, group)
     nb = bmin.shape[0]
     n = origin.shape[0]
@@ -463,7 +473,8 @@ def nearest2_key(aabb_min, aabb_max, origin, direction, max_len,
                             constant_values=1.0)
         max_len = jnp.pad(max_len, (0, pad))
     rt = (n + pad) // ray_tile
-    k_chunk = min(512, -(-nb // 8) * 8)
+    if k_chunk is None:
+        k_chunk = min(512, -(-nb // 8) * 8)
     nbp = -(-nb // k_chunk) * k_chunk
     if nbp > nb:
         bmin = jnp.pad(bmin, ((0, nbp - nb), (0, 0)),

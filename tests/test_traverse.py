@@ -476,3 +476,33 @@ def test_sparse_subtile_lowers_for_tpu():
         jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
         jnp.full((n,), 8.0, jnp.float32))
     assert len(exp.mlir_module_serialized) > 0
+
+
+def test_nearest2_key_multichunk_merge():
+    """Force a small k_chunk so the cross-chunk two-min merge runs (the
+    path production only hits above 512 supertiles) and compare against
+    the single-chunk kernel result. Box entries are randomized so ties
+    are absent and the merge order is fully determined."""
+    from flexlight_tpu.ops.intersect_sparse import nearest2_key
+
+    rng = np.random.default_rng(33)
+    k = 255                                # 32 supertiles of 8 clusters
+    centers = rng.uniform(-10, 10, (k, 3)).astype(np.float32)
+    half = rng.uniform(0.2, 2.0, (k, 3)).astype(np.float32)
+    amin = jnp.asarray(centers - half)
+    amax = jnp.asarray(centers + half)
+
+    n = 2048
+    origin = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    max_len = np.full(n, POW32, dtype=np.float32)
+    max_len[rng.uniform(size=n) < 0.2] = 0.0
+
+    one = nearest2_key(amin, amax, jnp.asarray(origin),
+                       jnp.asarray(direction), jnp.asarray(max_len),
+                       interpret=True)
+    multi = nearest2_key(amin, amax, jnp.asarray(origin),
+                         jnp.asarray(direction), jnp.asarray(max_len),
+                         interpret=True, k_chunk=8)
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(one))
