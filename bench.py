@@ -153,12 +153,42 @@ def bench_north_star():
     }
 
 
+def _claim_device():
+    """The perf sweep (scripts/bench_all_tpu.sh) may hold the chip — the
+    relay serializes concurrent TPU processes and inflates device
+    timings 2-3x. Signal priority (the sweep yields between entries) and
+    wait boundedly for its lock to clear; the wait happens BEFORE the
+    watchdog budget starts."""
+    import atexit
+    import pathlib
+
+    if os.environ.get("FLEXLIGHT_SWEEP_CHILD"):
+        return                               # invoked BY the sweep itself
+    if len(sys.argv) > 1 and sys.argv[1] == "cpu":
+        return                               # no device to contend for
+    flag = pathlib.Path("/tmp/bench_priority")
+    flag.write_text(str(os.getpid()))
+    atexit.register(lambda: flag.unlink(missing_ok=True))
+    lock = pathlib.Path("/tmp/tpu_sweep.lock")
+    waited = 0.0
+    while lock.exists() and waited < 2400.0:
+        try:
+            pid = int(lock.read_text().strip())
+            os.kill(pid, 0)                  # raises if the holder died
+        except (ValueError, OSError):
+            break                            # stale lock — proceed
+        time.sleep(15.0)
+        waited += 15.0
+
+
 def main():
     # Watchdog: if the TPU tunnel is unreachable, the first device use
     # blocks forever inside native code (grpc wait) — where SIGALRM's
     # Python handler can't run — and the driver would record NOTHING. A
     # daemon thread prints an honest error line and hard-exits instead.
     import threading
+
+    _claim_device()
 
     deadline = float(os.environ.get("FLEXLIGHT_BENCH_TIMEOUT", "2700"))
     done = threading.Event()
