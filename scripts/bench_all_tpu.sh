@@ -59,5 +59,6 @@ run python scripts/bench_stages.py theater
 run FLEXLIGHT_FXAA=gather python scripts/bench_stages.py theater
 run python scripts/bench_filters.py
 run python scripts/bench_filters.py sweep
+run python scripts/bench_sort.py
 run FLEXLIGHT_SWEEP_CHILD=1 python bench.py
 echo "ALL DONE" >> "$LOG"
