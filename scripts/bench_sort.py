@@ -45,6 +45,14 @@ def main():
           jnp.arange(n, dtype=jnp.int32), unique_indices=True,
           indices_are_sorted=False), perm)
     t("apply perm: [N,7] row gather", lambda r, p: r[p], rays, perm)
+    # un-permute results WITHOUT building inv_perm at all: scatter the
+    # sorted rows back to original positions (row scatter = the scatter
+    # analogue of the vectorized [N,C] row gather)
+    t("unpermute: [N,7] row scatter at[perm]",
+      lambda r, p: jnp.zeros_like(r).at[p].set(r, unique_indices=True),
+      rays, perm)
+    t("unpermute: argsort(perm) + row gather",
+      lambda r, p: r[jnp.argsort(p)], rays, perm)
     t("sort+inv+2x apply (per-cast prevtile cost)",
       lambda k, r: (lambda p: (jnp.argsort(p), r[p]))(
           jnp.argsort(k, stable=True)), key32, rays)
