@@ -3,8 +3,8 @@
 The XLA formulation (post.fxaa) materializes eight [H, W, 6(, 4)] shift
 stacks plus per-iteration 6-way selects — several GB of HBM traffic at
 1080p for what is arithmetically a radius-7 stencil. This kernel computes
-the whole pass per image tile with every plane VMEM-resident: one HBM
-read of the tile window, one write of the tile.
+the whole pass per full-width image strip with every plane VMEM-resident:
+one HBM read of the strip window, one write of the strip.
 
 It also removes the sequential search state. The reference's loop is,
 per direction: take one step per iteration while not done, reading
@@ -40,8 +40,10 @@ from .fxaa import (EDGE_THRESHOLD, EDGE_THRESHOLD_MIN, SEARCH_STEPS,
                    SUBPIX_CAP, SUBPIX_TRIM, SUBPIX_TRIM_SCALE)
 
 R = SEARCH_STEPS + 2   # halo: search 6 + blur 1, rounded to 8
-TY = 128
-TX = 112               # (TX + 2*R) % 128 == 0 keeps lane tiling exact
+TY = 8                 # rows per strip; full image width per program.
+                       # Strips are VMEM-bound: the unrolled 12-step span
+                       # search keeps ~O(50) [ty, W] planes live, and the
+                       # 16 MB scoped-vmem limit caps ty at 8 for W=1920.
 
 
 def _luma(r, g, a):
@@ -164,25 +166,33 @@ def _fxaa_kernel(win_ref, out_ref, *, ty: int, tx: int):
 
 
 def fxaa_tpu(img: jnp.ndarray, interpret: bool = False,
-             ty: int = TY, tx: int = TX) -> jnp.ndarray:
-    """Drop-in for post.fxaa.fxaa: [H, W, 4] -> [H, W, 4]."""
+             ty: int = TY) -> jnp.ndarray:
+    """Drop-in for post.fxaa.fxaa: [H, W, 4] -> [H, W, 4].
+
+    Tiling is full-width y-strips: Mosaic requires the last two dims of
+    every block to be (divisible by 8, divisible by 128) OR equal to the
+    whole array dim, and overlapping halo windows can't satisfy the
+    divisibility arm (tx + 2R and tx can't both be multiples of 128), so
+    the width axis is kept whole (the equal-to-dim arm) and only y is
+    tiled. Strips also read strictly less halo than 2-D tiles: the x
+    halo is fetched once per strip instead of once per tile.
+    """
     h, w = img.shape[0], img.shape[1]
     hp = -(-h // ty) * ty
-    wp = -(-w // tx) * tx
     chw = jnp.transpose(img, (2, 0, 1))
-    padded = jnp.pad(chw, ((0, 0), (R, R + hp - h), (R, R + wp - w)))
-    tyw, txw = ty + 2 * R, tx + 2 * R
+    padded = jnp.pad(chw, ((0, 0), (R, R + hp - h), (R, R)))
+    tyw, txw = ty + 2 * R, w + 2 * R
 
     out = pl.pallas_call(
-        partial(_fxaa_kernel, ty=ty, tx=tx),
-        grid=(hp // ty, wp // tx),
+        partial(_fxaa_kernel, ty=ty, tx=w),
+        grid=(hp // ty,),
         in_specs=[pl.BlockSpec(
             (pl_core.Element(4), pl_core.Element(tyw), pl_core.Element(txw)),
-            lambda i, j: (0, i * ty, j * tx))],
-        out_specs=pl.BlockSpec((4, ty, tx), lambda i, j: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+            lambda i: (0, i * ty, 0))],
+        out_specs=pl.BlockSpec((4, ty, w), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, hp, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(padded)
-    return jnp.transpose(out, (1, 2, 0))[:h, :w]
+    return jnp.transpose(out, (1, 2, 0))[:h]
