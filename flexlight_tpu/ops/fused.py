@@ -162,7 +162,10 @@ def _make_mt_closures(w, tp: int, rt: int):
         valid &= (u >= BIAS) & (u <= 1.0)
         valid &= (v >= BIAS) & (u + v <= 1.0)
         valid &= (s > BIAS) & (s <= max_len.T)
-        return jnp.any(valid, axis=1, keepdims=True).T
+        # Mosaic can't legalize tpu.transpose on i1 vectors — reduce and
+        # transpose in f32, then compare back to bool.
+        anyf = jnp.max(jnp.where(valid, 1.0, 0.0), axis=1, keepdims=True)
+        return anyf.T > 0.5
 
     return mt_closest, traverse_soa, shadow_soa
 
@@ -1013,7 +1016,10 @@ def _interp_shade_kernel(scal_ref, lights_ref, cam_ref, alb_ref, pbr_ref,
     ch = [state[k:k + 1] for k in range(N_STEP_IN)]
     carry = _carry_from_channels(ch[:N_CARRY], zero)
     ndc2 = (ch[N_CARRY], ch[N_CARRY + 1])
-    rows = rows_ref[...]                                # [49, 1, rt]
+    rows2 = rows_ref[0]                                 # [49, rt]
+    # bounce_pre consumes the fetch as rowt[k] -> [1, rt] planes; a list
+    # of sublane slices gives it that without any in-kernel relayout.
+    rows = [rows2[k:k + 1] for k in range(rows2.shape[0])]
 
     def fetch_rows(table, idx):
         return rows
@@ -1081,22 +1087,25 @@ def make_fused_bounce_step(buffers: SceneBuffers, camera_pos, config,
                        next_traverse=None) -> BounceCarry:
         assert carry.hs.ndim == 2, "step kernel needs the 2-D ray layout"
         g, rt = carry.hs.shape
-        rows = fetch_rows_t(mat, carry.tri)              # [49, G, rt]
+        # [G, 49, rt]: the per-program axis must lead — Mosaic rejects
+        # blocks whose second-to-last dim is 1 on a larger array, so a
+        # [49, G, rt] layout with (49, 1, rt) blocks cannot lower.
+        rows = jnp.swapaxes(fetch_rows_t(mat, carry.tri), 0, 1)
         chans = _carry_to_channels(carry) + [*ndc2]
         zero = jnp.zeros((g, rt), jnp.float32)
         state = jnp.stack(chans + [zero] * (c_in - len(chans)), axis=1)
         scalars = jnp.stack([jnp.asarray(random_seed, jnp.float32),
                              jnp.asarray(cos_sample_n, jnp.float32)])
         kern = partial(_interp_shade_kernel, config=config, i=i)
-        n_rows = rows.shape[0]
+        n_rows = rows.shape[1]
         if pallas:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g,),
                 in_specs=[full(tuple(buffers.lights.shape)), full((1, 3)),
                           full((1, 3)), full((1, 3)), full((1, 3)),
-                          pl.BlockSpec((n_rows, 1, rt),
-                                       lambda i, *_: (0, i, 0)),
+                          pl.BlockSpec((1, n_rows, rt),
+                                       lambda i, *_: (i, 0, 0)),
                           pl.BlockSpec((1, c_in, rt),
                                        lambda i, *_: (i, 0, 0))],
                 out_specs=pl.BlockSpec((1, N_STEP_OUT, rt),

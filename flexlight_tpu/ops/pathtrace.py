@@ -549,11 +549,15 @@ def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     new_dont_filter = ((rough < 0.01) & is_solid) | ~is_solid
     is_glass = is_solid & (tpo[0] > 0.01)
     glass = jnp.where(df & is_glass, carry.glass + 1.0, carry.glass)
-    new_dont_filter = jnp.where(is_glass, False, new_dont_filter)
+    # NB: not jnp.where(is_glass, False, ...) — the scalar False literal
+    # lowers to an i8->i1 trunci that Mosaic rejects inside Pallas kernels.
+    new_dont_filter = new_dont_filter & ~is_glass
     importancy = v3.where3(~dont_filter & m,
                            v3.mul3(carry.importancy, albedo),
                            carry.importancy)
-    dont_filter = jnp.where(df, new_dont_filter, dont_filter)
+    # Bool-valued select_n also lowers through i8<->i1 casts Mosaic
+    # rejects — express every bool blend as pure logic instead.
+    dont_filter = (df & new_dont_filter) | (~df & dont_filter)
 
     first_ray_length = carry.first_ray_length
     if i == 1:
