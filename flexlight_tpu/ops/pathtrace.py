@@ -294,7 +294,11 @@ def fetch_rows_t(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     t = mat.shape[0]
     flat = idx.reshape(-1)
     n = flat.shape[0]
-    if t <= 256 and n <= 262144:
+    # One-hot cap is memory-based: the [t, n] f32 one-hot materializes in
+    # HBM, so bound t*n (536 MB) rather than n alone — at 1080p (2M rays)
+    # small-table scenes (theater: 20 drawables) stay on the MXU path,
+    # which beats the row gather ~50 ms -> ~1 ms per bounce.
+    if t <= 256 and t * n <= (1 << 27):
         onehot = (flat[None, :] == jnp.arange(t, dtype=flat.dtype)[:, None])
         out = jnp.dot(mat.T, onehot.astype(mat.dtype),
                       precision=jax.lax.Precision.HIGHEST)
