@@ -24,7 +24,8 @@ def load_texture(path: str) -> Texture:
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
-    return Texture(np.asarray(img, dtype=np.float32) / 255.0)
+    # n * (1/255) so AtlasTable's u8 storage round-trips bit-exactly
+    return Texture(np.asarray(img, dtype=np.float32) * np.float32(1.0 / 255.0))
 
 
 def run(engine: FlexLight, name: str, default_frames: int = 4,

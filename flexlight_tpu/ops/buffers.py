@@ -16,10 +16,44 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 ATLAS_WIDTH_PX = 2048  # pathtracerWGL2.js:93
+
+# Texel tables at or below this row count are fetched with an exact one-hot
+# MXU contraction instead of an XLA gather. On the chip, a 2M-index gather
+# costs ~3-5 ms even from a tiny table (scalar-core bound), while the
+# one-hot matmul at K<=64 fuses to ~0 ms.
+ONE_HOT_TEXELS = 64
+ONE_HOT_SLOTS = 64
+
+
+class AtlasTable(NamedTuple):
+    """Compact texel table for the hot wavefront fetch.
+
+    The standard-tile atlas (`build_atlas`) pads every texture to
+    `standardTextureSizes` inside a `height*n x 2048` canvas, so a scene
+    whose textures are 1x1 constants still gathers from a multi-megarow
+    table. This stores each tile at `min(native, standard)` resolution in
+    one flat texel list plus a per-slot (offset, stored_w, stored_h)
+    directory, and reproduces the padded atlas's values exactly: the
+    virtual-atlas coordinate math of `fetch_tex_val` (glsl:108-117) runs
+    unchanged, then the standard-tile pixel is mapped to the stored tile
+    with the same nearest-index arithmetic `build_atlas` resamples with.
+
+    texels: [K, 3] f32, or uint8 when `round(v*255)/255` reconstructs the
+        float data bit-exactly (true for image-sourced textures, which the
+        reference stores as Uint8ClampedArray — scene.js:22-39).
+    tile_info: [S, 3] i32 — (flat texel offset, stored w, stored h) per
+        virtual tile slot; slots past the texture count point at a zero
+        texel, matching the padded atlas's zero fill.
+    meta: [5] i32 — (std_w, std_h, tiles_per_row, virt_h, virt_w).
+    """
+    texels: jnp.ndarray
+    tile_info: jnp.ndarray
+    meta: jnp.ndarray
 
 
 class SceneBuffers(NamedTuple):
@@ -34,6 +68,9 @@ class SceneBuffers(NamedTuple):
     pbr_atlas: jnp.ndarray      # [Hp, Wp, 3] f32
     tpo_atlas: jnp.ndarray      # [Ht, Wt, 3] f32
     texture_width: jnp.ndarray  # [] f32 — tiles per atlas row
+    albedo_tab: AtlasTable | None = None
+    pbr_tab: AtlasTable | None = None
+    tpo_tab: AtlasTable | None = None
 
 
 def build_atlas(textures, standard_size) -> np.ndarray:
@@ -55,6 +92,105 @@ def build_atlas(textures, standard_size) -> np.ndarray:
             data = data[ys][:, xs]
         atlas[row * height:(row + 1) * height, col * width:(col + 1) * width] = data
     return atlas
+
+
+def build_atlas_table(textures, standard_size) -> AtlasTable:
+    """Compact-table counterpart of `build_atlas` (see AtlasTable)."""
+    std_w, std_h = int(standard_size[0]), int(standard_size[1])
+    tpr = max(ATLAS_WIDTH_PX // std_w, 1)
+    if not textures:
+        # Matches the 1x1 zero placeholder atlas: any non-miss fetch reads 0.
+        return AtlasTable(
+            texels=jnp.zeros((1, 3), dtype=jnp.float32),
+            tile_info=jnp.asarray([[0, 1, 1]], dtype=jnp.int32),
+            meta=jnp.asarray([1, 1, 1, 1, 1], dtype=jnp.int32))
+    n = len(textures)
+    rows, texel_rows, off = [], [], 0
+    for tex in textures:
+        d = np.asarray(tex.data, dtype=np.float32)
+        if d.shape[0] * d.shape[1] > std_h * std_w:
+            # Big source: store the standard-tile resample (identical values
+            # to the padded atlas, which holds exactly this resample).
+            ys = (np.arange(std_h) * d.shape[0] // std_h).clip(0, d.shape[0] - 1)
+            xs = (np.arange(std_w) * d.shape[1] // std_w).clip(0, d.shape[1] - 1)
+            d = d[ys][:, xs]
+        rows.append((off, d.shape[1], d.shape[0]))
+        texel_rows.append(d.reshape(-1, 3))
+        off += d.shape[0] * d.shape[1]
+    # One zero texel backs every padding slot (the padded atlas is zero there)
+    zero_off = off
+    texel_rows.append(np.zeros((1, 3), dtype=np.float32))
+    n_slots = n * tpr  # virtual grid: n tile rows (build_atlas allocates h*n)
+    for _ in range(n, n_slots):
+        rows.append((zero_off, 1, 1))
+    texels = np.concatenate(texel_rows, axis=0)
+    # uint8 storage only when the on-device reconstruction u8 * (1/255) is
+    # bit-exact, so golden outputs cannot move.
+    q = np.round(texels * 255.0)
+    if (texels >= 0).all() and (texels <= 1).all() and np.array_equal(
+            q.astype(np.float32) * np.float32(1.0 / 255.0), texels):
+        texels = q.astype(np.uint8)
+    return AtlasTable(
+        texels=jnp.asarray(texels),
+        tile_info=jnp.asarray(np.asarray(rows, dtype=np.int32)),
+        meta=jnp.asarray([std_w, std_h, tpr, std_h * n, std_w * tpr],
+                         dtype=jnp.int32))
+
+
+def fetch_tex_val_table(table: AtlasTable, u, v, tex_num, default3):
+    """`fetch_tex_val_soa` over an AtlasTable — value-identical, but the
+    gather runs against the compact texel list (or an exact one-hot MXU
+    contraction when the list is tiny)."""
+    texels, tile_info, meta = table
+    k = texels.shape[0]
+    n_slots = tile_info.shape[0]
+    miss = tex_num == -1.0
+    if k == 1:
+        flat = texels.astype(jnp.float32)
+        if texels.dtype == jnp.uint8:
+            flat = flat * jnp.float32(1.0 / 255.0)
+        return tuple(jnp.where(miss, d, flat[0, c])
+                     for c, d in enumerate(default3))
+    std_w, std_h, tpr = meta[0], meta[1], meta[2]
+    hf = meta[3].astype(jnp.float32)
+    wf = meta[4].astype(jnp.float32)
+    tw = tpr.astype(jnp.float32)
+    height_factor = wf / hf
+    cx = (u + jnp.mod(tex_num, tw)) / tw
+    cy = (v + jnp.floor(tex_num / tw)) * height_factor / tw
+    px = jnp.clip(jnp.floor(jnp.mod(cx, 1.0) * wf).astype(jnp.int32),
+                  0, meta[4] - 1)
+    py = jnp.clip(jnp.floor(jnp.mod(cy, 1.0) * hf).astype(jnp.int32),
+                  0, meta[3] - 1)
+    col = px // std_w
+    row = py // std_h
+    slot = jnp.clip(row * tpr + col, 0, n_slots - 1)
+    if n_slots <= ONE_HOT_SLOTS:
+        hot = (slot[..., None] == jnp.arange(n_slots)).astype(jnp.float32)
+        # exact: tile_info values are < 2^24 so the f32 contraction is exact
+        info = jnp.dot(hot, tile_info.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        off, sw, sh = info[..., 0], info[..., 1], info[..., 2]
+    else:
+        info = tile_info[slot]
+        off, sw, sh = info[..., 0], info[..., 1], info[..., 2]
+    # standard-tile pixel -> stored-tile pixel, same nearest arithmetic as
+    # the build_atlas resample (ys = arange(std)*src//std)
+    sx = ((px - col * std_w) * sw) // std_w
+    sy = ((py - row * std_h) * sh) // std_h
+    idx = off + sy * sw + sx
+    if k <= ONE_HOT_TEXELS:
+        hot = (idx[..., None] == jnp.arange(k)).astype(jnp.float32)
+        tabf = texels.astype(jnp.float32)
+        if texels.dtype == jnp.uint8:
+            tabf = tabf * jnp.float32(1.0 / 255.0)
+        sampled = jnp.dot(hot, tabf, precision=jax.lax.Precision.HIGHEST)
+    else:
+        sampled = texels[idx].astype(jnp.float32)
+        if texels.dtype == jnp.uint8:
+            sampled = sampled * jnp.float32(1.0 / 255.0)
+    sampled = jnp.moveaxis(sampled, -1, 0)
+    return tuple(jnp.where(miss, d, sampled[c]) for c, d in enumerate(default3))
 
 
 def build_scene_buffers(scene, registry=None) -> SceneBuffers:
@@ -80,6 +216,9 @@ def build_scene_buffers(scene, registry=None) -> SceneBuffers:
         pbr_atlas=jnp.asarray(build_atlas(scene.pbr_textures, scene.standard_texture_sizes)),
         tpo_atlas=jnp.asarray(build_atlas(scene.translucency_textures, scene.standard_texture_sizes)),
         texture_width=jnp.float32(tiles_per_row),
+        albedo_tab=build_atlas_table(scene.textures, scene.standard_texture_sizes),
+        pbr_tab=build_atlas_table(scene.pbr_textures, scene.standard_texture_sizes),
+        tpo_tab=build_atlas_table(scene.translucency_textures, scene.standard_texture_sizes),
     )
 
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from . import traverse as trv
 from . import vec3 as v3
 from .brdf import SQRT3, forward_trace_soa, normalize
-from .buffers import SceneBuffers, fetch_tex_val_soa
+from .buffers import SceneBuffers, fetch_tex_val_soa, fetch_tex_val_table
 from .geometry import world_geometry
 from .intersect import BIAS
 from .rng import noise4
@@ -444,11 +444,24 @@ def bounce_tex(buffers: SceneBuffers, surface: BounceSurface,
                tex_fetch_fn=None):
     """Bounce stage 2: the three atlas fetches (glsl:502-510). Returns
     (albedo3, rough, metal, emis, tpo3)."""
-    tex_fetch_fn = fetch_tex_val_soa if tex_fetch_fn is None else tex_fetch_fn
     if "texfetch" in DEBUG_DISABLE:
         return (surface.inline_albedo, surface.inline_rme[0],
                 surface.inline_rme[1], surface.inline_rme[2],
                 surface.inline_tpo)
+    if tex_fetch_fn is None and buffers.albedo_tab is not None:
+        # Compact-table fetch: value-identical to the padded-atlas gather
+        # but ~15x cheaper at 1080p (see AtlasTable)
+        albedo = fetch_tex_val_table(
+            buffers.albedo_tab, surface.bary_u, surface.bary_v,
+            surface.tex_nums[0], surface.inline_albedo)
+        rough, metal, emis = fetch_tex_val_table(
+            buffers.pbr_tab, surface.bary_u, surface.bary_v,
+            surface.tex_nums[1], surface.inline_rme)
+        tpo = fetch_tex_val_table(
+            buffers.tpo_tab, surface.bary_u, surface.bary_v,
+            surface.tex_nums[2], surface.inline_tpo)
+        return (albedo, rough, metal, emis, tpo)
+    tex_fetch_fn = fetch_tex_val_soa if tex_fetch_fn is None else tex_fetch_fn
     albedo = tex_fetch_fn(
         buffers.albedo_atlas, surface.bary_u, surface.bary_v,
         surface.tex_nums[0], surface.inline_albedo, buffers.texture_width)

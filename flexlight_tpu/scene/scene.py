@@ -87,7 +87,9 @@ class Scene:
     def texture_from_rgb(array, width: int, height: int) -> Texture:
         """RGBA byte array (0-255) -> normalized RGB texture (scene.js:22-39)."""
         a = np.asarray(array, dtype=np.float32).reshape(height, width, 4)
-        return Texture(a[:, :, :3] / 255.0)
+        # n * (1/255) rather than n / 255 so the u8 compact-table storage
+        # (AtlasTable) reconstructs these values bit-exactly on device
+        return Texture(a[:, :, :3] * np.float32(1.0 / 255.0))
 
     @staticmethod
     def texture_from_rme(array, width: int, height: int) -> Texture:
