@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 import jax._src.pallas.core as pl_core
 
-from .common import INV_256, quantize_rgba8, reinhard_gamma
+from .common import INV_256, quantize_rgba8, reinhard_gamma, shifted
 from .filters import STENCIL3, STENCIL3_NO_CENTER
 
 TY = 128
@@ -437,6 +437,49 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
 # first filter (pathtracer_first_filter.glsl) — vote repair + gated blur
 # ---------------------------------------------------------------------------
 
+def vote_repair_packed(ids_p: jnp.ndarray, oid_p: jnp.ndarray,
+                       ip_w: jnp.ndarray):
+    """filters.vote_repair on packed rgba8 pixels — identical outputs on
+    quantized inputs (pinned by test_filter_kernel), ~4x less work: every
+    id-equality test (first_filter.glsl:60-94 votes) is ONE masked int32
+    compare instead of 3-4 float channel compares + an all-reduce, and
+    the [H, W, 4, 4] neighbor stacks / take_along_axis of the float path
+    disappear (4 shifted [H, W] int planes instead).
+
+    ids_p/oid_p: [H, W] int32 packed; ip_w: [H, W] quantized f32.
+    Returns (render_id_packed [H, W] int32, render_ip_w [H, W] f32)."""
+    from .filters import STENCIL1
+
+    n_ids = [shifted(ids_p, int(r[0]), int(r[1])) for r in STENCIL1]
+    n_oids = [shifted(oid_p, int(r[0]), int(r[1])) for r in STENCIL1]
+    n_ipws = [shifted(ip_w, int(r[0]), int(r[1])) for r in STENCIL1]
+
+    votes = []
+    for i in range(4):
+        gate = n_ipws[i] == 0.0
+        v = gate.astype(jnp.int32)
+        match_center = (_xyz_eq(n_ids[i], ids_p)) & (n_oids[i] == oid_p)
+        v = v + (gate & match_center).astype(jnp.int32)
+        for j in range(i + 1, 4):
+            pair = (_xyz_eq(n_ids[i], n_ids[j])) & (n_oids[i] == n_oids[j])
+            v = v + (gate & pair).astype(jnp.int32)
+        votes.append(v)
+
+    max_vote = votes[0]
+    voted_id = n_ids[0]
+    for i in range(1, 4):
+        better = votes[i] >= max_vote
+        max_vote = jnp.where(better, votes[i], max_vote)
+        voted_id = jnp.where(better, n_ids[i], voted_id)
+
+    oid_w = _byte_i(oid_p, 3)
+    repair = (oid_w != 0) & (ip_w != 0.0)
+    render_id_p = jnp.where(repair, voted_id, ids_p)
+    render_ip_w = jnp.where(repair, (max_vote == 0).astype(jnp.float32),
+                            ip_w)
+    return render_id_p, render_ip_w
+
+
 def _first_scale(center):
     return (1.0 + _byte_f(center[OCOLOR], 3)) ** 2 * 3.5
 
@@ -502,14 +545,14 @@ FIRST_BAND_EDGES = (5.5, 8.0, 11.0)
 
 def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
                      ty: int = TY, tx: int = TX):
-    """first_filter with the dynamic disc blur in a Pallas kernel; the
-    static-stencil vote repair stays in XLA (already fast there).
+    """first_filter with the dynamic disc blur in a Pallas kernel and the
+    static-stencil vote repair as packed-int XLA (vote_repair_packed).
     Same signature/returns as filters.first_filter. ty/tx tune the tile
     shape: smaller tiles tighten the per-tile scale range (more offset
     skipping) at the cost of halo overhead."""
-    from .filters import vote_repair
-
-    render_id, render_ip_w = vote_repair(color, ip, ocolor, ids, oid)
+    render_id_p, render_ip_w = vote_repair_packed(
+        pack_rgba8(ids), pack_rgba8(oid), ip[..., 3])
+    render_id = jnp.transpose(_rgba_f(render_id_p), (1, 2, 0))
     new_color, new_ip3 = _run_disc(
         (ids, oid, color, ip, ocolor), "disc37", FIRST_BOUNDS,
         n_acc=4, out_chs=(4, 3),

@@ -52,6 +52,21 @@ def _check(ref_outs, got_outs, budget=0.02):
         assert float((d > 1e-4).mean()) <= budget, (i, (d > 1e-4).mean())
 
 
+def test_vote_repair_packed_matches_float(imgs):
+    """vote_repair_packed (masked-int32 compares) must reproduce the
+    float-path vote_repair bit-exactly on quantized inputs."""
+    color, ip, ocolor, ids, oid = imgs
+    ref_id, ref_ipw = F.vote_repair(color, ip, ocolor, ids, oid)
+    got_id_p, got_ipw = K.vote_repair_packed(
+        K.pack_rgba8(ids), K.pack_rgba8(oid), ip[..., 3])
+    got_id = jnp.transpose(K._rgba_f(got_id_p), (1, 2, 0))
+    np.testing.assert_array_equal(np.asarray(K.pack_rgba8(ref_id)),
+                                  np.asarray(got_id_p))
+    np.testing.assert_allclose(np.asarray(ref_id), np.asarray(got_id),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ref_ipw), np.asarray(got_ipw))
+
+
 @pytest.mark.slow
 def test_first_filter_kernel_matches_gather(imgs):
     color, ip, ocolor, ids, oid = imgs
