@@ -1032,3 +1032,74 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
         hit4 = jnp.tile(hit[:, None].astype(jnp.float32), (1, 4))[inv_perm]
         hit = jax.lax.optimization_barrier(hit4)[:, 0]
     return hit > 0
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile", "chunk", "sort_rays",
+                                   "sort_mode", "subtile"))
+def pair_sparse(w4t, w4f, aabb_min, aabb_max,
+                shadow_origin, shadow_dir, shadow_max_len,
+                bounce_origin, bounce_dir,
+                interpret: bool = False,
+                precision=jax.lax.Precision.HIGHEST,
+                tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                chunk: int = CHUNK, sort_rays: bool = False,
+                shadow_alive=None, bounce_alive=None, edge=BIAS,
+                sort_hint=None, sort_mode: str = "prevtile",
+                subtile: int = 1):
+    """The NEE shadow any-hit and the next-bounce closest hit of one
+    bounce iteration, sharing ONE wavefront permutation.
+
+    Both casts leave the same hit point (offset_target == hit + eps*n,
+    bounce origin == hit), so one locality key groups both wavefronts;
+    running them as separate shadow_sparse/traverse_sparse casts pays the
+    sort machinery twice (key pass + argsort + inverse + [N, C] permute
+    gathers ~= 15 ms per 2M-ray cast on chip, scripts/bench_sort.py).
+    Here: one key (from the bounce ray, whose candidate spread is the
+    wider of the two), one packed [N, 14] permute gather, the two casts
+    on pre-permuted rays, and one packed [N, 5] unpermute.
+
+    Results are bit-identical to the separate casts (sort keys only
+    group work; pinned by test_pair_sparse_matches_separate_casts).
+    Returns (Hit for the bounce rays, shadowed bool [N])."""
+    sml = shadow_max_len
+    if shadow_alive is not None:
+        sml = jnp.where(shadow_alive, sml, 0.0)
+    bml = jnp.full(bounce_origin.shape[:1], POW32, dtype=jnp.float32)
+    if bounce_alive is not None:
+        bml = jnp.where(bounce_alive, bml, 0.0)
+
+    inv_perm = None
+    if sort_rays:
+        perm, inv_perm = _sort_perm(aabb_min, aabb_max, bounce_origin,
+                                    bounce_dir, bml, tri_tile, sort_hint,
+                                    sort_mode, interpret, ray_tile)
+        packed = jnp.concatenate(
+            [shadow_origin, shadow_dir, sml[:, None],
+             bounce_origin, bounce_dir, bml[:, None]], axis=1)[perm]
+        packed = jax.lax.optimization_barrier(packed)
+        shadow_origin, shadow_dir, sml = (packed[:, 0:3], packed[:, 3:6],
+                                          packed[:, 6])
+        bounce_origin, bounce_dir, bml = (packed[:, 7:10], packed[:, 10:13],
+                                          packed[:, 13])
+
+    shadowed = shadow_sparse(w4t, aabb_min, aabb_max, shadow_origin,
+                             shadow_dir, sml, interpret=interpret,
+                             precision=precision, tri_tile=tri_tile,
+                             ray_tile=ray_tile, chunk=chunk,
+                             sort_rays=False, subtile=subtile)
+    s, u, v, tri = _run(w4t, w4f, aabb_min, aabb_max, bounce_origin,
+                        bounce_dir, bml, False, interpret, precision,
+                        tri_tile, ray_tile, chunk, sort_rays=False,
+                        edge=edge, subtile=subtile)
+    if sort_rays:
+        out = jnp.stack([s, u, v, tri.astype(jnp.float32),
+                         shadowed.astype(jnp.float32)], axis=1)[inv_perm]
+        out = jax.lax.optimization_barrier(out)
+        s, u, v = out[:, 0], out[:, 1], out[:, 2]
+        tri = out[:, 3].astype(jnp.int32)      # drawable ids < 2^24: exact
+        shadowed = out[:, 4] > 0.0
+    hit = tri >= 0
+    suv = jnp.where(hit[:, None], jnp.stack([s, u, v], axis=-1), 0.0)
+    return Hit(suv=suv, triangle=jnp.where(hit, tri, -1).astype(jnp.int32)), \
+        shadowed

@@ -654,8 +654,11 @@ def bounce_apply(carry: BounceCarry, tex, req: ShadeRequest, shadowed,
 
 
 def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
-                  next_traverse: bool | None = None) -> BounceCarry:
-    """Bounce stage 3c (glsl:591-597): the next closest hit."""
+                  next_traverse: bool | None = None,
+                  precomputed=None) -> BounceCarry:
+    """Bounce stage 3c (glsl:591-597): the next closest hit.
+    `precomputed`: (ns, nu, nv, ntri) from a merged shadow+bounce cast
+    (pair_soa in bounce_post) — skips the traversal here."""
     if next_traverse is None:
         next_traverse = i + 1 < config.max_reflections
     if not next_traverse:
@@ -666,13 +669,16 @@ def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
     zdir = (zero, zero, one)
     ray_origin = carry.ray_origin
     tri = carry.tri
-    if DEBUG_CAPTURE is not None:
-        DEBUG_CAPTURE.setdefault("bounces", []).append(
-            (v3.where3(m, ray_origin, (zero, zero, zero)),
-             v3.where3(m, carry.ray_dir, zdir), m, tri))
-    ns, nu, nv, ntri = traverse_soa(
-        v3.where3(m, ray_origin, (zero, zero, zero)),
-        v3.where3(m, carry.ray_dir, zdir), alive=m, hint=tri)
+    if precomputed is not None:
+        ns, nu, nv, ntri = precomputed
+    else:
+        if DEBUG_CAPTURE is not None:
+            DEBUG_CAPTURE.setdefault("bounces", []).append(
+                (v3.where3(m, ray_origin, (zero, zero, zero)),
+                 v3.where3(m, carry.ray_dir, zdir), m, tri))
+        ns, nu, nv, ntri = traverse_soa(
+            v3.where3(m, ray_origin, (zero, zero, zero)),
+            v3.where3(m, carry.ray_dir, zdir), alive=m, hint=tri)
     hs = jnp.where(m, ns, carry.hs)
     hu = jnp.where(m, nu, carry.hu)
     hv = jnp.where(m, nv, carry.hv)
@@ -689,16 +695,36 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
                 config, random_seed, traverse_soa, shadow_soa,
                 pack_id_fn=None, bounce_hook=None,
                 force_unroll_lights: bool = False,
-                next_traverse: bool | None = None) -> BounceCarry:
+                next_traverse: bool | None = None,
+                pair_soa=None) -> BounceCarry:
     """Bounce stage 3 (glsl:529-599) — composition of bounce_shade ->
     NEE shadow ray -> bounce_apply -> bounce_commit, split so a kernel
-    pipeline can place the traversals between Pallas programs."""
+    pipeline can place the traversals between Pallas programs.
+
+    When `pair_soa` is provided (sparse scheme) and both casts are
+    needed, the shadow any-hit and the next closest hit run as ONE
+    merged cast sharing the wavefront sort machinery — both rays leave
+    the same hit point, and bounce_shade has already produced the next
+    ray direction by the time the shadow ray is known."""
     carry, req = bounce_shade(carry, surface, tex, i, buffers, camera_pos,
                               ndc2, cos_sample_n, config, random_seed,
                               pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
                               force_unroll_lights=force_unroll_lights)
+    want_next = (next_traverse if next_traverse is not None
+                 else i + 1 < config.max_reflections)
+    precomputed = None
     if req.pick is None or "shadow" in DEBUG_DISABLE:
         shadowed = jnp.zeros(carry.hs.shape, dtype=bool)
+    elif (pair_soa is not None and want_next and DEBUG_CAPTURE is None):
+        shp = carry.hs.shape
+        zero = jnp.zeros(shp, dtype=jnp.float32)
+        one = jnp.ones(shp, dtype=jnp.float32)
+        m = req.m
+        shadowed, precomputed = pair_soa(
+            req.pick.offset_target, req.pick.light_dir, req.pick.max_len,
+            v3.where3(m, carry.ray_origin, (zero, zero, zero)),
+            v3.where3(m, carry.ray_dir, (zero, zero, one)),
+            shadow_alive=m, bounce_alive=m, hint=carry.tri)
     else:
         # shadow rays leave the same surface tile as the ray being
         # shaded — give the wavefront sort the same locality hint as
@@ -707,7 +733,8 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
                               req.pick.max_len, alive=req.m, hint=carry.tri)
     carry = bounce_apply(carry, tex, req, shadowed, i, config)
     return bounce_commit(carry, req.m, i, config, traverse_soa,
-                         next_traverse=next_traverse)
+                         next_traverse=next_traverse,
+                         precomputed=precomputed)
 
 
 def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
@@ -715,7 +742,8 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 traverse_soa, shadow_soa, aux, fetch_rows_fn=None,
                 pack_id_fn=None, bounce_hook=None,
                 force_unroll_lights: bool = False, tex_fetch_fn=None,
-                bounce_post_impl=None, bounce_step_impl=None):
+                bounce_post_impl=None, bounce_step_impl=None,
+                pair_soa=None):
     """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
     [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
     3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
@@ -745,11 +773,13 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             continue
         carry, surface = bounce_pre(carry, i, mat, config, fetch_rows_fn)
         tex = bounce_tex(buffers, surface, tex_fetch_fn)
+        pkw = ({"pair_soa": pair_soa}
+               if bounce_post_impl is None and pair_soa is not None else {})
         carry = post(
             carry, surface, tex, i, buffers, camera_pos, ndc2, cos_sample_n,
             config, random_seed, traverse_soa, shadow_soa,
             pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
-            force_unroll_lights=force_unroll_lights)
+            force_unroll_lights=force_unroll_lights, **pkw)
 
     final_color = tuple(
         carry.final_color[c] + carry.importancy[c] * buffers.ambient[c]
@@ -823,6 +853,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             local_samples=local_samples, with_raw_aux=with_raw_aux)
     world_geom = world_geometry(buffers)
 
+    pair_fn = None   # sparse scheme overrides: merged shadow+bounce cast
     if scheme == "mxu":
         from .traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
 
@@ -836,17 +867,19 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     elif scheme == "sparse":
         import jax
 
-        from .intersect_sparse import build_w4_tiled, shadow_sparse, traverse_sparse
+        from .intersect_sparse import (build_w4_tiled, pair_sparse,
+                                       shadow_sparse, traverse_sparse)
 
         w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer)
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
-        # Candidate-aware bounce/shadow wavefront sort (chip A/B knob;
-        # see intersect_sparse.nearest2_key) + subtiling (several small
-        # ray tiles per Mosaic program: small-tile matmul savings without
-        # the program-launch overhead). Trace-time like the other perf
-        # knobs here.
-        smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "prevtile")
+        # Candidate-aware bounce/shadow wavefront sort (see
+        # intersect_sparse.nearest2_key; chip A/B 2026-08-18: dragon
+        # 1080p direct 1046.7 -> 999.7 ms, so nearest2 is the default)
+        # + subtiling (several small ray tiles per Mosaic program:
+        # small-tile matmul savings without the program-launch
+        # overhead). Trace-time like the other perf knobs here.
+        smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "nearest2")
         sub = int(os.environ.get("FLEXLIGHT_SPARSE_SUBTILE", "1"))
 
         def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
@@ -866,6 +899,20 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                  interpret=interp, sort_rays=sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
                                  sort_mode=smode, subtile=g)
+
+        if os.environ.get("FLEXLIGHT_PAIR_CAST", "1") != "0":
+            def pair_fn(so, sd, sml, bo, bd, shadow_alive=None,
+                        bounce_alive=None, hint=None):
+                # shadow + next-bounce casts of one bounce share one
+                # wavefront permutation (always hinted: bounce-loop only)
+                return pair_sparse(w4t, w4f, amin, amax, so, sd, sml,
+                                   bo, bd, interpret=interp,
+                                   sort_rays=sort,
+                                   shadow_alive=shadow_alive,
+                                   bounce_alive=bounce_alive,
+                                   sort_hint=hint,
+                                   ray_tile=SPARSE_BOUNCE_RAY_TILE,
+                                   sort_mode=smode, subtile=sub)
     elif scheme == "kernel":
         import jax
 
@@ -1002,6 +1049,23 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         return shadow_fn(_flat3(o3), _flat3(d3), max_len.reshape(-1),
                          alive=al, **kw).reshape(rshape)
 
+    pair_soa = None
+    if pair_fn is not None:
+        def pair_soa(so3, sd3, max_len, bo3, bd3, shadow_alive=None,
+                     bounce_alive=None, hint=None):
+            sal = None if shadow_alive is None else shadow_alive.reshape(-1)
+            bal = None if bounce_alive is None else bounce_alive.reshape(-1)
+            h = None if hint is None else hint.reshape(-1)
+            hit, shadowed = pair_fn(_flat3(so3), _flat3(sd3),
+                                    max_len.reshape(-1), _flat3(bo3),
+                                    _flat3(bd3), shadow_alive=sal,
+                                    bounce_alive=bal, hint=h)
+            hsuv = hit.suv.T
+            return (shadowed.reshape(rshape),
+                    (hsuv[0].reshape(rshape), hsuv[1].reshape(rshape),
+                     hsuv[2].reshape(rshape),
+                     hit.triangle.reshape(rshape)))
+
     zero = jnp.zeros(rshape, dtype=jnp.float32)
     one = jnp.ones(rshape, dtype=jnp.float32)
     aux = (
@@ -1050,7 +1114,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             buffers, mat, primary_parts, camera_pos, direction3, ndc2,
             cos_sample_n, config, random_seed, traverse_soa, shadow_soa, aux,
             bounce_post_impl=bounce_post_impl,
-            bounce_step_impl=bounce_step_impl)
+            bounce_step_impl=bounce_step_impl, pair_soa=pair_soa)
         total = v3.add3(total, color)
     final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
 

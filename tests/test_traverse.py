@@ -348,6 +348,54 @@ def test_sparse_nearest2_sort_matches_prevtile(ray_tile):
     np.testing.assert_array_equal(np.asarray(s_near), np.asarray(s_base))
 
 
+@pytest.mark.parametrize("sort_mode", ["prevtile", "nearest2"])
+def test_pair_sparse_matches_separate_casts(sort_mode):
+    """The merged shadow+bounce cast (pair_sparse — one shared wavefront
+    permutation) must be bit-identical to separate shadow_sparse +
+    traverse_sparse casts: sort keys only group work."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    pair_sparse,
+                                                    shadow_sparse,
+                                                    traverse_sparse)
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
+
+    rng = np.random.default_rng(31)
+    n = 2048
+    so = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    bo = (so + rng.normal(scale=1e-3, size=(n, 3))).astype(np.float32)
+    sd = rng.normal(size=(n, 3)).astype(np.float32)
+    sd /= np.linalg.norm(sd, axis=-1, keepdims=True)
+    bd = rng.normal(size=(n, 3)).astype(np.float32)
+    bd /= np.linalg.norm(bd, axis=-1, keepdims=True)
+    sml = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+    hint = jnp.asarray(rng.integers(0, buffers.id_buffer.shape[0], n),
+                       dtype=jnp.int32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+    so, sd, bo, bd = map(jnp.asarray, (so, sd, bo, bd))
+
+    ref_shadow = shadow_sparse(w4t, amin, amax, so, sd, sml,
+                               interpret=True, sort_rays=True, alive=alive,
+                               sort_hint=hint, sort_mode=sort_mode)
+    ref_hit = traverse_sparse(w4t, w4f, amin, amax, bo, bd, interpret=True,
+                              sort_rays=True, alive=alive, sort_hint=hint,
+                              sort_mode=sort_mode)
+    got_hit, got_shadow = pair_sparse(
+        w4t, w4f, amin, amax, so, sd, sml, bo, bd, interpret=True,
+        sort_rays=True, shadow_alive=alive, bounce_alive=alive,
+        sort_hint=hint, sort_mode=sort_mode)
+    np.testing.assert_array_equal(np.asarray(got_shadow),
+                                  np.asarray(ref_shadow))
+    np.testing.assert_array_equal(np.asarray(got_hit.triangle),
+                                  np.asarray(ref_hit.triangle))
+    np.testing.assert_array_equal(np.asarray(got_hit.suv),
+                                  np.asarray(ref_hit.suv))
+
+
 def test_nearest2_key_lowers_for_tpu():
     """Cross-platform export runs the nearest2 key kernel through the
     full Pallas->Mosaic lowering on a CPU host (no chip needed)."""
