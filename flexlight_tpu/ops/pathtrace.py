@@ -630,27 +630,34 @@ def bounce_apply(carry: BounceCarry, tex, req: ShadeRequest, shadowed,
                    v3.mul3(local_color, carry.importancy)),
         carry.final_color)
 
-    ray_dir = req.ray_dir
-    smooth_normal = req.smooth_normal
-    # Next ray: reflect, or Fresnel-chance refract (glsl:582-589)
-    if "nextdir" in DEBUG_DISABLE:
-        ray_dir = v3.where3(m, v3.neg3(ray_dir), ray_dir)
-    else:
-        n_dot_i = v3.dot3(smooth_normal, ray_dir)
-        reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
-        eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(req.sign_dir, 0.0))
-        k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
-        refr_coef = eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))
-        refracted = v3.where3(
-            k < 0.0, (zero, zero, zero),
-            v3.sub3(v3.scale3(ray_dir, eta),
-                    v3.scale3(smooth_normal, refr_coef)))
-        bounce_base = v3.where3(req.is_solid, reflected, refracted)
-        new_dir = v3.normalize3(v3.mix3(bounce_base, req.random_sphere,
-                                        req.roughness_brdf))
-        ray_dir = v3.where3(m, new_dir, ray_dir)
+    ray_dir = v3.where3(m, next_ray_dir(req, tpo), req.ray_dir)
     return carry._replace(render_id=render_id, final_color=final_color,
                           ray_dir=ray_dir)
+
+
+def next_ray_dir(req: ShadeRequest, tpo):
+    """The next bounce direction (glsl:582-589): reflect, or
+    Fresnel-chance refract, roughness-mixed. Unmasked — callers blend
+    with the live mask. Shared by bounce_apply and the merged
+    shadow+bounce pair cast (which needs the next ray *before*
+    bounce_apply runs)."""
+    ray_dir = req.ray_dir
+    smooth_normal = req.smooth_normal
+    if "nextdir" in DEBUG_DISABLE:
+        return v3.neg3(ray_dir)
+    zero = jnp.zeros(ray_dir[0].shape, dtype=jnp.float32)
+    n_dot_i = v3.dot3(smooth_normal, ray_dir)
+    reflected = v3.sub3(ray_dir, v3.scale3(smooth_normal, 2.0 * n_dot_i))
+    eta = _mix(1.0 / tpo[2], tpo[2], jnp.maximum(req.sign_dir, 0.0))
+    k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
+    refr_coef = eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))
+    refracted = v3.where3(
+        k < 0.0, (zero, zero, zero),
+        v3.sub3(v3.scale3(ray_dir, eta),
+                v3.scale3(smooth_normal, refr_coef)))
+    bounce_base = v3.where3(req.is_solid, reflected, refracted)
+    return v3.normalize3(v3.mix3(bounce_base, req.random_sphere,
+                                 req.roughness_brdf))
 
 
 def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
@@ -720,10 +727,13 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
         zero = jnp.zeros(shp, dtype=jnp.float32)
         one = jnp.ones(shp, dtype=jnp.float32)
         m = req.m
+        # the next closest hit traces the direction bounce_apply will
+        # install (reflect/refract of req) — NOT carry.ray_dir, which is
+        # still the incoming ray at this point
         shadowed, precomputed = pair_soa(
             req.pick.offset_target, req.pick.light_dir, req.pick.max_len,
             v3.where3(m, carry.ray_origin, (zero, zero, zero)),
-            v3.where3(m, carry.ray_dir, (zero, zero, one)),
+            v3.where3(m, next_ray_dir(req, tex[4]), (zero, zero, one)),
             shadow_alive=m, bounce_alive=m, hint=carry.tri)
     else:
         # shadow rays leave the same surface tile as the ray being

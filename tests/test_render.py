@@ -185,3 +185,37 @@ def test_force_2d_layout_matches_flat():
         del os.environ["FLEXLIGHT_FORCE_2D"]
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pair_cast_matches_separate_casts_end_to_end():
+    """FLEXLIGHT_PAIR_CAST merges each bounce's NEE shadow cast with the
+    next closest hit into one sparse pair cast. It must be a pure
+    scheduling change: bit-identical MRT output vs separate casts.
+    (Integration-level pin — the function-level test in test_traverse
+    feeds both paths the same rays, so it cannot catch the pair cast
+    tracing the wrong ray, e.g. the pre-bounce_apply incoming direction
+    instead of the sampled next direction.)"""
+    import os
+
+    import flexlight_tpu.ops.pathtrace as pt
+    import jax.numpy as jnp
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+
+    from scenes import cornell_config, cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    cfg = cornell_config(max_reflections=3)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    ref = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0,
+                        scheme="sparse")
+    os.environ["FLEXLIGHT_PAIR_CAST"] = "0"
+    try:
+        got = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0,
+                            scheme="sparse")
+    finally:
+        del os.environ["FLEXLIGHT_PAIR_CAST"]
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
