@@ -910,7 +910,11 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
                                  sort_mode=smode, subtile=g)
 
-        if os.environ.get("FLEXLIGHT_PAIR_CAST", "1") != "0":
+        if os.environ.get("FLEXLIGHT_PAIR_CAST", "0") != "0":
+            # Off by default: chip A/B (dragon 1080p direct, 2026-08-19)
+            # measured 1048.4 ms paired vs 999.9 ms separate — sharing the
+            # bounce ray's permutation costs the shadow any-hit more
+            # coherence than the saved sort machinery (~15 ms/cast).
             def pair_fn(so, sd, sml, bo, bd, shadow_alive=None,
                         bounce_alive=None, hint=None):
                 # shadow + next-bounce casts of one bounce share one

@@ -211,7 +211,7 @@ def test_pair_cast_matches_separate_casts_end_to_end():
     pos = jnp.asarray(camera.position)
     ref = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0,
                         scheme="sparse")
-    os.environ["FLEXLIGHT_PAIR_CAST"] = "0"
+    os.environ["FLEXLIGHT_PAIR_CAST"] = "1"
     try:
         got = pt.render_mrt(buffers, size, size, pos, view, cfg, 0.0,
                             scheme="sparse")
