@@ -42,6 +42,7 @@ Layout: packed channels-first [5, H, W] int32 with zero halo padding
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -230,9 +231,10 @@ def _gated_weight(gate, w):
     return jnp.where(gate, w, 0.0)
 
 
-def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
+def _disc_kernel(*args, scale_fn, prep_fn, ctx_fn,
                  init_fn, update_fn, finish_fn, entries, svals,
-                 ry: int, rx: int, ty: int, tx: int, band=None):
+                 ry: int, rx: int, ty: int, tx: int, band=None,
+                 compact: bool = False):
     """Generic disc pass: out refs, then scratch [A, ty, tx] f32
     accumulator + per-ox int/float plane blocks.
 
@@ -244,12 +246,51 @@ def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
     Tap tests are two compares against the shared staircase arrays.
     Groups and offsets are predicated on the tile's scale range. (The
     pl.when regions also bound register pressure: one big straight-line
-    unroll makes the register allocator spill hundreds of MB.)"""
+    unroll makes the register allocator spill hundreds of MB.)
+
+    `compact` = banded active-tile compaction: the grid is 1-D over a
+    scalar-prefetched tile remap (actives first), inactive programs
+    write zeros and their window DMA points at a parked tile shared by
+    every inactive program (consecutive equal block indices skip the
+    copy), so a band's cost is proportional to its ACTIVE tiles."""
+    if compact:
+        meta_ref, tlohi_ref, win_ref = args[0], args[1], args[2]
+        refs = args[3:]
+        p = pl.program_id(0)
+        ti = meta_ref[p, 0]
+        tj = meta_ref[p, 1]
+        is_real = meta_ref[p, 4] == 1
+    else:
+        tlohi_ref, win_ref = args[0], args[1]
+        refs = args[2:]
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        is_real = None
     acc_ref, sc_i_ref, sc_f_ref = refs[-3], refs[-2], refs[-1]
     out_refs = refs[:-3]
-    i = pl.program_id(0)
-    j = pl.program_id(1)
 
+    if is_real is not None:
+        @pl.when(jnp.logical_not(is_real))
+        def _():
+            for ref in out_refs:
+                ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+        @pl.when(is_real)
+        def _():
+            _disc_body(tlohi_ref, win_ref, out_refs, acc_ref, sc_i_ref,
+                       sc_f_ref, ti, tj, scale_fn, prep_fn, ctx_fn, init_fn,
+                       update_fn, finish_fn, entries, svals, ry, rx, ty, tx,
+                       band)
+    else:
+        _disc_body(tlohi_ref, win_ref, out_refs, acc_ref, sc_i_ref,
+                   sc_f_ref, ti, tj, scale_fn, prep_fn, ctx_fn, init_fn,
+                   update_fn, finish_fn, entries, svals, ry, rx, ty, tx,
+                   band)
+
+
+def _disc_body(tlohi_ref, win_ref, out_refs, acc_ref, sc_i_ref, sc_f_ref,
+               ti, tj, scale_fn, prep_fn, ctx_fn, init_fn, update_fn,
+               finish_fn, entries, svals, ry, rx, ty, tx, band):
     center = win_ref[:, ry:ry + ty, rx:rx + tx]    # [5, ty, tx]
     scale = scale_fn(center)                       # [ty, tx] f32
     acc_ref[:] = init_fn(center)
@@ -259,8 +300,8 @@ def _disc_kernel(tlohi_ref, win_ref, *refs, scale_fn, prep_fn, ctx_fn,
     # trunc(-s * scale) == -trunc(s * scale) (GLSL float->int truncates
     # toward zero), so negatives reuse them with a negated target.
     stair = {s: jnp.trunc(np.float32(s) * scale) for s in svals}
-    tmin = tlohi_ref[i, j, 0]
-    tmax = tlohi_ref[i, j, 1]
+    tmin = tlohi_ref[ti, tj, 0]
+    tmax = tlohi_ref[ti, tj, 1]
     # scale-band membership: each (pixel, tap) fires in exactly one band
     # of a banded run (see _banded_entries)
     bandm = None
@@ -384,38 +425,82 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
     s_max = s_max.reshape(hp // ty, ty, wp // tx, tx).max(axis=(1, 3))
     tlohi = jnp.stack([s_min, s_max], axis=-1)
 
-    grid = (hp // ty, wp // tx)
+    nti, ntj = hp // ty, wp // tx
+    grid = (nti, ntj)
     tyw, txw = ty + 2 * ry, tx + 2 * rx
+    compact = os.environ.get("FLEXLIGHT_FILTER_COMPACT", "1") != "0"
 
-    def call(kernel_entries, band, chans, kinit, kfinish):
+    def remap_for(bentries):
+        """Per-band tile remap [P, 5] int32 (ti, tj, win_i, win_j, real):
+        tiles whose scale range intersects the band's offset-interval
+        union first, inactive tiles after — the kernel zero-fills those,
+        and their window DMA parks on the first tile in the order so
+        consecutive inactive programs skip the copy entirely."""
+        blo_u = min(e[2] for e in bentries)
+        bhi_u = max(e[3] for e in bentries)
+        act = ((s_max >= np.float32(blo_u))
+               & (s_min <= np.float32(bhi_u))).reshape(-1)
+        order = jnp.argsort(jnp.logical_not(act).astype(jnp.int32),
+                            stable=True).astype(jnp.int32)
+        ti = order // ntj
+        tj = order % ntj
+        real = act[order].astype(jnp.int32)
+        win_i = jnp.where(real == 1, ti, ti[0])
+        win_j = jnp.where(real == 1, tj, tj[0])
+        return jnp.stack([ti, tj, win_i, win_j, real], axis=1)
+
+    def call(kernel_entries, band, chans, kinit, kfinish, remap=None):
         out_shape = [jax.ShapeDtypeStruct((oc, hp, wp), jnp.float32)
                      for oc in chans]
-        out_specs = [pl.BlockSpec((oc, ty, tx), lambda i, j, *_: (0, i, j))
-                     for oc in chans]
+        kern = partial(_disc_kernel, scale_fn=scale_fn, prep_fn=prep_fn,
+                       ctx_fn=ctx_fn, init_fn=kinit, update_fn=update_fn,
+                       finish_fn=kfinish, entries=kernel_entries,
+                       svals=svals, ry=ry, rx=rx, ty=ty, tx=tx, band=band,
+                       compact=remap is not None)
+        scratch = [
+            pltpu.VMEM((n_acc, ty, tx), jnp.float32),
+            pltpu.VMEM((n_int, tyw, tx), jnp.int32),
+            pltpu.VMEM((n_f32, tyw, tx), jnp.float32),
+        ]
+        if remap is None:
+            out_specs = [pl.BlockSpec((oc, ty, tx),
+                                      lambda i, j, *_: (0, i, j))
+                         for oc in chans]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[pl.BlockSpec(
+                    (pl_core.Element(5), pl_core.Element(tyw),
+                     pl_core.Element(txw)),
+                    lambda i, j, *_: (0, i * ty, j * tx))],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            )
+            return pl.pallas_call(
+                kern, grid_spec=grid_spec, out_shape=out_shape,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
+                interpret=interpret,
+            )(tlohi, padded)
+        out_specs = [pl.BlockSpec(
+            (oc, ty, tx), lambda p, m, t: (0, m[p, 0], m[p, 1]))
+            for oc in chans]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
+            num_scalar_prefetch=2,
+            grid=(nti * ntj,),
             in_specs=[pl.BlockSpec(
-                (pl_core.Element(5), pl_core.Element(tyw), pl_core.Element(txw)),
-                lambda i, j, *_: (0, i * ty, j * tx))],
+                (pl_core.Element(5), pl_core.Element(tyw),
+                 pl_core.Element(txw)),
+                lambda p, m, t: (0, m[p, 2] * ty, m[p, 3] * tx))],
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((n_acc, ty, tx), jnp.float32),
-                pltpu.VMEM((n_int, tyw, tx), jnp.int32),
-                pltpu.VMEM((n_f32, tyw, tx), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
-            partial(_disc_kernel, scale_fn=scale_fn, prep_fn=prep_fn,
-                    ctx_fn=ctx_fn, init_fn=kinit, update_fn=update_fn,
-                    finish_fn=kfinish, entries=kernel_entries, svals=svals,
-                    ry=ry, rx=rx, ty=ty, tx=tx, band=band),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
+            kern, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel")),
+                dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(tlohi, padded)
+        )(remap, tlohi, padded)
 
     if band_edges is None:
         outs = call(entries, None, out_chs, init_fn, finish_fn)
@@ -427,8 +512,9 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
         for blo, bhi, bentries in bands:
             if not bentries:
                 continue
+            remap = remap_for(bentries) if compact else None
             acc = acc + call(bentries, (blo, bhi), (n_acc,),
-                             zero_init, emit_acc)[0]
+                             zero_init, emit_acc, remap=remap)[0]
         outs = finish_fn(acc, packed_full)
     return [jnp.transpose(o, (1, 2, 0))[:h, :w] for o in outs]
 
@@ -642,6 +728,12 @@ def _second_finish(acc, center):
             quantize_rgba8(new_ocolor))
 
 
+# Real frames are dominated by scale == 1 tiles (no glass, no blur key:
+# 1 + 2*tanh(0)); banding + active-tile compaction makes those tiles pay
+# the 36-entry low band instead of all 148 offsets.
+SECOND_BAND_EDGES = (1.05, 2.0)
+
+
 def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
                       ty: int = TY, tx: int = TX):
     """Same signature/returns as filters.second_filter."""
@@ -651,7 +743,7 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
         scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
         init_fn=_second_init, update_fn=_second_update,
         finish_fn=_second_finish, interpret=interpret,
-        n_int=3, n_f32=10, ty=ty, tx=tx)
+        band_edges=SECOND_BAND_EDGES, n_int=3, n_f32=10, ty=ty, tx=tx)
     return outs[0], outs[1], outs[2]
 
 
@@ -715,6 +807,10 @@ def _final_finish_factory(hdr: bool):
     return finish
 
 
+# scale == 0.7 tiles (the no-key common case) reach only 13 offsets.
+FINAL_BAND_EDGES = (0.75, 1.6)
+
+
 def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
                      interpret=False, ty: int = TY, tx: int = TX):
     """Same signature/returns as filters.final_filter."""
@@ -724,5 +820,5 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
         scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
         init_fn=_final_init, update_fn=_final_update,
         finish_fn=_final_finish_factory(hdr), interpret=interpret,
-        n_int=2, n_f32=9, ty=ty, tx=tx)
+        band_edges=FINAL_BAND_EDGES, n_int=2, n_f32=9, ty=ty, tx=tx)
     return outs[0]

@@ -125,3 +125,78 @@ def test_banded_entries_partition_taps():
             lo = min(b[0] for b in spans)
             hi = max(b[1] for b in spans)
             assert lo <= tlo and hi >= thi, (oy, ox, sy, sx)
+
+
+@pytest.fixture(scope="module")
+def tiled_imgs():
+    """Multi-tile image with BLOCK-structured blur keys: whole tiles sit
+    at scale extremes, so the banded active-tile compaction has inactive
+    (band, tile) pairs to skip — the single-tile `imgs` fixture never
+    exercises the remap/zero-fill/parked-window machinery."""
+    rng = np.random.default_rng(11)
+    h, w = 64, 128
+    ids = jnp.asarray(_q(rng.uniform(0, 1, (6, 4)))[rng.integers(0, 6, (h, w))],
+                      jnp.float32)
+    oid = jnp.asarray(_q(rng.uniform(0, 1, (4, 4)))[rng.integers(0, 4, (h, w))],
+                      jnp.float32)
+    color = jnp.asarray(_q(rng.uniform(0, 1, (h, w, 4))), jnp.float32)
+    ip = jnp.asarray(_q(np.where(rng.uniform(size=(h, w, 4)) < 0.3,
+                                 rng.uniform(0, 0.3, (h, w, 4)), 0)),
+                     jnp.float32)
+    # per-16-row bands of constant key: rows 0-15 no key (low band only),
+    # 16-31 mid, 32-47 high, 48-63 no key again
+    ocw = np.zeros((h, w), np.float32)
+    ocw[16:32] = 0.35
+    ocw[32:48] = 0.9
+    ocolor = jnp.asarray(
+        np.concatenate([_q(rng.uniform(0, 1, (h, w, 3))),
+                        _q(ocw)[..., None]], -1), jnp.float32)
+    return color, ip, ocolor, ids, oid
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("which", ["first", "second", "final"])
+def test_compact_matches_uncompacted_tiles(tiled_imgs, which, monkeypatch):
+    """Active-tile compaction is pure dispatch: per-band partials are
+    identical arrays summed in the same order, so compact on/off must be
+    BIT-exact — checked on a 4-tile-row image (ty=16) whose tiles are
+    inactive in different bands. Also cross-checked vs the gather oracle."""
+    color, ip, ocolor, ids, oid = tiled_imgs
+
+    def run(compact):
+        monkeypatch.setenv("FLEXLIGHT_FILTER_COMPACT", compact)
+        if which == "first":
+            return K.first_filter_tpu(color, ip, ocolor, ids, oid,
+                                      interpret=True, ty=16)
+        if which == "second":
+            return K.second_filter_tpu(color, ip, ocolor, ids, oid,
+                                       interpret=True, ty=16)
+        return (K.final_filter_tpu(color, ip, ocolor, ids, oid, True,
+                                   interpret=True, ty=16),)
+
+    on = run("1")
+    off = run("0")
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    oracle = {"first": lambda: F.first_filter(color, ip, ocolor, ids, oid),
+              "second": lambda: F.second_filter(color, ip, ocolor, ids, oid),
+              "final": lambda: (F.final_filter(color, ip, ocolor, ids, oid,
+                                               hdr=True),)}[which]()
+    if which == "second":
+        # The banded accumulator reorders summation by scale band; the
+        # fract/floor HDR split (mod of a ~100-magnitude sum) amplifies
+        # 1-ulp reorder noise into full-scale flips on the SPLIT color/ip
+        # channels that cancel in the recombined HDR value — so compare
+        # color + ip*256 (what the next pass consumes), one ip
+        # quantization step (256/255) of slack, plus ocolor directly.
+        o_c, o_i, o_o = oracle
+        k_c, k_i, k_o = on
+        o_hdr = np.asarray(o_c)[..., :3] + np.asarray(o_i)[..., :3] * 256.0
+        k_hdr = np.asarray(k_c)[..., :3] + np.asarray(k_i)[..., :3] * 256.0
+        d = np.abs(o_hdr - k_hdr)
+        assert float(d.max()) <= 1.5 * 256.0 / 255.0, d.max()
+        assert float((d > 1e-3).mean()) <= 0.02, (d > 1e-3).mean()
+        _check((o_c[..., 3:], o_o), (k_c[..., 3:], k_o))
+    else:
+        _check(tuple(oracle), tuple(on))
