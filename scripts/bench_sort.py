@@ -57,6 +57,29 @@ def main():
       lambda k, r: (lambda p: (jnp.argsort(p), r[p]))(
           jnp.argsort(k, stable=True)), key32, rays)
 
+    # Multi-operand lax.sort: carry the ray payload THROUGH the sort
+    # instead of argsort + a [N,7] row gather (whose 7-wide rows pad to
+    # full 128-lane tiles: ~1 GB moved for 56 MB of data). The inverse
+    # side works the same way: sorting (perm, results...) by perm IS the
+    # inverse permutation.
+    import jax.lax as lax
+
+    cols7 = tuple(jnp.asarray(np.asarray(rays)[:, c]) for c in range(7))
+
+    def sort_carry(k, *cols):
+        outs = lax.sort((k, *cols), num_keys=1, is_stable=True)
+        return sum(outs[1:])
+
+    t("sort carrying 7 SoA payload cols (lax.sort)", sort_carry, key32,
+      *cols7)
+
+    def unperm_carry(p, *cols):
+        outs = lax.sort((p, *cols), num_keys=1, is_stable=False)
+        return sum(outs[1:])
+
+    t("unpermute 4 SoA cols: lax.sort by perm", unperm_carry, perm,
+      *cols7[:4])
+
     # nearest2 key prepass at dragon-like box counts
     from flexlight_tpu.ops.intersect_sparse import nearest2_key
 
