@@ -111,16 +111,31 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                ray_tile: int = RAY_TILE, edge=BIAS):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
-    rp = f.shape[0]
-    tp = w4.shape[1]
-    kdim = w4.shape[2]
     if w4.dtype == jnp.bfloat16:
         from .intersect_sparse import pack_rhs_x6
 
         ft = pack_rhs_x6(f.T)
-        precision = jax.lax.Precision.DEFAULT  # single bf16 K=96 pass
     else:
         ft = f.T
+    return _intersect_ft(w4, flags, ft, max_len, idsf, cull=cull,
+                         interpret=interpret, precision=precision,
+                         tri_tile=tri_tile, ray_tile=ray_tile, edge=edge)
+
+
+@partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
+                                   "ray_tile"))
+def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
+                  interpret: bool = False,
+                  precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
+                  ray_tile: int = RAY_TILE, edge=BIAS):
+    """_intersect taking features already transposed [K, Rp] (and x6-
+    packed when w4 is bf16) — the SoA entry points build that layout
+    directly without a lane-padded [Rp, 16] intermediate."""
+    rp = ft.shape[1]
+    tp = w4.shape[1]
+    kdim = w4.shape[2]
+    if w4.dtype == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT  # single bf16 K=96 pass
     rt, wt = rp // ray_tile, tp // tri_tile
     grid = (rt, wt)
     out_shape = [
@@ -326,3 +341,136 @@ def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
     if sort_rays:
         tri = tri[inv_perm]
     return tri >= 0
+
+
+def _ray_features_t(o3, d3):
+    """_ray_features built channel-major: [16, N] with N minor.
+
+    The [N, 16]-then-transpose path materializes minor-dim-16 arrays
+    whose rows pad to full 128-lane tiles (~8x physical amplification at
+    2M rays); building the transposed layout directly from SoA channels
+    keeps every intermediate lane-packed. Same values bit-exactly."""
+    one = jnp.ones_like(o3[0])
+    rows = [one, o3[0], o3[1], o3[2], d3[0], d3[1], d3[2]]
+    for c in range(3):
+        for k in range(3):
+            rows.append(d3[c] * o3[k])
+    return jnp.stack(rows, axis=0)
+
+
+def _prep_soa(o3, d3, max_len, ray_tile: int = RAY_TILE):
+    n = o3[0].shape[0]
+    pad = (-n) % ray_tile
+    norm2 = d3[0] * d3[0] + d3[1] * d3[1] + d3[2] * d3[2]
+    dead = norm2 <= 0.0
+    d3 = (jnp.where(dead, 0.0, d3[0]), jnp.where(dead, 0.0, d3[1]),
+          jnp.where(dead, 1.0, d3[2]))
+    if pad:
+        o3 = tuple(jnp.pad(c, (0, pad)) for c in o3)
+        d3 = tuple(jnp.pad(c, (0, pad), constant_values=1.0) for c in d3)
+        max_len = jnp.pad(max_len, (0, pad))
+    return o3, d3, max_len, n, (n + pad) // ray_tile
+
+
+def _flags_soa(aabb_min, aabb_max, o3, d3, max_len, rt, wt,
+               ray_tile: int = RAY_TILE):
+    """_flags from SoA channels: per-axis slab tests on [C, K] arrays
+    (no minor-dim-3 temps)."""
+    k = aabb_min.shape[0]
+    clusters_per_tile = k // wt
+    bmin = tuple(aabb_min[:, a] for a in range(3))
+    bmax = tuple(aabb_max[:, a] for a in range(3))
+
+    def chunk_flags(args):
+        o0, o1, o2, d0, d1, d2, ml = args
+        o = (o0, o1, o2)
+        d = (d0, d1, d2)
+        tmin = None
+        tmax = None
+        for a in range(3):
+            inv = 1.0 / d[a]
+            t0 = (bmin[a][None] - o[a][:, None]) * inv[:, None]
+            t1 = (bmax[a][None] - o[a][:, None]) * inv[:, None]
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            tmin = lo if tmin is None else jnp.maximum(tmin, lo)
+            tmax = hi if tmax is None else jnp.minimum(tmax, hi)
+        hit = (tmax >= jnp.maximum(tmin, BIAS)) & (tmin < ml[:, None])
+        return hit.reshape(-1, ray_tile, k).any(axis=1)
+
+    args = (*o3, *d3, max_len)
+    if rt <= FLAG_CHUNK:
+        per_tile = chunk_flags(args)
+    else:
+        pad_t = (-rt) % FLAG_CHUNK
+        pad_n = pad_t * ray_tile
+        o3p = tuple(jnp.pad(c, (0, pad_n)) for c in o3)
+        d3p = tuple(jnp.pad(c, (0, pad_n), constant_values=1.0) for c in d3)
+        mlp = jnp.pad(max_len, (0, pad_n))
+        n_chunks = (rt + pad_t) // FLAG_CHUNK
+        cw = FLAG_CHUNK * ray_tile
+        per_tile = jax.lax.map(
+            chunk_flags,
+            tuple(c.reshape(n_chunks, cw) for c in (*o3p, *d3p, mlp)),
+        ).reshape(-1, k)[:rt]
+    return per_tile.reshape(rt, wt, clusters_per_tile).any(axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile"))
+def traverse_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3,
+                        interpret: bool = False,
+                        precision=jax.lax.Precision.HIGHEST,
+                        tri_tile: int = TRI_TILE,
+                        ray_tile: int = RAY_TILE, alive=None, edge=BIAS):
+    """traverse_kernel with SoA ray channels in and (s, u, v, tri) SoA
+    out — bit-identical results, no lane-padded [N, 3]/[N, 16] temps.
+    No octant sort (every kernel-scheme scene is below the sort
+    threshold; sorted casts use the [N, 3] entry point)."""
+    max_len = jnp.full(o3[0].shape, POW32, dtype=jnp.float32)
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
+    o3, d3, ml, n, rt = _prep_soa(o3, d3, max_len, ray_tile)
+    wt = w4.shape[1] // tri_tile
+    flags = _flags_soa(aabb_min, aabb_max, o3, d3, ml, rt, wt, ray_tile)
+    ft = _ray_features_t(o3, d3)
+    if w4.dtype == jnp.bfloat16:
+        from .intersect_sparse import pack_rhs_x6
+
+        ft = pack_rhs_x6(ft)
+    idsf = ids.astype(jnp.float32).reshape(-1, 1)
+    s, u, v, tri = _intersect_ft(w4, flags, ft, ml, idsf, cull=False,
+                                 interpret=interpret, precision=precision,
+                                 tri_tile=tri_tile, ray_tile=ray_tile,
+                                 edge=edge)
+    s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
+    hit = tri >= 0
+    zero = jnp.zeros_like(s)
+    return (jnp.where(hit, s, zero), jnp.where(hit, u, zero),
+            jnp.where(hit, v, zero),
+            jnp.where(hit, tri, -1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile"))
+def shadow_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3, max_len,
+                      interpret: bool = False,
+                      precision=jax.lax.Precision.HIGHEST,
+                      tri_tile: int = TRI_TILE,
+                      ray_tile: int = RAY_TILE, alive=None) -> jnp.ndarray:
+    """shadow_kernel with SoA ray channels (see traverse_kernel_soa)."""
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
+    o3, d3, ml, n, rt = _prep_soa(o3, d3, max_len, ray_tile)
+    wt = w4.shape[1] // tri_tile
+    flags = _flags_soa(aabb_min, aabb_max, o3, d3, ml, rt, wt, ray_tile)
+    ft = _ray_features_t(o3, d3)
+    if w4.dtype == jnp.bfloat16:
+        from .intersect_sparse import pack_rhs_x6
+
+        ft = pack_rhs_x6(ft)
+    idsf = ids.astype(jnp.float32).reshape(-1, 1)
+    _, _, _, tri = _intersect_ft(w4, flags, ft, ml, idsf, cull=True,
+                                 interpret=interpret, precision=precision,
+                                 tri_tile=tri_tile, ray_tile=ray_tile)
+    return tri[:n] >= 0

@@ -864,6 +864,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     world_geom = world_geometry(buffers)
 
     pair_fn = None   # sparse scheme overrides: merged shadow+bounce cast
+    traverse_fn_soa = None   # kernel scheme: SoA-channel fast path
+    shadow_fn_soa = None
     if scheme == "mxu":
         from .traverse_mxu import build_tri_matrix, shadow_mxu, traverse_mxu
 
@@ -931,7 +933,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         import jax
 
         from .intersect_kernel import (RAY_TILE, build_w4, pick_tri_tile,
-                                       shadow_kernel, traverse_kernel)
+                                       shadow_kernel, shadow_kernel_soa,
+                                       traverse_kernel, traverse_kernel_soa)
 
         tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
         w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
@@ -954,6 +957,22 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
                                  tri_tile=tri_tile, sort_rays=sort,
                                  ray_tile=drt, alive=alive)
+
+        if not sort and os.environ.get("FLEXLIGHT_SOA_CAST", "1") != "0":
+            # SoA fast path for the bounce loop: ray channels go straight
+            # into channel-major [16, N] features — no lane-padded [N, 3]
+            # stack / [N, 16] features / suv transpose per cast. Bit-
+            # identical results (pure layout). The sorted path keeps the
+            # row layout its permutation gathers need.
+            def traverse_fn_soa(o3, d3, alive=None, edge=BIAS):
+                return traverse_kernel_soa(
+                    w4, amin, amax, ids, o3, d3, interpret=interp,
+                    tri_tile=tri_tile, ray_tile=drt, alive=alive, edge=edge)
+
+            def shadow_fn_soa(o3, d3, l, alive=None):
+                return shadow_kernel_soa(
+                    w4, amin, amax, ids, o3, d3, l, interpret=interp,
+                    tri_tile=tri_tile, ray_tile=drt, alive=alive)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 
@@ -1051,6 +1070,12 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     def traverse_soa(o3, d3, alive=None, hint=None):
         al = None if alive is None else alive.reshape(-1)
+        if traverse_fn_soa is not None:
+            s, u, v, tri = traverse_fn_soa(
+                tuple(c.reshape(-1) for c in o3),
+                tuple(c.reshape(-1) for c in d3), alive=al)
+            return (s.reshape(rshape), u.reshape(rshape),
+                    v.reshape(rshape), tri.reshape(rshape))
         kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
         hit = traverse_fn(_flat3(o3), _flat3(d3), alive=al, **kw)
         hsuv = hit.suv.T
@@ -1059,6 +1084,11 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     def shadow_soa(o3, d3, max_len, alive=None, hint=None):
         al = None if alive is None else alive.reshape(-1)
+        if shadow_fn_soa is not None:
+            return shadow_fn_soa(
+                tuple(c.reshape(-1) for c in o3),
+                tuple(c.reshape(-1) for c in d3),
+                max_len.reshape(-1), alive=al).reshape(rshape)
         kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
         return shadow_fn(_flat3(o3), _flat3(d3), max_len.reshape(-1),
                          alive=al, **kw).reshape(rshape)
