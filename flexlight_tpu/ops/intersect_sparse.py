@@ -173,6 +173,18 @@ def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
         out_ref[0, kc * (k_chunk // cpt):(kc + 1) * (k_chunk // cpt)] = tile
 
 
+def _rays8_soa(o3, d3, max_len, ray_tile: int):
+    """[rt, 8, R] ray-channel stack (o, 1/d, max_len, 0) straight from SoA
+    channels — the AoS builders read strided columns of a lane-padded
+    [N, 3] array to make the same stack. Bit-identical values."""
+    n = o3[0].shape[0]
+    rt = n // ray_tile
+    inv = tuple(1.0 / jnp.where(c == 0.0, 1e-30, c) for c in d3)
+    rays = jnp.stack([o3[0], o3[1], o3[2], inv[0], inv[1], inv[2],
+                      max_len, jnp.zeros_like(max_len)], axis=0)
+    return rays.reshape(8, rt, ray_tile).transpose(1, 0, 2)
+
+
 @partial(jax.jit, static_argnames=("tri_tile", "ray_tile", "interpret"))
 def flags_sparse(aabb_min, aabb_max, origin, direction, max_len,
                  tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
@@ -180,8 +192,17 @@ def flags_sparse(aabb_min, aabb_max, origin, direction, max_len,
     """[RT, WT] f32 per-tri-tile min entry distance (POW32 = no ray hits
     the tile) via the fused Pallas slab kernel.
     origin/direction/max_len must already be padded to ray_tile."""
-    n = origin.shape[0]
-    rt = n // ray_tile
+    o3 = tuple(origin[:, c] for c in range(3))
+    d3 = tuple(direction[:, c] for c in range(3))
+    rays = _rays8_soa(o3, d3, max_len, ray_tile)
+    return _flags_call(rays, aabb_min, aabb_max, tri_tile, ray_tile,
+                       interpret)
+
+
+def _flags_call(rays, aabb_min, aabb_max, tri_tile: int, ray_tile: int,
+                interpret: bool):
+    """flags_sparse core on a prebuilt [rt, 8, R] ray stack."""
+    rt = rays.shape[0]
     k = aabb_min.shape[0]
     cpt = tri_tile // min(CLUSTER, tri_tile)
     wt = k // cpt
@@ -193,11 +214,6 @@ def flags_sparse(aabb_min, aabb_max, origin, direction, max_len,
                            constant_values=jnp.inf)
         aabb_max = jnp.pad(aabb_max, ((0, kp - k), (0, 0)),
                            constant_values=-jnp.inf)
-    safe = jnp.where(direction == 0.0, 1e-30, direction)
-    rays = jnp.stack([origin[:, 0], origin[:, 1], origin[:, 2],
-                      1.0 / safe[:, 0], 1.0 / safe[:, 1], 1.0 / safe[:, 2],
-                      max_len, jnp.zeros_like(max_len)], axis=0)
-    rays = rays.reshape(8, rt, ray_tile).transpose(1, 0, 2)   # [rt, 8, R]
     wtp = kp // cpt
     out = pl.pallas_call(
         partial(_flags_kernel, kp=kp, k_chunk=k_chunk, cpt=cpt,
@@ -258,20 +274,26 @@ def _tmins_xla(aabb_min, aabb_max, origin, direction, max_len, rt, wt,
     return per.reshape(rt, wt, cpt).min(axis=-1)
 
 
-def _morton(origin, lo, hi, bits: int):
-    """bits-per-axis Morton code of origin within [lo, hi] (<= 10 bits)."""
+def _spread3(x):  # 10-bit Morton spread to every 3rd bit
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_soa(o3, lo, hi, bits: int):
+    """bits-per-axis Morton code of SoA origin within [lo, hi] (<= 10 bits)."""
     span = jnp.maximum(hi - lo, 1e-30)
     top = float(2 ** bits - 1)
-    q = jnp.clip((origin - lo) / span * top, 0.0, top).astype(jnp.int32)
+    q = [jnp.clip((o3[c] - lo[c]) / span[c] * top, 0.0, top).astype(jnp.int32)
+         for c in range(3)]
+    return _spread3(q[0]) | (_spread3(q[1]) << 1) | (_spread3(q[2]) << 2)
 
-    def spread(x):  # 10-bit Morton spread to every 3rd bit
-        x = (x | (x << 16)) & 0x030000FF
-        x = (x | (x << 8)) & 0x0300F00F
-        x = (x | (x << 4)) & 0x030C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
 
-    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+def _morton(origin, lo, hi, bits: int):
+    """bits-per-axis Morton code of origin within [lo, hi] (<= 10 bits)."""
+    return _morton_soa(tuple(origin[:, c] for c in range(3)), lo, hi, bits)
 
 
 def sort_spatial(origin, direction, lo, hi, max_len, prev_tri=None,
@@ -470,14 +492,24 @@ def nearest2_key(aabb_min, aabb_max, origin, direction, max_len,
     `k_chunk` overrides the per-loop box-chunk size (tests exercise the
     cross-chunk two-min merge that production sizes only hit above 512
     supertiles ~ 262k triangles)."""
+    o3 = tuple(origin[:, c] for c in range(3))
+    d3 = tuple(direction[:, c] for c in range(3))
+    return nearest2_key_soa(aabb_min, aabb_max, o3, d3, max_len,
+                            ray_tile=ray_tile, interpret=interpret,
+                            group=group, k_chunk=k_chunk)
+
+
+def nearest2_key_soa(aabb_min, aabb_max, o3, d3, max_len,
+                     ray_tile: int = RAY_TILE, interpret: bool = False,
+                     group: int = 8, k_chunk: int | None = None):
+    """nearest2_key from SoA ray channels (bit-identical values)."""
     bmin, bmax = _super_boxes(aabb_min, aabb_max, group)
     nb = bmin.shape[0]
-    n = origin.shape[0]
+    n = o3[0].shape[0]
     pad = (-n) % ray_tile
     if pad:
-        origin = jnp.pad(origin, ((0, pad), (0, 0)))
-        direction = jnp.pad(direction, ((0, pad), (0, 0)),
-                            constant_values=1.0)
+        o3 = tuple(jnp.pad(c, (0, pad)) for c in o3)
+        d3 = tuple(jnp.pad(c, (0, pad), constant_values=1.0) for c in d3)
         max_len = jnp.pad(max_len, (0, pad))
     rt = (n + pad) // ray_tile
     if k_chunk is None:
@@ -488,11 +520,7 @@ def nearest2_key(aabb_min, aabb_max, origin, direction, max_len,
                        constant_values=jnp.inf)
         bmax = jnp.pad(bmax, ((0, nbp - nb), (0, 0)),
                        constant_values=-jnp.inf)
-    safe = jnp.where(direction == 0.0, 1e-30, direction)
-    rays = jnp.stack([origin[:, 0], origin[:, 1], origin[:, 2],
-                      1.0 / safe[:, 0], 1.0 / safe[:, 1], 1.0 / safe[:, 2],
-                      max_len, jnp.zeros_like(max_len)], axis=0)
-    rays = rays.reshape(8, rt, ray_tile).transpose(1, 0, 2)
+    rays = _rays8_soa(o3, d3, max_len, ray_tile)
     key = pl.pallas_call(
         partial(_key_kernel, nbp=nbp, k_chunk=k_chunk, ray_tile=ray_tile,
                 nb=nb),
@@ -768,20 +796,18 @@ def _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
                                    "ray_tile", "chunk", "subtile"))
-def _any_hit_sparse(w4t, tlist, counts, f, max_len,
+def _any_hit_sparse(w4t, tlist, counts, ft, max_len,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                     chunk: int = CHUNK, subtile: int = 1):
-    rp = f.shape[0]
+    rp = ft.shape[1]
     rt = rp // ray_tile
     ng = rt // subtile
     kdim = w4t.shape[2]
     if w4t.dtype == jnp.bfloat16:
-        ft = pack_rhs_x6(f.T)
+        ft = pack_rhs_x6(ft)
         precision = jax.lax.Precision.DEFAULT
-    else:
-        ft = f.T
     wtp = tlist.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -820,20 +846,18 @@ def _any_hit_sparse(w4t, tlist, counts, f, max_len,
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision",
                                    "tri_tile", "ray_tile", "chunk",
                                    "subtile"))
-def _intersect_sparse(w4t, tlist, tms, counts, f, max_len, cull: bool,
+def _intersect_sparse(w4t, tlist, tms, counts, ft, max_len, cull: bool,
                       interpret: bool = False,
                       precision=jax.lax.Precision.HIGHEST,
                       tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
                       chunk: int = CHUNK, edge=BIAS, subtile: int = 1):
-    rp = f.shape[0]
+    rp = ft.shape[1]
     rt = rp // ray_tile
     ng = rt // subtile
     kdim = w4t.shape[2]
     if w4t.dtype == jnp.bfloat16:
-        ft = pack_rhs_x6(f.T)                   # [96, Rp] bf16
+        ft = pack_rhs_x6(ft)                    # [96, Rp] bf16
         precision = jax.lax.Precision.DEFAULT   # single bf16 pass
-    else:
-        ft = f.T
     out_shape = [
         jax.ShapeDtypeStruct((ng, subtile, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((ng, subtile, ray_tile), jnp.int32),
@@ -932,7 +956,7 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
                              tri_tile=tri_tile, ray_tile=ray_tile)
     tlist, tms, counts = _compact(tmins, chunk)
     f = _ray_features(o, d)
-    s_key, tri = _intersect_sparse(w4t, tlist, tms, counts, f, ml,
+    s_key, tri = _intersect_sparse(w4t, tlist, tms, counts, f.T, ml,
                                    cull=cull, interpret=interpret,
                                    precision=precision, tri_tile=tri_tile,
                                    ray_tile=ray_tile, chunk=chunk, edge=edge,
@@ -956,6 +980,176 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
         s, u, v = packed[:, 0], packed[:, 1], packed[:, 2]
         tri = packed[:, 3].astype(jnp.int32)   # drawable ids < 2^24: exact
     return s, u, v, tri
+
+
+def _carry_sort(key, cols):
+    """Sort `cols` by `key` with ONE multi-operand lax.sort: the payload
+    rides the sort network instead of argsort + [N, C] row gathers whose
+    7-wide rows pad to full 128-lane tiles (scripts/bench_sort.py).
+    Returns (perm, sorted_cols); perm (the carried iota) feeds
+    _carry_unsort."""
+    iota = jax.lax.iota(jnp.int32, key.shape[0])
+    outs = jax.lax.sort((key, iota, *cols), num_keys=1, is_stable=True)
+    return outs[1], outs[2:]
+
+
+def _carry_unsort(perm, cols):
+    """Inverse permutation by sorting on `perm` (a permutation of iota —
+    unique keys, so the unpermute is exact and stability is irrelevant)."""
+    outs = jax.lax.sort((perm, *cols), num_keys=1, is_stable=False)
+    return outs[1:]
+
+
+def _sort_key_soa(aabb_min, aabb_max, o3, d3, max_len, tri_tile,
+                  sort_hint, sort_mode, interpret, ray_tile):
+    """_sort_perm's ordering as a single int32 key from SoA channels (for
+    carry-sorting). The >512-tile two-pass prevtile composite has no
+    single-key form — callers route those scenes to the row path."""
+    if sort_mode == "nearest2" and sort_hint is not None:
+        if interpret:
+            return _nearest2_key_xla(aabb_min, aabb_max,
+                                     jnp.stack(o3, axis=-1),
+                                     jnp.stack(d3, axis=-1), max_len)
+        return nearest2_key_soa(aabb_min, aabb_max, o3, d3, max_len,
+                                ray_tile=ray_tile)
+    lo = jnp.min(aabb_min, axis=0)
+    hi = jnp.max(aabb_max, axis=0)
+    dead = max_len <= 0.0
+    if sort_hint is not None:
+        cluster = min(CLUSTER, tri_tile)
+        n_tiles = aabb_min.shape[0] * cluster // tri_tile
+        if n_tiles > 512:
+            raise ValueError("single-key prevtile needs <= 512 tiles; "
+                             "use the row (AoS) path for this scene")
+        tile = sort_hint.astype(jnp.int32) // tri_tile
+        key = (tile << 21) | _morton_soa(o3, lo, hi, 7)
+        return jnp.where(dead, jnp.int32(1) << 30, key)
+    oct_key = ((d3[0] > 0) * 4 + (d3[1] > 0) * 2
+               + (d3[2] > 0)).astype(jnp.int32)
+    key = (oct_key << 15) | _morton_soa(o3, lo, hi, 5)
+    return jnp.where(dead, jnp.int32(1) << 20, key)
+
+
+def _run_soa(w4t, w4f, aabb_min, aabb_max, o3, d3, max_len, cull,
+             interpret, precision, tri_tile, ray_tile, chunk, sort_rays,
+             edge=BIAS, sort_hint=None, sort_mode: str = "prevtile",
+             subtile: int = 1):
+    """_run on SoA ray channels: carry-sorted wavefront (no lane-padded
+    [N, C] permute gathers), channel-major features straight into the
+    kernel, SoA (s, u, v, tri) out."""
+    from .intersect_kernel import _prep_soa, _ray_features_t
+
+    if sort_rays:
+        key = _sort_key_soa(aabb_min, aabb_max, o3, d3, max_len, tri_tile,
+                            sort_hint, sort_mode, interpret, ray_tile)
+        perm, cols = _carry_sort(key, (*o3, *d3, max_len))
+        o3, d3, max_len = cols[0:3], cols[3:6], cols[6]
+    o3, d3, ml, n, _ = _prep_soa(o3, d3, max_len, ray_tile * subtile)
+    rt = o3[0].shape[0] // ray_tile
+    if interpret:
+        tmins = _tmins_xla(aabb_min, aabb_max, jnp.stack(o3, axis=-1),
+                           jnp.stack(d3, axis=-1), ml, rt, w4t.shape[0],
+                           ray_tile)
+    else:
+        rays = _rays8_soa(o3, d3, ml, ray_tile)
+        tmins = _flags_call(rays, aabb_min, aabb_max, tri_tile, ray_tile,
+                            interpret)
+    tlist, tms, counts = _compact(tmins, chunk)
+    ft = _ray_features_t(o3, d3)                 # [16, Np] channel-major
+    s_key, tri = _intersect_sparse(w4t, tlist, tms, counts, ft, ml,
+                                   cull=cull, interpret=interpret,
+                                   precision=precision, tri_tile=tri_tile,
+                                   ray_tile=ray_tile, chunk=chunk, edge=edge,
+                                   subtile=subtile)
+    tri = tri[:n]
+    # Exact (s, u, v) of the winner — same expression as _run's tail (the
+    # [n, 16] feature stack fuses into the dot; only the [n, 64] gather
+    # materializes), so values are bit-identical to the row path.
+    w = jax.lax.optimization_barrier(w4f[jnp.maximum(tri, 0)])   # [n, 64]
+    fch = ([jnp.ones_like(o3[0][:n])] + [c[:n] for c in o3]
+           + [c[:n] for c in d3]
+           + [d3[c][:n] * o3[k][:n] for c in range(3) for k in range(3)])
+    f = jnp.stack(fch, axis=-1)                                  # [n, 16]
+    dots = (w.reshape(-1, 4, 16) * f[:, None, :]).sum(axis=-1)   # [n, 4]
+    det = dots[:, 0]
+    inv = 1.0 / jnp.where(det != 0.0, det, 1.0)
+    hit = tri >= 0
+    s = jnp.where(hit, dots[:, 3] * inv, POW32)
+    u = jnp.where(hit, dots[:, 1] * inv, 0.0)
+    v = jnp.where(hit, dots[:, 2] * inv, 0.0)
+    if sort_rays:
+        s, u, v, tri = _carry_unsort(perm, (s, u, v, tri))
+    return s, u, v, tri
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile", "chunk", "sort_rays",
+                                   "sort_mode", "subtile"))
+def traverse_sparse_soa(w4t, w4f, aabb_min, aabb_max, o3, d3,
+                        interpret: bool = False,
+                        precision=jax.lax.Precision.HIGHEST,
+                        tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                        chunk: int = CHUNK, sort_rays: bool = False,
+                        alive=None, edge=BIAS, sort_hint=None,
+                        sort_mode: str = "prevtile", subtile: int = 1):
+    """traverse_sparse with SoA ray channels in and (s, u, v, tri) SoA out
+    — same results (see _run_soa), none of the row path's lane-padded
+    [N, 3]/[N, 16] temps or permute row gathers."""
+    max_len = jnp.full(o3[0].shape, POW32, dtype=jnp.float32)
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
+    s, u, v, tri = _run_soa(w4t, w4f, aabb_min, aabb_max, o3, d3,
+                            max_len, False, interpret, precision, tri_tile,
+                            ray_tile, chunk, sort_rays, edge=edge,
+                            sort_hint=sort_hint, sort_mode=sort_mode,
+                            subtile=subtile)
+    hit = tri >= 0
+    zero = jnp.zeros_like(s)
+    return (jnp.where(hit, s, zero), jnp.where(hit, u, zero),
+            jnp.where(hit, v, zero),
+            jnp.where(hit, tri, -1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
+                                   "ray_tile", "chunk", "sort_rays",
+                                   "sort_mode", "subtile"))
+def shadow_sparse_soa(w4t, aabb_min, aabb_max, o3, d3, max_len,
+                      interpret: bool = False,
+                      precision=jax.lax.Precision.HIGHEST,
+                      tri_tile: int = TRI_TILE, ray_tile: int = RAY_TILE,
+                      chunk: int = CHUNK, sort_rays: bool = False,
+                      alive=None, sort_hint=None,
+                      sort_mode: str = "prevtile",
+                      subtile: int = 1) -> jnp.ndarray:
+    """shadow_sparse with SoA ray channels (see traverse_sparse_soa)."""
+    from .intersect_kernel import _prep_soa, _ray_features_t
+
+    if alive is not None:
+        max_len = jnp.where(alive, max_len, 0.0)
+    if sort_rays:
+        key = _sort_key_soa(aabb_min, aabb_max, o3, d3, max_len, tri_tile,
+                            sort_hint, sort_mode, interpret, ray_tile)
+        perm, cols = _carry_sort(key, (*o3, *d3, max_len))
+        o3, d3, max_len = cols[0:3], cols[3:6], cols[6]
+    o3, d3, ml, n, _ = _prep_soa(o3, d3, max_len, ray_tile * subtile)
+    rt = o3[0].shape[0] // ray_tile
+    if interpret:
+        tmins = _tmins_xla(aabb_min, aabb_max, jnp.stack(o3, axis=-1),
+                           jnp.stack(d3, axis=-1), ml, rt, w4t.shape[0],
+                           ray_tile)
+    else:
+        rays = _rays8_soa(o3, d3, ml, ray_tile)
+        tmins = _flags_call(rays, aabb_min, aabb_max, tri_tile, ray_tile,
+                            interpret)
+    tlist, _, counts = _compact(tmins, chunk)
+    ft = _ray_features_t(o3, d3)
+    hitc = _any_hit_sparse(w4t, tlist, counts, ft, ml, interpret=interpret,
+                           precision=precision, tri_tile=tri_tile,
+                           ray_tile=ray_tile, chunk=chunk,
+                           subtile=subtile)[:n]
+    if sort_rays:
+        (hitc,) = _carry_unsort(perm, (hitc,))
+    return hitc > 0
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
@@ -1023,7 +1217,7 @@ def shadow_sparse(w4t, aabb_min, aabb_max, origin, direction, max_len,
                              tri_tile=tri_tile, ray_tile=ray_tile)
     tlist, _, counts = _compact(tmins, chunk)
     f = _ray_features(o, d)
-    hit = _any_hit_sparse(w4t, tlist, counts, f, ml, interpret=interpret,
+    hit = _any_hit_sparse(w4t, tlist, counts, f.T, ml, interpret=interpret,
                           precision=precision, tri_tile=tri_tile,
                           ray_tile=ray_tile, chunk=chunk,
                           subtile=subtile)[:n]

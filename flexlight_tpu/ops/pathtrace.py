@@ -912,6 +912,35 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
                                  sort_mode=smode, subtile=g)
 
+        # SoA bounce casts: carry-sorted wavefront (payload rides one
+        # multi-operand lax.sort instead of argsort + lane-padded [N, C]
+        # row gathers) + channel-major kernel features. Same results as
+        # the row path. Gated off pending chip A/B (the >512-tile
+        # prevtile composite also has no single-key form).
+        if (os.environ.get("FLEXLIGHT_SPARSE_SOA", "0") != "0"
+                and (smode == "nearest2" or w4t.shape[0] <= 512)):
+            from .intersect_sparse import (shadow_sparse_soa,
+                                           traverse_sparse_soa)
+
+            def traverse_fn_soa(o3, d3, alive=None, edge=BIAS, hint=None):
+                rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
+                g = sub if hint is not None else 1
+                return traverse_sparse_soa(w4t, w4f, amin, amax, o3, d3,
+                                           interpret=interp,
+                                           sort_rays=sort, alive=alive,
+                                           edge=edge, sort_hint=hint,
+                                           ray_tile=rt, sort_mode=smode,
+                                           subtile=g)
+
+            def shadow_fn_soa(o3, d3, l, alive=None, hint=None):
+                rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
+                g = sub if hint is not None else 1
+                return shadow_sparse_soa(w4t, amin, amax, o3, d3, l,
+                                         interpret=interp, sort_rays=sort,
+                                         alive=alive, sort_hint=hint,
+                                         ray_tile=rt, sort_mode=smode,
+                                         subtile=g)
+
         if os.environ.get("FLEXLIGHT_PAIR_CAST", "0") != "0":
             # Off by default: chip A/B (dragon 1080p direct, 2026-08-19)
             # measured 1048.4 ms paired vs 999.9 ms separate — sharing the
@@ -1070,13 +1099,13 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     def traverse_soa(o3, d3, alive=None, hint=None):
         al = None if alive is None else alive.reshape(-1)
+        kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
         if traverse_fn_soa is not None:
             s, u, v, tri = traverse_fn_soa(
                 tuple(c.reshape(-1) for c in o3),
-                tuple(c.reshape(-1) for c in d3), alive=al)
+                tuple(c.reshape(-1) for c in d3), alive=al, **kw)
             return (s.reshape(rshape), u.reshape(rshape),
                     v.reshape(rshape), tri.reshape(rshape))
-        kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
         hit = traverse_fn(_flat3(o3), _flat3(d3), alive=al, **kw)
         hsuv = hit.suv.T
         return (hsuv[0].reshape(rshape), hsuv[1].reshape(rshape),
@@ -1084,12 +1113,12 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
     def shadow_soa(o3, d3, max_len, alive=None, hint=None):
         al = None if alive is None else alive.reshape(-1)
+        kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
         if shadow_fn_soa is not None:
             return shadow_fn_soa(
                 tuple(c.reshape(-1) for c in o3),
                 tuple(c.reshape(-1) for c in d3),
-                max_len.reshape(-1), alive=al).reshape(rshape)
-        kw = {"hint": hint.reshape(-1)} if (accepts_hint and hint is not None) else {}
+                max_len.reshape(-1), alive=al, **kw).reshape(rshape)
         return shadow_fn(_flat3(o3), _flat3(d3), max_len.reshape(-1),
                          alive=al, **kw).reshape(rshape)
 

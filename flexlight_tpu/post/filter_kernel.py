@@ -386,7 +386,7 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
               scale_fn, prep_fn, ctx_fn, init_fn, update_fn, finish_fn,
               valid_fn=None, interpret: bool = False,
               ty: int = TY, tx: int = TX, band_edges=None,
-              n_int: int = 4, n_f32: int = 4):
+              n_int: int = 4, n_f32: int = 4, compact: bool = True):
     """Drive a disc-filter kernel over packed rgba8 images.
 
     imgs_hwc: (ids, oid, color, ip, ocolor) as [H, W, 4] quantized f32.
@@ -428,7 +428,14 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
     nti, ntj = hp // ty, wp // tx
     grid = (nti, ntj)
     tyw, txw = ty + 2 * ry, tx + 2 * rx
-    compact = os.environ.get("FLEXLIGHT_FILTER_COMPACT", "1") != "0"
+    # Per-filter default (chip A/B 2026-08-19, 1080p: compaction wins the
+    # first filter — mixed 30.7 -> 25.3, uniform 17.8 -> 4.6 ms — but
+    # costs the second +2.7 and the final +0.2: their scale keys leave
+    # too few fully-inactive tiles to repay the remap's arbitrary-order
+    # grid). Env var overrides both ways for A/Bs.
+    env_compact = os.environ.get("FLEXLIGHT_FILTER_COMPACT", "")
+    if env_compact != "":
+        compact = env_compact != "0"
 
     def remap_for(bentries):
         """Per-band tile remap [P, 5] int32 (ti, tj, win_i, win_j, real):
@@ -743,7 +750,8 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
         scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
         init_fn=_second_init, update_fn=_second_update,
         finish_fn=_second_finish, interpret=interpret,
-        band_edges=SECOND_BAND_EDGES, n_int=3, n_f32=10, ty=ty, tx=tx)
+        band_edges=SECOND_BAND_EDGES, n_int=3, n_f32=10, ty=ty, tx=tx,
+        compact=False)
     return outs[0], outs[1], outs[2]
 
 
@@ -820,5 +828,6 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
         scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
         init_fn=_final_init, update_fn=_final_update,
         finish_fn=_final_finish_factory(hdr), interpret=interpret,
-        band_edges=FINAL_BAND_EDGES, n_int=2, n_f32=9, ty=ty, tx=tx)
+        band_edges=FINAL_BAND_EDGES, n_int=2, n_f32=9, ty=ty, tx=tx,
+        compact=False)
     return outs[0]

@@ -65,11 +65,20 @@ def sweep():
     # small ty tightens per-tile scale ranges (fewer active offsets);
     # LARGE ty amortizes the per-ox-group window slice+prep, whose cost
     # scales as tiles x (ty + 2*ry) — opposing forces, hence the sweep
-    for ty, tx in ((128, 128), (256, 128), (64, 128), (32, 128), (64, 256),
-                   (256, 256)):
+    for ty, tx in ((128, 128), (256, 128), (64, 128), (32, 128), (16, 128),
+                   (64, 256)):
         report(f"first[ty={ty},tx={tx}]",
                lambda c, p, oc, i, o, ty=ty, tx=tx: K.first_filter_tpu(
                    c, p, oc, i, o, interpret=interp, ty=ty, tx=tx)[0],
+               color, ip, ocolor, ids, oid, iters=4)
+    for ty in (128, 64, 32, 16):
+        report(f"second[ty={ty},tx=128]",
+               lambda c, p, oc, i, o, ty=ty: K.second_filter_tpu(
+                   c, p, oc, i, o, interpret=interp, ty=ty, tx=128)[0],
+               color, ip, ocolor, ids, oid, iters=4)
+        report(f"final[ty={ty},tx=128]",
+               lambda c, p, oc, i, o, ty=ty: K.final_filter_tpu(
+                   c, p, oc, i, o, True, interpret=interp, ty=ty, tx=128),
                color, ip, ocolor, ids, oid, iters=4)
 
 

@@ -554,3 +554,99 @@ def test_nearest2_key_multichunk_merge():
                          jnp.asarray(direction), jnp.asarray(max_len),
                          interpret=True, k_chunk=8)
     np.testing.assert_array_equal(np.asarray(multi), np.asarray(one))
+
+
+@pytest.mark.parametrize("sort_rays,sort_mode,hinted", [
+    (False, "prevtile", False),
+    (True, "prevtile", False),
+    (True, "prevtile", True),
+    (True, "nearest2", True),
+])
+def test_sparse_soa_matches_row_path(sort_rays, sort_mode, hinted):
+    """SoA entry points (carry-sorted wavefront + channel-major features,
+    ops/intersect_sparse.py traverse_sparse_soa/shadow_sparse_soa) must
+    match the row-layout path exactly: the sort only groups work and the
+    exact-suv tail evaluates the same expressions."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse,
+                                                    shadow_sparse_soa,
+                                                    traverse_sparse,
+                                                    traverse_sparse_soa)
+    from tests.scenes import cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
+
+    rng = np.random.default_rng(17)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+    hint = (jnp.asarray(rng.integers(0, buffers.id_buffer.shape[0], n),
+                        dtype=jnp.int32) if hinted else None)
+    o3 = tuple(jnp.asarray(origin[:, c]) for c in range(3))
+    d3 = tuple(jnp.asarray(direction[:, c]) for c in range(3))
+
+    base = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=sort_rays, alive=alive,
+                           sort_hint=hint, sort_mode=sort_mode)
+    s, u, v, tri = traverse_sparse_soa(w4t, w4f, amin, amax, o3, d3,
+                                       interpret=True, sort_rays=sort_rays,
+                                       alive=alive, sort_hint=hint,
+                                       sort_mode=sort_mode)
+    np.testing.assert_array_equal(np.asarray(tri),
+                                  np.asarray(base.triangle))
+    got_suv = np.stack([np.asarray(s), np.asarray(u), np.asarray(v)],
+                       axis=-1)
+    np.testing.assert_allclose(got_suv, np.asarray(base.suv),
+                               rtol=1e-6, atol=1e-6)
+
+    max_len = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+    s_base = shadow_sparse(w4t, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), max_len, interpret=True,
+                           sort_rays=sort_rays, alive=alive,
+                           sort_hint=hint, sort_mode=sort_mode)
+    s_soa = shadow_sparse_soa(w4t, amin, amax, o3, d3, max_len,
+                              interpret=True, sort_rays=sort_rays,
+                              alive=alive, sort_hint=hint,
+                              sort_mode=sort_mode)
+    np.testing.assert_array_equal(np.asarray(s_soa), np.asarray(s_base))
+
+
+def test_sparse_soa_lowers_for_tpu():
+    """SoA sparse casts (carry sort + channel-major features) lower
+    through Mosaic."""
+    from jax import export
+
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    shadow_sparse_soa,
+                                                    traverse_sparse_soa)
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer)
+
+    n = 4096
+
+    def f(o3, d3, ml):
+        s, u, v, tri = traverse_sparse_soa(
+            w4t, w4f, amin, amax, o3, d3, sort_rays=True,
+            sort_hint=jnp.zeros(n, jnp.int32), sort_mode="nearest2",
+            ray_tile=256, subtile=4)
+        sh = shadow_sparse_soa(
+            w4t, amin, amax, o3, d3, ml, sort_rays=True,
+            sort_hint=jnp.zeros(n, jnp.int32), sort_mode="nearest2",
+            ray_tile=256, subtile=4)
+        return s, u, v, tri, sh
+
+    zeros = tuple(jnp.zeros(n, jnp.float32) for _ in range(3))
+    ones = tuple(jnp.ones(n, jnp.float32) for _ in range(3))
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        zeros, ones, jnp.full((n,), 8.0, jnp.float32))
+    assert len(exp.mlir_module_serialized) > 0
