@@ -65,21 +65,30 @@ def sweep():
     # small ty tightens per-tile scale ranges (fewer active offsets);
     # LARGE ty amortizes the per-ox-group window slice+prep, whose cost
     # scales as tiles x (ty + 2*ry) — opposing forces, hence the sweep
-    for ty, tx in ((128, 128), (256, 128), (64, 128), (32, 128), (16, 128),
-                   (64, 256)):
-        report(f"first[ty={ty},tx={tx}]",
-               lambda c, p, oc, i, o, ty=ty, tx=tx: K.first_filter_tpu(
-                   c, p, oc, i, o, interpret=interp, ty=ty, tx=tx)[0],
-               color, ip, ocolor, ids, oid, iters=4)
-    for ty in (128, 64, 32, 16):
-        report(f"second[ty={ty},tx=128]",
-               lambda c, p, oc, i, o, ty=ty: K.second_filter_tpu(
-                   c, p, oc, i, o, interpret=interp, ty=ty, tx=128)[0],
-               color, ip, ocolor, ids, oid, iters=4)
-        report(f"final[ty={ty},tx=128]",
-               lambda c, p, oc, i, o, ty=ty: K.final_filter_tpu(
-                   c, p, oc, i, o, True, interpret=interp, ty=ty, tx=128),
-               color, ip, ocolor, ids, oid, iters=4)
+    def safe(label, fn, *args):
+        # ty=16 blows the 1 MB SMEM budget (remap tables scale with tile
+        # count); record and keep sweeping instead of dying
+        try:
+            report(label, fn, *args, iters=4)
+        except Exception as exc:
+            print(f"{label}: FAILED {type(exc).__name__}: "
+                  f"{str(exc)[:120]}", flush=True)
+
+    for ty, tx in ((128, 128), (256, 128), (64, 128), (32, 128), (48, 128),
+                   (32, 256), (64, 256)):
+        safe(f"first[ty={ty},tx={tx}]",
+             lambda c, p, oc, i, o, ty=ty, tx=tx: K.first_filter_tpu(
+                 c, p, oc, i, o, interpret=interp, ty=ty, tx=tx)[0],
+             color, ip, ocolor, ids, oid)
+    for ty in (128, 64, 32):
+        safe(f"second[ty={ty},tx=128]",
+             lambda c, p, oc, i, o, ty=ty: K.second_filter_tpu(
+                 c, p, oc, i, o, interpret=interp, ty=ty, tx=128)[0],
+             color, ip, ocolor, ids, oid)
+        safe(f"final[ty={ty},tx=128]",
+             lambda c, p, oc, i, o, ty=ty: K.final_filter_tpu(
+                 c, p, oc, i, o, True, interpret=interp, ty=ty, tx=128),
+             color, ip, ocolor, ids, oid)
 
 
 def main():
