@@ -637,7 +637,11 @@ FIRST_BAND_EDGES = (5.5, 8.0, 11.0)
 
 
 def first_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
-                     ty: int = TY, tx: int = TX):
+                     ty: int = 32, tx: int = TX):
+    # ty=32 default from the chip ty-sweep (2026-08-19, compaction on,
+    # mixed keys 1080p): 15.1 ms vs 21.1 at ty=64, 23.0 at ty=128 —
+    # smaller tiles tighten per-tile scale ranges so compaction skips
+    # more; ty=16 exceeds the 1 MB SMEM remap budget.
     """first_filter with the dynamic disc blur in a Pallas kernel and the
     static-stencil vote repair as packed-int XLA (vote_repair_packed).
     Same signature/returns as filters.first_filter. ty/tx tune the tile
