@@ -140,6 +140,38 @@ def main():
     report("pre+tex+shade (incl reservoir)", stage_shade, carry.hs + 0.1,
            iters=4)
 
+    def stage_apply_nextdir(hs):
+        c = carry._replace(hs=hs)
+        _, surface = pt.bounce_pre(c, 1, mat, config)
+        tex = pt.bounce_tex(buffers, surface)
+        c2, req = pt.bounce_shade(c, surface, tex, 1, buffers,
+                                  jnp.zeros(3), ndc2, jnp.float32(1.0),
+                                  config, jnp.float32(0.0))
+        shadowed = jnp.zeros_like(hs, dtype=bool)
+        c3 = pt.bounce_apply(c2, tex, req, shadowed, 1, config)
+        return c3.final_color[0] + c3.ray_dir[0]
+
+    report("...+apply/nextdir (no casts)", stage_apply_nextdir,
+           carry.hs + 0.1, iters=4)
+
+    # Whole-frame marginal decomposition: frame(mr=k) adds exactly one
+    # bounce per k, so the slope is the true per-bounce cost (with all
+    # fusion effects) and the k=0 intercept = camera gen + primary cast
+    # + MRT pack. Locates the budget gap the isolated stages leave.
+    from flexlight_tpu.ops.pathtrace import render_mrt
+
+    cam = jnp.zeros(3)
+
+    for mr in (0, 1, 2, 3, 5):
+        cfg = config.replace(max_reflections=mr)
+
+        def frame(seed, cfg=cfg):
+            mrt_out = render_mrt(buffers, w, h, cam, jnp.eye(3), cfg,
+                                 seed, scheme="kernel")
+            return mrt_out.color[:, 0]
+
+        report(f"frame direct mr={mr}", frame, jnp.float32(0.0), iters=4)
+
 
 if __name__ == "__main__":
     main()
