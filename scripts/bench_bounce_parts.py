@@ -161,16 +161,18 @@ def main():
     from flexlight_tpu.ops.pathtrace import render_mrt
 
     cam = jnp.zeros(3)
+    scheme = renderer._resolved_scheme()
 
     for mr in (0, 1, 2, 3, 5):
         cfg = config.replace(max_reflections=mr)
 
         def frame(seed, cfg=cfg):
             mrt_out = render_mrt(buffers, w, h, cam, jnp.eye(3), cfg,
-                                 seed, scheme="kernel")
+                                 seed, scheme=scheme)
             return mrt_out.color[:, 0]
 
-        report(f"frame direct mr={mr}", frame, jnp.float32(0.0), iters=4)
+        report(f"frame direct mr={mr} ({scheme})", frame, jnp.float32(0.0),
+               iters=4)
 
 
 if __name__ == "__main__":

@@ -15,4 +15,5 @@ run() {
 run python scripts/bench_bounce_parts.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=8192 python scripts/bench_bounce_parts.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=8192 python scripts/bench_bounce_parts.py cornell 256 256
+run python scripts/bench_bounce_parts.py dragon
 echo "BATCH L DONE" >> "$LOG"
