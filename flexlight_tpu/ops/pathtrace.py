@@ -971,21 +971,29 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # Octant sorting only pays for itself when there are many triangle
         # tiles to skip (argsort is not free on TPU)
         sort = (ids.shape[0] // tri_tile) >= 8
-        # Perf experiment knob: small scenes are grid-step-overhead-bound
-        # (theater 64 tris: ~6 ms per 2M-ray pass across 2048 programs vs
-        # ~0.3 ms of actual MXU+HBM work); larger ray tiles cut the
-        # program count proportionally. Chip A/B pending.
-        drt = int(os.environ.get("FLEXLIGHT_DENSE_RAY_TILE", "0")) or RAY_TILE
+        # Small scenes are grid-step-overhead-bound (theater 20 tris:
+        # ~6 ms per 2M-ray pass across 2048 programs vs ~0.3 ms of actual
+        # MXU+HBM work); larger ray tiles cut the program count. Chip A/B
+        # 2026-08-19 (batch J): theater 1080p direct 205.4 -> 194.3 ms at
+        # ray_tile 8192 (with SoA casts), anyhit cast 6.0 -> 3.1 ms.
+        # Small ray counts keep 1024 (padding waste + interpret cost).
+        env_drt = int(os.environ.get("FLEXLIGHT_DENSE_RAY_TILE", "0"))
+
+        def _pick_drt(n_rays: int) -> int:
+            if env_drt:
+                return env_drt
+            return 8192 if (not sort and n_rays >= 32768) else RAY_TILE
 
         def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
                                    tri_tile=tri_tile, sort_rays=sort,
-                                   ray_tile=drt, alive=alive, edge=edge)
+                                   ray_tile=_pick_drt(o.shape[0]),
+                                   alive=alive, edge=edge)
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
                                  tri_tile=tri_tile, sort_rays=sort,
-                                 ray_tile=drt, alive=alive)
+                                 ray_tile=_pick_drt(o.shape[0]), alive=alive)
 
         if not sort and os.environ.get("FLEXLIGHT_SOA_CAST", "1") != "0":
             # SoA fast path for the bounce loop: ray channels go straight
@@ -996,12 +1004,14 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             def traverse_fn_soa(o3, d3, alive=None, edge=BIAS):
                 return traverse_kernel_soa(
                     w4, amin, amax, ids, o3, d3, interpret=interp,
-                    tri_tile=tri_tile, ray_tile=drt, alive=alive, edge=edge)
+                    tri_tile=tri_tile, ray_tile=_pick_drt(o3[0].shape[0]),
+                    alive=alive, edge=edge)
 
             def shadow_fn_soa(o3, d3, l, alive=None):
                 return shadow_kernel_soa(
                     w4, amin, amax, ids, o3, d3, l, interpret=interp,
-                    tri_tile=tri_tile, ray_tile=drt, alive=alive)
+                    tri_tile=tri_tile, ray_tile=_pick_drt(o3[0].shape[0]),
+                    alive=alive)
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 
