@@ -169,7 +169,9 @@ def main():
         def frame(seed, cfg=cfg):
             mrt_out = render_mrt(buffers, w, h, cam, jnp.eye(3), cfg,
                                  seed, scheme=scheme)
-            return mrt_out.color[:, 0]
+            # consume EVERY channel: returning only color lets XLA DCE
+            # the id-packing chains (first run's mr=0 measured 0.0 ms)
+            return sum(jnp.sum(x) for x in jax.tree.leaves(mrt_out))
 
         report(f"frame direct mr={mr} ({scheme})", frame, jnp.float32(0.0),
                iters=4)

@@ -1,0 +1,15 @@
+#!/bin/sh
+# Batch N: corrected frame decomposition (all MRT channels consumed —
+# the first run DCE'd the id-packing chains) on theater + dragon.
+LOG=/tmp/bench_r2n.log
+cd "$(dirname "$0")/.."
+: > "$LOG"
+while ! grep -q "BATCH M DONE" /tmp/bench_r2m.log 2>/dev/null; do sleep 30; done
+run() {
+    echo "=== $* ===" >> "$LOG"
+    timeout 3000 env "$@" >> "$LOG" 2>&1
+    echo "rc=$?" >> "$LOG"
+}
+run python scripts/bench_bounce_parts.py theater
+run python scripts/bench_bounce_parts.py dragon
+echo "BATCH N DONE" >> "$LOG"
