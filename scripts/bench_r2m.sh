@@ -15,6 +15,9 @@ run FLEXLIGHT_SPARSE_SOA=0 python scripts/bench_direct.py dragon
 run FLEXLIGHT_SPARSE_SOA=1 python scripts/bench_direct.py dragon
 run FLEXLIGHT_SPARSE_SOA=1 FLEXLIGHT_SPARSE_SUBTILE=4 python scripts/bench_direct.py dragon
 run python scripts/bench_direct.py theater
+run FLEXLIGHT_DENSE_RAY_TILE=16384 python scripts/bench_direct.py theater
+run FLEXLIGHT_DENSE_RAY_TILE=32768 python scripts/bench_direct.py theater
+run FLEXLIGHT_DENSE_RAY_TILE=65536 python scripts/bench_direct.py theater
 run python scripts/bench_stages.py theater
 run python bench.py
 echo "BATCH M DONE" >> "$LOG"

@@ -10,6 +10,9 @@ run() {
     timeout 3000 env "$@" >> "$LOG" 2>&1
     echo "rc=$?" >> "$LOG"
 }
+run FLEXLIGHT_DENSE_RAY_TILE=16384 python scripts/bench_direct.py theater
+run FLEXLIGHT_DENSE_RAY_TILE=32768 python scripts/bench_direct.py theater
+run FLEXLIGHT_DENSE_RAY_TILE=65536 python scripts/bench_direct.py theater
 run python scripts/bench_bounce_parts.py theater
 run python scripts/bench_bounce_parts.py dragon
 echo "BATCH N DONE" >> "$LOG"
