@@ -13,6 +13,8 @@ run() {
 run FLEXLIGHT_DENSE_RAY_TILE=16384 python scripts/bench_direct.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=32768 python scripts/bench_direct.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=65536 python scripts/bench_direct.py theater
+run FLEXLIGHT_SPARSE_SOA=1 FLEXLIGHT_SPARSE_SUBTILE=8 python scripts/bench_direct.py dragon
+run FLEXLIGHT_SPARSE_SOA=1 FLEXLIGHT_SPARSE_SUBTILE=16 python scripts/bench_direct.py dragon
 run python scripts/bench_bounce_parts.py theater
 run python scripts/bench_bounce_parts.py dragon
 echo "BATCH N DONE" >> "$LOG"

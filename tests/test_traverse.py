@@ -446,7 +446,8 @@ def test_sparse_sort_env_knob_render(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("subtile,ray_tile", [(2, 256), (4, 256)])
+@pytest.mark.parametrize("subtile,ray_tile",
+                         [(2, 256), (4, 256), (8, 128), (16, 128)])
 def test_sparse_subtile_matches_single(subtile, ray_tile):
     """Subtiling (several ray tiles per Mosaic program) is a pure
     scheduling change: results must be bit-identical to subtile=1 at the
