@@ -892,7 +892,10 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # small-tile matmul savings without the program-launch
         # overhead). Trace-time like the other perf knobs here.
         smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "nearest2")
-        sub = int(os.environ.get("FLEXLIGHT_SPARSE_SUBTILE", "1"))
+        # subtile 4 default: chip A/B 2026-08-19 (dragon 1080p direct,
+        # SoA casts on) 856.1 -> 839.2 ms; per-program fixed cost
+        # (~23 us) divides by the group size. 8/16 staged (batch N).
+        sub = int(os.environ.get("FLEXLIGHT_SPARSE_SUBTILE", "4"))
 
         def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
             # NB: returns DRAWABLE indices; the material/location tables
@@ -915,9 +918,11 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # SoA bounce casts: carry-sorted wavefront (payload rides one
         # multi-operand lax.sort instead of argsort + lane-padded [N, C]
         # row gathers) + channel-major kernel features. Same results as
-        # the row path. Gated off pending chip A/B (the >512-tile
-        # prevtile composite also has no single-key form).
-        if (os.environ.get("FLEXLIGHT_SPARSE_SOA", "0") != "0"
+        # the row path. Default ON since the chip A/B (2026-08-19,
+        # dragon 1080p direct: 998.6 -> 856.1 ms); the >512-tile
+        # prevtile composite has no single-key form, so those scenes
+        # keep the row path unless sorted by nearest2.
+        if (os.environ.get("FLEXLIGHT_SPARSE_SOA", "1") != "0"
                 and (smode == "nearest2" or w4t.shape[0] <= 512)):
             from .intersect_sparse import (shadow_sparse_soa,
                                            traverse_sparse_soa)

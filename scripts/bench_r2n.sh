@@ -10,6 +10,7 @@ run() {
     timeout 3000 env "$@" >> "$LOG" 2>&1
     echo "rc=$?" >> "$LOG"
 }
+run python scripts/bench_stages.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=16384 python scripts/bench_direct.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=32768 python scripts/bench_direct.py theater
 run FLEXLIGHT_DENSE_RAY_TILE=65536 python scripts/bench_direct.py theater
