@@ -987,7 +987,12 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         def _pick_drt(n_rays: int) -> int:
             if env_drt:
                 return env_drt
-            return 8192 if (not sort and n_rays >= 32768) else RAY_TILE
+            if sort or n_rays < 32768:
+                return RAY_TILE
+            # the kernel's [ray_tile, 4*tri_tile] VMEM product caps the
+            # tile: 8192 x 64-tri fits, obj's 256-tri tile OOM'd at 8192
+            # (chip, batch P) -> scale inversely with tri_tile
+            return max(RAY_TILE, 8192 * 64 // tri_tile)
 
         def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
