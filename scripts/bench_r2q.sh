@@ -12,6 +12,7 @@ run() {
     timeout 2400 env "$@" >> "$LOG" 2>&1
     echo "rc=$?" >> "$LOG"
 }
+run python scripts/bench_direct.py obj 1280 720
 run FLEXLIGHT_BOUNCE_RT=512 FLEXLIGHT_SPARSE_SUBTILE=8 python scripts/bench_direct.py dragon
 run FLEXLIGHT_BOUNCE_RT=256 FLEXLIGHT_SPARSE_SUBTILE=16 python scripts/bench_direct.py dragon
 run FLEXLIGHT_BOUNCE_RT=512 FLEXLIGHT_SPARSE_SUBTILE=4 python scripts/bench_direct.py dragon
