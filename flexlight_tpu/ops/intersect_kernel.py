@@ -181,7 +181,17 @@ def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
 def pick_tri_tile(num_tris: int) -> int:
     """Smallest tile that avoids padding/epilogue waste on small scenes
     while keeping per-step work meaty on large ones (the VPU epilogue
-    cost per grid step is proportional to tri_tile)."""
+    cost per grid step is proportional to tri_tile).
+
+    Scenes that fit ONE 32-row tile take it: chip A/B 2026-08-19
+    (theater 1080p direct, two independent pairs) 195.1/196.4 ms at
+    tri_tile 64 -> 187.2/189.3 at 32 with ray_tile held at 8192 — the
+    [tri_tile, ray_tile] epilogue halves. 16 gives it back (194.3 ms,
+    MXU/sublane underutilization), and multi-tile 32 (wt=2) doubles the
+    per-program fixed cost, so 33+ tris keep the legacy rule."""
+    for cand in (32,):
+        if num_tris <= cand:
+            return cand
     for cand in (64, 128, 256):
         if num_tris <= cand * 2:
             return cand

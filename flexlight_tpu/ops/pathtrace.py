@@ -970,7 +970,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                        shadow_kernel, shadow_kernel_soa,
                                        traverse_kernel, traverse_kernel_soa)
 
-        tri_tile = pick_tri_tile(buffers.id_buffer.shape[0])
+        tri_tile = int(os.environ.get("FLEXLIGHT_DENSE_TRI_TILE", "0")) \
+            or pick_tri_tile(buffers.id_buffer.shape[0])
         w4, amin, amax, ids = build_w4(world_geom, buffers.id_buffer, tri_tile)
         interp = jax.default_backend() == "cpu"  # Pallas TPU kernels: interpret on CPU
         # Octant sorting only pays for itself when there are many triangle
@@ -991,8 +992,12 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                 return RAY_TILE
             # the kernel's [ray_tile, 4*tri_tile] VMEM product caps the
             # tile: 8192 x 64-tri fits, obj's 256-tri tile OOM'd at 8192
-            # (chip, batch P) -> scale inversely with tri_tile
-            return max(RAY_TILE, 8192 * 64 // tri_tile)
+            # (chip, batch P) -> scale inversely with tri_tile. Never go
+            # above 8192: the [K, ray_tile] feature tile and the per-row
+            # epilogue temps grow with ray_tile regardless of tri_tile
+            # (16384 x 32-tri OOM'd at 18.2M/16M scoped VMEM, chip
+            # 2026-08-19).
+            return max(RAY_TILE, min(8192, 8192 * 64 // tri_tile))
 
         def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
