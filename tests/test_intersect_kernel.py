@@ -81,3 +81,39 @@ def test_kernel_shadow_matches_scan(sort_rays):
                         interpret=True, tri_tile=tri_tile,
                         sort_rays=sort_rays)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pick_tri_tile_small_scene_single_tile():
+    """Scenes that fit one 32-row tile take it (chip A/B 2026-08-19:
+    theater direct 195->187 ms); 33+ tris keep the legacy >=64 rule so
+    the tile count per program stays low."""
+    from flexlight_tpu.ops.intersect_kernel import pick_tri_tile
+
+    assert pick_tri_tile(20) == 32     # theater
+    assert pick_tri_tile(32) == 32
+    assert pick_tri_tile(33) == 64
+    assert pick_tri_tile(36) == 64     # cornell / emissive
+    assert pick_tri_tile(352) == 256   # obj/monke
+    assert pick_tri_tile(5000) == 512
+
+
+def test_kernel_traversal_tri_tile_32_matches_64():
+    """The 32-row tile path (new small-scene default) is equivalent to
+    the legacy 64-row tile on a <=32-tri subset of cornell — pure
+    tiling, same hits bit-for-bit (both interpret-mode f32)."""
+    from flexlight_tpu.ops.intersect_kernel import build_w4, traverse_kernel
+
+    buffers, geometry, _, origin, direction, _ = _setup()
+    # restrict to the first 24 drawable triangles -> single 32-row tile
+    ids24 = buffers.id_buffer[:24]
+    o, d = jnp.asarray(origin), jnp.asarray(direction)
+    hits = {}
+    for tt in (32, 64):
+        w4, amin, amax, ids = build_w4(geometry, ids24, tt)
+        hits[tt] = traverse_kernel(w4, amin, amax, ids, o, d,
+                                   interpret=True, tri_tile=tt)
+    np.testing.assert_array_equal(np.asarray(hits[32].triangle),
+                                  np.asarray(hits[64].triangle))
+    np.testing.assert_array_equal(np.asarray(hits[32].suv),
+                                  np.asarray(hits[64].suv))
+    assert int((np.asarray(hits[32].triangle) >= 0).sum()) > 0
