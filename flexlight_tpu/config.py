@@ -23,6 +23,13 @@ class Config:
     temporal: bool = True
     temporal_samples: int = 4
     filter: bool = False
+    # Denoise-chain flavor (not a reference knob — the TPU-first product
+    # mode): "fast" tile-quantizes the per-pixel blur radius key
+    # (post.common.tileize_blur_key) so the filter kernels' offset
+    # skipping and active-tile compaction engage; "compat" replicates the
+    # reference's per-pixel key arithmetic-exactly (the parity-proof
+    # mode). Edge-stopping gates are identical in both modes.
+    filter_mode: str = "fast"
     hdr: bool = True
     antialiasing: str | None = "fxaa"
     # RNG flavor (not a reference knob): "hash" = GLSL noise() compat

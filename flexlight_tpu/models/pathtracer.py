@@ -50,23 +50,35 @@ def _quantized_mrt(mrt, height, width):
     return color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q
 
 
-def _filter_passes(post_scheme: str):
+def _filter_passes(post_scheme: str, fast: bool = False):
     """Select the denoise-pass implementations: "gather" = jnp dynamic
     gather (CPU oracle / sharded shards), "kernel" = Pallas TPU kernels
-    (post.filter_kernel), "auto" = kernel unless on the CPU backend."""
+    (post.filter_kernel), "auto" = kernel unless on the CPU backend.
+    `fast` (filter_mode="fast") tunes the kernels for tile-uniform blur
+    keys: active-tile compaction + the tileize-grid tile height on the
+    second/final passes too (the first pass already defaults to both)."""
     if post_scheme == "auto":
         post_scheme = "gather" if jax.default_backend() == "cpu" else "kernel"
     if post_scheme == "kernel":
         from ..post.filter_kernel import (final_filter_tpu, first_filter_tpu,
                                           second_filter_tpu)
 
+        if fast:
+            return (first_filter_tpu,
+                    partial(second_filter_tpu, ty=32, compact=True),
+                    partial(final_filter_tpu, ty=32, compact=True))
         return first_filter_tpu, second_filter_tpu, final_filter_tpu
     return first_filter, second_filter, final_filter
 
 
 def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f,
-                  post_scheme: str = "gather"):
-    first_fn, second_fn, final_fn = _filter_passes(post_scheme)
+                  post_scheme: str = "gather", tileize=None):
+    fast = config.filter_mode == "fast"
+    first_fn, second_fn, final_fn = _filter_passes(post_scheme, fast)
+    if fast and tileize is None:
+        from ..post.common import tileize_blur_key
+        tileize = tileize_blur_key
+    key_fn = tileize if fast else (lambda x: x)
     """The first/second/final filter ping-pong, index-exact to
     pathtracerWGL2.js:462-549 — including the reference's quirk that the
     first two second-pass originalColor writes land on a nonexistent
@@ -74,12 +86,15 @@ def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f,
     second-pass reads a zero originalColor texture.
 
     `lift` wraps each individual pass — the sharded pipeline injects a
-    ppermute halo exchange per pass here (parallel.halo.with_halo)."""
+    ppermute halo exchange per pass here (parallel.halo.with_halo).
+    `tileize` is the fast-mode blur-key quantizer applied to every
+    originalColor a pass consumes (defaults to post.common.tileize_blur_key;
+    the halo-sharded pipeline passes its psum-based global-grid variant)."""
     zeros = jnp.zeros_like(r0)
     render = {0: r0, 1: zeros, 2: zeros, 3: zeros}
     ip = {0: ip0, 1: zeros, 2: zeros, 3: zeros}
     ids = {0: id0, 1: zeros}
-    ocolor = {0: oc0, 1: zeros}
+    ocolor = {0: key_fn(oc0), 1: zeros}
     n = n_id = n_original = 0
     first, second = config.first_passes, config.second_passes
     for i in range(first + second):
@@ -96,7 +111,7 @@ def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f,
             c, p, oc = lift(second_fn)(*inputs)
             render[np_], ip[np_] = c, p
             if i - 2 >= first:
-                ocolor[npo] = oc  # earlier second passes: write dropped
+                ocolor[npo] = key_fn(oc)  # earlier second passes: write dropped
         n = np_
         if i >= first:
             n_original = npo

@@ -38,6 +38,66 @@ def make_mesh(n_tile: int, n_sample: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("tile", "sample"))
 
 
+def required_post_halo(config) -> int:
+    """Worst-case cross-pixel read reach of any single lifted post pass.
+
+    The denoise blur offset is ivec2(stencil * scale) with scale bounded
+    per filter (pathtracer_first_filter.glsl:101, second:50, final:56);
+    the exact per-filter maxima come from the same offset tables the
+    kernels compile from. FXAA reads at most search-step 6 of the 3x3-blur
+    image = 7 rows (fxaa.js:119-130); TAA's neighborhood clamp reads 1.
+    The halo pipeline is exact iff every pass reach fits its halo, and a
+    one-hop ppermute bounds halo <= rows_local."""
+    need = 0
+    if config.filter:
+        from ..post.filter_kernel import (FINAL_BOUNDS, FIRST_BOUNDS,
+                                          SECOND_BOUNDS, _offset_table)
+
+        if config.first_passes > 0:
+            need = max(need, _offset_table("disc37", *FIRST_BOUNDS)[1], 1)
+        if config.second_passes > 0:
+            need = max(need, _offset_table("disc36", *SECOND_BOUNDS)[1])
+        need = max(need, _offset_table("disc37", *FINAL_BOUNDS)[1])
+    if config.antialiasing == "fxaa":
+        need = max(need, 7)
+    elif config.antialiasing == "taa":
+        need = max(need, 1)
+    return need
+
+
+def tileize_blur_key_sharded(ocolor, row0, height: int, axis_name: str,
+                             ty: int = 32, tx: int = 128):
+    """post.common.tileize_blur_key on row strips, exactly matching the
+    single-chip global (ty, tx) grid anchored at the image origin.
+
+    Each shard reduces its rows into the global tile-row bins it overlaps
+    (segment_sum over traced global tile indices), a psum completes tiles
+    that straddle strip boundaries, and each shard reads back the means
+    for its own rows. The psum payload is the [ceil(H/ty), ceil(W/tx)]
+    stat grid — a few KB, not an image."""
+    from ..post.common import quantize_rgba8
+
+    w = ocolor[..., 3]
+    rows_local, wd = w.shape
+    wp = -(-wd // tx) * tx
+    wpad = jnp.pad(w, ((0, 0), (0, wp - wd)))
+    cols = wpad.reshape(rows_local, wp // tx, tx)
+    nz = cols > 0.0
+    s_col = jnp.sum(jnp.where(nz, cols, 0.0), axis=2)     # [rows, ntx]
+    c_col = jnp.sum(nz, axis=2).astype(jnp.float32)
+    gtr = (row0 + jnp.arange(rows_local, dtype=jnp.int32)) // ty
+    ntr = -(-height // ty)
+    s_t = jax.ops.segment_sum(s_col, gtr, num_segments=ntr)
+    c_t = jax.ops.segment_sum(c_col, gtr, num_segments=ntr)
+    s_t = jax.lax.psum(s_t, axis_name)
+    c_t = jax.lax.psum(c_t, axis_name)
+    mean = quantize_rgba8(s_t / jnp.maximum(c_t, 1.0))    # [ntr, ntx]
+    mean_rows = mean[gtr]                                  # [rows, ntx]
+    mean_full = jnp.repeat(mean_rows, tx, axis=1)[:, :wd]
+    new_w = jnp.where(w > 0.0, mean_full, 0.0)
+    return jnp.concatenate([ocolor[..., 0:3], new_w[..., None]], axis=-1)
+
+
 def render_mrt_sharded(buffers, width: int, height: int, camera_pos,
                        view_matrix, config, random_seed, mesh: Mesh,
                        scheme: str = "scan", tile: int = 1024) -> MRT:
@@ -135,12 +195,12 @@ def frame_pipeline_sharded(buffers, cam_pos, view, random_seed,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config", "mesh",
-                                   "scheme", "tile", "halo"))
+                                   "scheme", "tile", "halo", "check_halo"))
 def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
                                 temporal_state, taa_state,
                                 width: int, height: int, config, mesh: Mesh,
                                 scheme: str = "scan", tile: int = 1024,
-                                halo: int = 32):
+                                halo: int = 32, check_halo: bool = True):
     """Fully-sharded frame: pathtrace AND post-processing stay strip-sharded.
 
     Temporal accumulation is pointwise per strip; the denoise stencils and
@@ -161,6 +221,22 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
     if height % n_tile != 0:
         raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
     rows_local = height // n_tile
+    # Exactness guard: every lifted pass must fit its stencil reach in the
+    # halo, and a one-hop ppermute reaches at most the adjacent strip. If
+    # the config's worst-case reach exceeds rows_local (fine meshes /
+    # wide-radius filters), fall back to the all_gather-post pipeline
+    # rather than silently truncating the stencil. check_halo=False keeps
+    # the halo path for callers that know their scene's DATA reach fits
+    # the given halo (the bound is the config's worst case, not the
+    # frame's; blur radii are data-dependent).
+    if check_halo:
+        need = required_post_halo(config)
+        if need > rows_local:
+            return frame_pipeline_sharded(
+                buffers, cam_pos, view, random_seed, temporal_state,
+                taa_state, width=width, height=height, config=config,
+                mesh=mesh, scheme=scheme, tile=tile)
+        halo = max(halo, need)
     # One-hop ppermute reaches at most the adjacent strip
     halo = min(halo, rows_local)
     use_aa = config.antialiasing in ("fxaa", "taa")
@@ -173,6 +249,10 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
                          row0=row0, rows=rows_local)
         color, alpha, color_q, ip_q, id_q, oid_q, ocolor_q = _quantized_mrt(
             mrt, rows_local, width)
+        # fast-mode blur-key quantizer on the single-chip global grid
+        # (psum-completed tiles straddling strip boundaries)
+        tileize = partial(tileize_blur_key_sharded, row0=row0, height=height,
+                          axis_name="tile")
 
         # slice this shard's strip of the (replicated) history ring
         my_state = jax.tree.map(
@@ -190,7 +270,8 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
                     [high_q, quantize_rgba8(t_glass)[..., None]], axis=-1)
                 display = _filter_chain(
                     config, r0, ip0, ocolor_q, id_q, oid_q,
-                    lift=lambda f: with_halo(f, halo, "tile"))
+                    lift=lambda f: with_halo(f, halo, "tile"),
+                    tileize=tileize)
             else:
                 display = jnp.clip(t_color, 0.0, 1.0)
                 if use_aa:
@@ -198,7 +279,8 @@ def frame_pipeline_sharded_halo(buffers, cam_pos, view, random_seed,
         elif config.filter:
             display = _filter_chain(
                 config, color_q, ip_q, ocolor_q, id_q, oid_q,
-                lift=lambda f: with_halo(f, halo, "tile"))
+                lift=lambda f: with_halo(f, halo, "tile"),
+                tileize=tileize)
         else:
             direct = color * mrt.original_color.reshape(rows_local, width, 3)
             display = jnp.clip(direct, 0.0, 1.0)

@@ -77,6 +77,44 @@ def gather_multi(imgs, dy: jnp.ndarray, dx: jnp.ndarray):
     return tuple(out)
 
 
+def tileize_blur_key(ocolor: jnp.ndarray, ty: int = 32, tx: int = 128) -> jnp.ndarray:
+    """Fast-filter blur-key quantization (``Config.filter_mode="fast"``).
+
+    The reference's denoise blur radius key (originalColor.w) is per-pixel
+    NOISY: it accumulates material roughness along the RANDOM path
+    (pathtracer_fragment.glsl:558) and stores min(acc, firstRayLength)
+    (glsl:635), so rough surfaces carry a full-spread random radius per
+    pixel. Bit-exact replication forces the TPU filter kernels to visit
+    every reachable offset in every tile (docs/PERF.md). Fast mode
+    replaces the key with its per-(ty, tx)-tile mean over nonzero pixels
+    — each kernel tile then has a single-valued scale range, so the
+    banded offset tables and active-tile compaction skip all but ~37 of
+    the 705 first-filter offsets per tile. Zero keys stay exactly zero
+    (they gate the first filter's passthrough, first_filter.glsl:96-98),
+    and the mean snaps to rgba8 steps like any texture store. The
+    id-equality edge-stopping gates are untouched; only the blur RADIUS
+    is rounded to the tile's mean radius.
+
+    ocolor: [H, W, 4] quantized f32 -> same, with channel 3 tileized.
+    The (ty, tx) grid must match the kernel tiling for full effect
+    (both anchor at the image origin).
+    """
+    w = ocolor[..., 3]
+    h, wd = w.shape
+    hp = -(-h // ty) * ty
+    wp = -(-wd // tx) * tx
+    wpad = jnp.pad(w, ((0, hp - h), (0, wp - wd)))
+    t = wpad.reshape(hp // ty, ty, wp // tx, tx)
+    nz = t > 0.0
+    s = jnp.sum(jnp.where(nz, t, 0.0), axis=(1, 3))
+    c = jnp.sum(nz, axis=(1, 3)).astype(jnp.float32)
+    mean = quantize_rgba8(s / jnp.maximum(c, 1.0))
+    mean_full = jnp.broadcast_to(
+        mean[:, None, :, None], t.shape).reshape(hp, wp)[:h, :wd]
+    new_w = jnp.where(w > 0.0, mean_full, 0.0)
+    return jnp.concatenate([ocolor[..., 0:3], new_w[..., None]], axis=-1)
+
+
 def reinhard_gamma(color: jnp.ndarray) -> jnp.ndarray:
     """Reinhard tone map + the reference's gamma curve
     (pathtracer_final_filter.glsl:61-67)."""

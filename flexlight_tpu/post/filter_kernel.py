@@ -746,8 +746,10 @@ SECOND_BAND_EDGES = (1.05, 2.0)
 
 
 def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
-                      ty: int = TY, tx: int = TX):
-    """Same signature/returns as filters.second_filter."""
+                      ty: int = TY, tx: int = TX, compact: bool = False):
+    """Same signature/returns as filters.second_filter. compact=True pays
+    off when the blur key is tile-uniform (filter_mode="fast"); on compat
+    per-pixel keys too few tiles go inactive to repay the remap grid."""
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc36", SECOND_BOUNDS,
         n_acc=11, out_chs=(4, 4, 4),
@@ -755,7 +757,7 @@ def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
         init_fn=_second_init, update_fn=_second_update,
         finish_fn=_second_finish, interpret=interpret,
         band_edges=SECOND_BAND_EDGES, n_int=3, n_f32=10, ty=ty, tx=tx,
-        compact=False)
+        compact=compact)
     return outs[0], outs[1], outs[2]
 
 
@@ -824,8 +826,10 @@ FINAL_BAND_EDGES = (0.75, 1.6)
 
 
 def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
-                     interpret=False, ty: int = TY, tx: int = TX):
-    """Same signature/returns as filters.final_filter."""
+                     interpret=False, ty: int = TY, tx: int = TX,
+                     compact: bool = False):
+    """Same signature/returns as filters.final_filter. compact: see
+    second_filter_tpu."""
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc37", FINAL_BOUNDS,
         n_acc=9, out_chs=(3,),
@@ -833,5 +837,5 @@ def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
         init_fn=_final_init, update_fn=_final_update,
         finish_fn=_final_finish_factory(hdr), interpret=interpret,
         band_edges=FINAL_BAND_EDGES, n_int=2, n_f32=9, ty=ty, tx=tx,
-        compact=False)
+        compact=compact)
     return outs[0]

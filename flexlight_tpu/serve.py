@@ -5,12 +5,22 @@ fly camera (`exampleLoader.html` + `modules/io.js`); this build renders
 on a headless TPU host, so the canvas is served over HTTP instead:
 
 - ``GET /``           a small viewer page: <img> refresh loop, WASD
-                      key handlers and drag-to-look, all posting to /input
+                      key handlers and drag-to-look, all posting to /input,
+                      plus the live quality-knob form (the reference's
+                      exampleLoader.html:30-75 parameter form)
 - ``GET /frame.png``  the most recent rendered frame (PNG)
 - ``POST /input``     ``{"type": "keydown"|"keyup", "code": "KeyW"}`` or
                       ``{"type": "mouse", "dx": .., "dy": ..}`` — routed
                       into the engine's WebIo (same key/axis map and
                       integration math as io.js)
+- ``GET /config``     current quality knobs (Config + renderer + api)
+- ``POST /config``    mutate knobs live: ``{"filter": true,
+                      "max_reflections": 3, "renderer": "rasterizer"}``.
+                      Applied between frames on the render thread; the
+                      renderer recompiles on change, exactly like the
+                      reference's parameterForm handler (loader.js:65-93),
+                      and the change persists via utils.settings (the
+                      localStorage analogue).
 - ``GET /stats``      fps + structured per-frame metrics JSON
 
 One render thread owns the device (frames are rendered continuously,
@@ -44,6 +54,26 @@ _VIEWER_HTML = """<!doctype html>
 </style></head><body>
 <img id="frame" width="512" height="512">
 <div id="hud">WASD move &middot; Space/Shift up/down &middot; drag to look &middot; <span id="fps"></span></div>
+<form id="params" style="text-align:center; margin: 8px">
+  <label>pathtracing <input id="pathtracing" type="checkbox"></label>
+  <label>filter <input id="filter" type="checkbox"></label>
+  <label>temporal <input id="temporal" type="checkbox"></label>
+  <label>hdr <input id="hdr" type="checkbox"></label>
+  <label>antialiasing <select id="antialiasing">
+    <option value="">none</option><option value="fxaa">fxaa</option>
+    <option value="taa">taa</option></select></label>
+  <label>filter mode <select id="filter_mode">
+    <option value="fast">fast</option><option value="compat">compat</option>
+  </select></label><br>
+  <label>quality <input class="slider" id="render_quality" type="range"
+    min="0.1" max="2" step="0.1" value="1"></label>
+  <label>spp <input class="slider" id="samples_per_ray" type="range"
+    min="1" max="32" value="1"></label>
+  <label>bounces <input class="slider" id="max_reflections" type="range"
+    min="1" max="16" value="5"></label>
+  <label>min importancy <input class="slider" id="min_importancy"
+    type="range" min="0" max="1" step="0.1" value="0.3"></label>
+</form>
 <script>
 const img = document.getElementById('frame');
 const post = (o) => fetch('/input', {method: 'POST', body: JSON.stringify(o)});
@@ -61,7 +91,33 @@ async function loop() {
   }
 }
 loop();
-window.addEventListener('keydown', (e) => { if (!e.repeat) post({type: 'keydown', code: e.code}); });
+// quality-knob form (exampleLoader.html:30-75 / loader.js:65-93): load
+// current values, then POST the whole form on any change — the renderer
+// recompiles server-side.
+const form = document.getElementById('params');
+const ids = ['filter', 'temporal', 'hdr', 'antialiasing', 'filter_mode',
+             'render_quality', 'samples_per_ray', 'max_reflections',
+             'min_importancy'];
+fetch('/config').then(r => r.json()).then(c => {
+  document.getElementById('pathtracing').checked = c.renderer !== 'rasterizer';
+  for (const k of ids) {
+    const el = document.getElementById(k);
+    if (el.type === 'checkbox') el.checked = !!c[k];
+    else el.value = c[k] === null ? '' : c[k];
+  }
+});
+form.addEventListener('change', () => {
+  const msg = {renderer: document.getElementById('pathtracing').checked
+               ? 'pathtracer' : 'rasterizer'};
+  for (const k of ids) {
+    const el = document.getElementById(k);
+    msg[k] = el.type === 'checkbox' ? el.checked
+           : el.type === 'range' ? Number(el.value)
+           : (el.value || null);
+  }
+  fetch('/config', {method: 'POST', body: JSON.stringify(msg)});
+});
+window.addEventListener('keydown', (e) => { if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return; if (!e.repeat) post({type: 'keydown', code: e.code}); });
 window.addEventListener('keyup', (e) => post({type: 'keyup', code: e.code}));
 let dragging = false, lx = 0, ly = 0;
 img.addEventListener('mousedown', (e) => { dragging = true; lx = e.clientX; ly = e.clientY; });
@@ -87,6 +143,10 @@ class FrameServer:
         self._stop = threading.Event()
         self._httpd = None
         self._threads = []
+        # /config mutations queue here; the render thread (the only
+        # device user) applies them between frames
+        self._pending_config = {}
+        self._persist_settings = False
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> str:
@@ -122,15 +182,78 @@ class FrameServer:
             time.sleep(0.05)
         return False
 
+    # -- live config (the reference's parameterForm, loader.js:65-93) -------
+    _CONFIG_KNOBS = ("filter", "temporal", "hdr", "render_quality",
+                     "samples_per_ray", "max_reflections", "min_importancy",
+                     "antialiasing", "filter_mode", "first_passes",
+                     "second_passes", "temporal_samples")
+
+    def config_snapshot(self) -> dict:
+        cfg = self.engine.config
+        snap = {k: getattr(cfg, k) for k in self._CONFIG_KNOBS}
+        snap["renderer"] = self.engine.renderer.type
+        snap["api"] = self.engine.api
+        return snap
+
+    def queue_config(self, msg: dict) -> dict:
+        """Validate + queue a /config mutation; returns the accepted dict."""
+        accepted = {}
+        cfg = self.engine.config
+        for k in self._CONFIG_KNOBS:
+            if k not in msg:
+                continue
+            cur = getattr(cfg, k)
+            v = msg[k]
+            if k == "antialiasing":
+                v = v if v in ("fxaa", "taa") else None
+            elif k == "filter_mode":
+                v = v if v in ("fast", "compat") else "fast"
+            elif isinstance(cur, bool):
+                v = bool(v)
+            elif isinstance(cur, int):
+                v = max(int(v), 0 if k in ("first_passes", "second_passes")
+                        else 1)
+            elif isinstance(cur, float):
+                v = float(v)
+            accepted[k] = v
+        for k in ("renderer", "api"):
+            if k in msg and isinstance(msg[k], str):
+                accepted[k] = msg[k]
+        with self._lock:
+            self._pending_config.update(accepted)
+        return accepted
+
+    def _apply_pending(self):
+        with self._lock:
+            pending, self._pending_config = self._pending_config, {}
+        if not pending:
+            return
+        engine = self.engine
+        renderer = pending.pop("renderer", None)
+        api = pending.pop("api", None)
+        if pending:
+            engine.config = engine.config.replace(**pending)
+        if api is not None and api != engine.api:
+            engine.api = api
+        if renderer is not None and renderer != engine.renderer.type:
+            engine.renderer = renderer
+        engine.renderer.render()  # re-prepare under the new knobs
+        if self._persist_settings:
+            from .utils.settings import save_settings
+
+            save_settings(engine.config, renderer=engine.renderer.type)
+
     # -- render thread (sole device user) -----------------------------------
     def _render_loop(self):
-        renderer = self.engine.renderer
         io = self.engine.io
-        renderer.render()
-        # device-side u8 quantization when the renderer offers it (4x less
-        # fetch traffic over the TPU relay); rasterizer/simple fetch f32
-        fetch = getattr(renderer, "render_frame_u8", renderer.render_frame)
+        self.engine.renderer.render()
         while not self._stop.is_set():
+            self._apply_pending()  # /config mutations land between frames
+            renderer = self.engine.renderer  # may have been hot-swapped
+            # device-side u8 quantization when the renderer offers it (4x
+            # less fetch traffic over the TPU relay); others fetch f32
+            fetch = getattr(renderer, "render_frame_u8",
+                            renderer.render_frame)
             io.update()  # integrate held keys into the camera (io.js:51-59)
             data = png_bytes(fetch(), level=1)  # fast encode: live view
             with self._lock:
@@ -162,6 +285,9 @@ class FrameServer:
                         self._send(503, "text/plain", b"no frame yet")
                     else:
                         self._send(200, "image/png", data)
+                elif path == "/config":
+                    body = json.dumps(server_self.config_snapshot()).encode()
+                    self._send(200, "application/json", body)
                 elif path == "/stats":
                     renderer = server_self.engine.renderer
                     rec = renderer.metrics.last or {}
@@ -173,7 +299,8 @@ class FrameServer:
                     self._send(404, "text/plain", b"not found")
 
             def do_POST(self):
-                if self.path.split("?")[0] != "/input":
+                path = self.path.split("?")[0]
+                if path not in ("/input", "/config"):
                     self._send(404, "text/plain", b"not found")
                     return
                 n = int(self.headers.get("Content-Length", "0"))
@@ -181,6 +308,11 @@ class FrameServer:
                     msg = json.loads(self.rfile.read(n) or b"{}")
                 except ValueError:
                     self._send(400, "text/plain", b"bad json")
+                    return
+                if path == "/config":
+                    accepted = server_self.queue_config(msg)
+                    self._send(200, "application/json",
+                               json.dumps({"accepted": accepted}).encode())
                     return
                 kind = msg.get("type")
                 if kind == "keydown":

@@ -43,9 +43,13 @@ def _render(mode: str) -> np.ndarray:
         engine.config = cornell_config(temporal=True, temporal_samples=2,
                                        max_reflections=3)
     elif mode == "filter":
+        # compat pins the reference-exact chain; the golden PNG predates
+        # filter_mode (fast-mode deltas are pinned in test_fast_filter +
+        # docs/parity/fast_vs_compat.json)
         engine.config = cornell_config(filter=True, temporal=True,
                                        temporal_samples=2, max_reflections=3,
-                                       antialiasing="fxaa")
+                                       antialiasing="fxaa",
+                                       filter_mode="compat")
     elif mode == "rasterizer":
         engine.config = cornell_config(max_reflections=1)
     engine.renderer = "rasterizer" if mode == "rasterizer" else "pathtracer"

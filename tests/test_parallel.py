@@ -95,9 +95,13 @@ def test_sharded_halo_pipeline_matches_single_chip():
                                    temporal, taa, width=size, height=size,
                                    config=cfg, scheme="scan")
     mesh = make_mesh(4, 1)
+    # check_halo=False: the config worst-case reach (42) exceeds these
+    # 16-row strips, but this scene's low-roughness blur keys stay well
+    # inside halo=16 — the point here is exercising the ppermute path.
     got, got_t, _ = frame_pipeline_sharded_halo(
         buffers, pos, view, jnp.float32(0.0), temporal, taa,
-        width=size, height=size, config=cfg, mesh=mesh, halo=16)
+        width=size, height=size, config=cfg, mesh=mesh, halo=16,
+        check_halo=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     for a, b in zip(jax.tree.leaves(got_t), jax.tree.leaves(ref_t)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

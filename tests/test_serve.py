@@ -94,6 +94,50 @@ def test_stats(server):
     assert "fps" in stats
 
 
+def test_config_endpoint_reads_knobs(server):
+    _, url = server
+    status, ctype, body = _get(url + "config")
+    assert status == 200 and ctype == "application/json"
+    cfg = json.loads(body)
+    assert cfg["renderer"] == "pathtracer"
+    assert cfg["filter"] is False and cfg["max_reflections"] == 2
+    assert cfg["filter_mode"] in ("fast", "compat")
+
+
+def test_config_mutation_applies_live(server):
+    """POST /config mutates quality knobs mid-run and the renderer
+    recompiles — the reference's parameterForm flow (loader.js:65-93)."""
+    srv, url = server
+    assert _post(url + "config", {"max_reflections": 1,
+                                  "min_importancy": 0.5}) == 200
+    seq = srv._seq
+    assert srv.wait_for_frame(seq + 2, timeout=600.0)  # recompile + frame
+    assert srv.engine.config.max_reflections == 1
+    assert srv.engine.config.min_importancy == 0.5
+    status, _, body = _get(url + "config")
+    assert json.loads(body)["max_reflections"] == 1
+    # restore (module-scoped engine)
+    assert _post(url + "config", {"max_reflections": 2,
+                                  "min_importancy": 0.3}) == 200
+    seq = srv._seq
+    assert srv.wait_for_frame(seq + 2, timeout=600.0)
+
+
+@pytest.mark.slow
+def test_config_renderer_hot_swap(server):
+    srv, url = server
+    assert _post(url + "config", {"renderer": "rasterizer"}) == 200
+    seq = srv._seq
+    assert srv.wait_for_frame(seq + 2, timeout=600.0)
+    assert srv.engine.renderer.type == "rasterizer"
+    status, _, body = _get(url + "frame.png")
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert _post(url + "config", {"renderer": "pathtracer"}) == 200
+    seq = srv._seq
+    assert srv.wait_for_frame(seq + 2, timeout=600.0)
+    assert srv.engine.renderer.type == "pathtracer"
+
+
 def test_bad_input_rejected(server):
     _, url = server
     try:
