@@ -1021,7 +1021,14 @@ def _sort_key_soa(aabb_min, aabb_max, o3, d3, max_len, tri_tile,
         if n_tiles > 512:
             raise ValueError("single-key prevtile needs <= 512 tiles; "
                              "use the row (AoS) path for this scene")
+        # "history" mode shares the prevtile key formula; its hint is the
+        # same pixel's LAST-FRAME hit triangle at this bounce index (a
+        # prediction of where the ray is GOING) instead of the surface
+        # the ray leaves. Unknown predictions (-1: first frame, or the
+        # pixel was dead last frame) group after every known tile but
+        # before dead rays.
         tile = sort_hint.astype(jnp.int32) // tri_tile
+        tile = jnp.where(sort_hint < 0, jnp.int32(n_tiles), tile)
         key = (tile << 21) | _morton_soa(o3, lo, hi, 7)
         return jnp.where(dead, jnp.int32(1) << 30, key)
     oct_key = ((d3[0] > 0) * 4 + (d3[1] > 0) * 2

@@ -662,10 +662,12 @@ def next_ray_dir(req: ShadeRequest, tpo):
 
 def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
                   next_traverse: bool | None = None,
-                  precomputed=None) -> BounceCarry:
+                  precomputed=None, hint=None) -> BounceCarry:
     """Bounce stage 3c (glsl:591-597): the next closest hit.
     `precomputed`: (ns, nu, nv, ntri) from a merged shadow+bounce cast
-    (pair_soa in bounce_post) — skips the traversal here."""
+    (pair_soa in bounce_post) — skips the traversal here.
+    `hint`: wavefront-sort locality hint override (frame-coherent history
+    prediction); defaults to the surface triangle the ray leaves."""
     if next_traverse is None:
         next_traverse = i + 1 < config.max_reflections
     if not next_traverse:
@@ -676,16 +678,17 @@ def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
     zdir = (zero, zero, one)
     ray_origin = carry.ray_origin
     tri = carry.tri
+    cast_hint = tri if hint is None else hint
     if precomputed is not None:
         ns, nu, nv, ntri = precomputed
     else:
         if DEBUG_CAPTURE is not None:
             DEBUG_CAPTURE.setdefault("bounces", []).append(
                 (v3.where3(m, ray_origin, (zero, zero, zero)),
-                 v3.where3(m, carry.ray_dir, zdir), m, tri))
+                 v3.where3(m, carry.ray_dir, zdir), m, cast_hint))
         ns, nu, nv, ntri = traverse_soa(
             v3.where3(m, ray_origin, (zero, zero, zero)),
-            v3.where3(m, carry.ray_dir, zdir), alive=m, hint=tri)
+            v3.where3(m, carry.ray_dir, zdir), alive=m, hint=cast_hint)
     hs = jnp.where(m, ns, carry.hs)
     hu = jnp.where(m, nu, carry.hu)
     hv = jnp.where(m, nv, carry.hv)
@@ -703,7 +706,7 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
                 pack_id_fn=None, bounce_hook=None,
                 force_unroll_lights: bool = False,
                 next_traverse: bool | None = None,
-                pair_soa=None) -> BounceCarry:
+                pair_soa=None, bounce_hint=None) -> BounceCarry:
     """Bounce stage 3 (glsl:529-599) — composition of bounce_shade ->
     NEE shadow ray -> bounce_apply -> bounce_commit, split so a kernel
     pipeline can place the traversals between Pallas programs.
@@ -722,7 +725,8 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     precomputed = None
     if req.pick is None or "shadow" in DEBUG_DISABLE:
         shadowed = jnp.zeros(carry.hs.shape, dtype=bool)
-    elif (pair_soa is not None and want_next and DEBUG_CAPTURE is None):
+    elif (pair_soa is not None and want_next and DEBUG_CAPTURE is None
+          and bounce_hint is None):
         shp = carry.hs.shape
         zero = jnp.zeros(shp, dtype=jnp.float32)
         one = jnp.ones(shp, dtype=jnp.float32)
@@ -744,7 +748,7 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     carry = bounce_apply(carry, tex, req, shadowed, i, config)
     return bounce_commit(carry, req.m, i, config, traverse_soa,
                          next_traverse=next_traverse,
-                         precomputed=precomputed)
+                         precomputed=precomputed, hint=bounce_hint)
 
 
 def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
@@ -753,7 +757,7 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
                 pack_id_fn=None, bounce_hook=None,
                 force_unroll_lights: bool = False, tex_fetch_fn=None,
                 bounce_post_impl=None, bounce_step_impl=None,
-                pair_soa=None):
+                pair_soa=None, bounce_hints=None, hit_record=None):
     """The bounce loop (glsl:464-599), unrolled with kill masks, SoA over
     [N] component arrays (ops.vec3 — full-lane layout; AoS [N,3] runs at
     3/128 lane utilization and turns the 3x3 einsums into bf16 convs).
@@ -761,6 +765,13 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     split pipeline can put kernel boundaries between them.
 
     `aux` carries the shader's globals across samples (glsl:84-89).
+
+    `bounce_hints`: optional per-bounce [N] int32 predictions of where
+    each ray will land (last frame's hit at the same bounce index, -1
+    unknown) — the frame-coherent wavefront-sort hint
+    (FLEXLIGHT_SPARSE_SORT=history). `hit_record`: optional list; when
+    given, each bounce appends its landed triangle (-1 for dead rays)
+    for the next frame's predictions.
 
     The injected hooks exist for the fused Pallas path (ops.fused), which
     traces these SAME stages inside a TPU kernel: `fetch_rows_fn`
@@ -785,11 +796,15 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
         tex = bounce_tex(buffers, surface, tex_fetch_fn)
         pkw = ({"pair_soa": pair_soa}
                if bounce_post_impl is None and pair_soa is not None else {})
+        if bounce_hints is not None and bounce_post_impl is None:
+            pkw["bounce_hint"] = bounce_hints[i]
         carry = post(
             carry, surface, tex, i, buffers, camera_pos, ndc2, cos_sample_n,
             config, random_seed, traverse_soa, shadow_soa,
             pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
             force_unroll_lights=force_unroll_lights, **pkw)
+        if hit_record is not None:
+            hit_record.append(jnp.where(carry.alive, carry.tri, -1))
 
     final_color = tuple(
         carry.final_color[c] + carry.importancy[c] * buffers.ambient[c]
@@ -833,7 +848,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                view_matrix, config, random_seed, scheme: str = "scan",
                tile: int = 1024, row0=0, rows: int | None = None,
                sample_offset=0.0, local_samples: int | None = None,
-               with_raw_aux: bool = False):
+               with_raw_aux: bool = False, trace_hints=None,
+               with_trace_hints: bool = False):
     """Full primary+bounce render to the 6-channel MRT contract
     (glsl:601-646). Returns flat [N=rows*W] per-pixel outputs.
 
@@ -846,7 +862,14 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     unmixed: MRT.original_w folds them as min(rme, frl) (glsl:635), but
     rme sums across samples while frl is a running min, so sample shards
     must combine the raw channels before folding (parallel.tile_sharding).
-    """
+
+    `trace_hints` / `with_trace_hints`: frame-coherent wavefront-sort
+    state (FLEXLIGHT_SPARSE_SORT=history). trace_hints is a tuple of
+    per-bounce [H*W] int32 row-major arrays — each pixel's LAST-frame hit
+    triangle at that bounce (-1 unknown); the bounce casts sort by the
+    predicted tile instead of nearest2's slab-entry prepass. With
+    with_trace_hints=True the return gains this frame's tuple (feed it
+    to the next frame). Sort keys never change traversal results."""
     if scheme == "fused":
         from .fused import render_mrt_fused
 
@@ -1063,6 +1086,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         origin = block_tile(origin, n_rows, width, bh, bw)
         direction = block_tile(direction, n_rows, width, bh, bw)
         ndc = block_tile(ndc, n_rows, width, bh, bw)
+        if trace_hints is not None:
+            trace_hints = tuple(block_tile(h, n_rows, width, bh, bw)
+                                for h in trace_hints)
     mat = build_material_table(buffers, world_geom)
     loc_geometry = buffers.geometry
     if scheme == "sparse":
@@ -1205,14 +1231,20 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             bounce_post_impl = make_shade_bounce_post(
                 buffers, camera_pos, config, **kw)
 
+    bounce_hints2 = None
+    if trace_hints is not None:
+        bounce_hints2 = [to2d(h, -1).astype(jnp.int32) for h in trace_hints]
+    hit_record = [] if with_trace_hints else None
     n_local = config.samples_per_ray if local_samples is None else local_samples
     for s in range(n_local):
         cos_sample_n = jnp.cos(jnp.float32(s) + sample_offset)
+        rec = hit_record if s == n_local - 1 else None
         color, original_color, original_tpo_x, aux = light_trace(
             buffers, mat, primary_parts, camera_pos, direction3, ndc2,
             cos_sample_n, config, random_seed, traverse_soa, shadow_soa, aux,
             bounce_post_impl=bounce_post_impl,
-            bounce_step_impl=bounce_step_impl, pair_soa=pair_soa)
+            bounce_step_impl=bounce_step_impl, pair_soa=pair_soa,
+            bounce_hints=bounce_hints2, hit_record=rec)
         total = v3.add3(total, color)
     final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
 
@@ -1263,9 +1295,18 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         mrt = _jax.tree.map(
             lambda x: block_untile(x, n_rows, width, bh, bw), mrt)
+    extras = []
     if with_raw_aux:
         raw = (original_rme_x, first_ray_length)
         if blocked:
             raw = tuple(block_untile(x, n_rows, width, bh, bw) for x in raw)
-        return mrt, raw
+        extras.append(raw)
+    if with_trace_hints:
+        hints_out = tuple(to1d(h) for h in hit_record)
+        if blocked:
+            hints_out = tuple(block_untile(h, n_rows, width, bh, bw)
+                              for h in hints_out)
+        extras.append(hints_out)
+    if extras:
+        return (mrt, *extras)
     return mrt

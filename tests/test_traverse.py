@@ -348,6 +348,44 @@ def test_sparse_nearest2_sort_matches_prevtile(ray_tile):
     np.testing.assert_array_equal(np.asarray(s_near), np.asarray(s_base))
 
 
+def test_sparse_history_sort_matches_prevtile():
+    """sort_mode='history' (frame-coherent hint with -1 = unknown) is a
+    pure reordering too: identical results to prevtile, including rays
+    whose prediction is unknown (-1) or stale (random hints here)."""
+    from flexlight_tpu.ops.intersect_sparse import (build_w4_tiled,
+                                                    traverse_sparse)
+
+    scene, camera = cornell_scene()
+    buffers = bufmod.build_scene_buffers(scene)
+    geometry = world_geometry(buffers)
+    w4t, amin, amax, w4f = build_w4_tiled(geometry, buffers.id_buffer,
+                                          x6=False)
+
+    rng = np.random.default_rng(37)
+    n = 2048
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    # history predictions: -1 (unknown) for a third of rays, random
+    # (stale) triangles otherwise — keys must never change results
+    hint = rng.integers(-1, buffers.id_buffer.shape[0], n).astype(np.int32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+
+    base = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=True, alive=alive,
+                           sort_hint=jnp.maximum(jnp.asarray(hint), 0))
+    hist = traverse_sparse(w4t, w4f, amin, amax, jnp.asarray(origin),
+                           jnp.asarray(direction), interpret=True,
+                           sort_rays=True, alive=alive,
+                           sort_hint=jnp.asarray(hint),
+                           sort_mode="history")
+    np.testing.assert_array_equal(np.asarray(hist.triangle),
+                                  np.asarray(base.triangle))
+    np.testing.assert_array_equal(np.asarray(hist.suv),
+                                  np.asarray(base.suv))
+
+
 @pytest.mark.parametrize("sort_mode", ["prevtile", "nearest2"])
 def test_pair_sparse_matches_separate_casts(sort_mode):
     """The merged shadow+bounce cast (pair_sparse — one shared wavefront
