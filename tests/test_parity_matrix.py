@@ -1,0 +1,416 @@
+"""Widened oracle-parity matrix (VERDICT r2 item 4).
+
+`tests/reference_oracle.py` proves MRT parity on 12x12 cornell variants;
+this module widens the proof to 64x64 and to the axes a localized bug
+could hide in:
+
+- OBJ+MTL import path (objects/monke.obj via scene.import_obj,
+  scene.js:330-487)
+- animated transforms (the wave example's per-frame transform updates,
+  scene.js:490-612 + pathtracerWGL2.js:361-363)
+- theater's 9-light reservoir selection (glsl:400-447)
+- a multi-tile texture atlas (two textures of different sizes: atlas
+  row/col arithmetic, glsl:108-117)
+
+plus ONE composed end-to-end post case: the full pipeline's
+temporal -> 3+3 filter ping-pong -> final -> FXAA composition
+(pathtracerWGL2.js:389-554) against an INDEPENDENT numpy transcription
+of the wiring (ring handling, attachment ping-pong incl. the dropped
+originalColor writes, store quantization) chained over the same MRT
+frames, with the scalar FXAA oracle at the end. MRT arithmetic is
+proven against the scalar oracle by the cases above; this case proves
+the composition.
+
+All cases are slow-tier (the oracle is per-pixel Python).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import jax.numpy as jnp  # noqa: E402
+
+import tests.reference_oracle as oracle  # noqa: E402
+from tests.scenes import cornell_config, cornell_scene  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _aligned_sin():
+    """Align the oracle's sin/cos with XLA's (see test_reference_parity)."""
+    prev = oracle.SIN, oracle.COS
+    oracle.SIN = lambda x: np.asarray(jnp.sin(jnp.asarray(x, dtype=jnp.float32)))
+    oracle.COS = lambda x: np.asarray(jnp.cos(jnp.asarray(x, dtype=jnp.float32)))
+    yield
+    oracle.SIN, oracle.COS = prev
+
+
+def _compare(buffers, cam, view, config, size, seed=0.0, outliers=0,
+             agree_floor=0.85, scheme="scan", cover_budget=4,
+             flip_budget=0):
+    """test_reference_parity._compare generalized over image size.
+
+    `cover_budget`: at 64^2 a handful of rays graze silhouette edges where
+    the barycentric boundary test (u+v == 1 within BIAS) resolves hit on
+    one implementation and miss on the other — the coverage analogue of a
+    distance tie. Those pixels are excluded from the channel compare but
+    budgeted, so a real coverage bug still fails.
+
+    `flip_budget`: pixels whose render_id.w byte (reservoirNum<<1 +
+    shadow bit, glsl:444-458) differs are reservoir-selection/shadow fp
+    ties — with many similar-weight lights the `|rand|*totalWeight <=
+    weight` comparison sits within an ulp on a sliver of pixels, and the
+    vectorized pipeline vs the scalar oracle resolve it differently,
+    flipping WHICH light's shadow ray runs (a binary color change).
+    Measured on theater 64^2 mr=1: 17/4096 flips, and every color
+    outlier is a flip (non-flip max diff 1.8e-5). Excluded but budgeted:
+    a real reservoir bug misselects on most pixels, not a sliver."""
+    from flexlight_tpu.ops.geometry import world_geometry
+    from flexlight_tpu.ops.pathtrace import camera_rays, render_mrt
+    from flexlight_tpu.ops.traverse import traverse_scan
+
+    h = w = size
+    mrt = render_mrt(buffers, w, h, cam, view, config, seed, scheme=scheme)
+    out = oracle.render(buffers, w, h, cam, view, config, seed)
+
+    o3, d3, _ = camera_rays(w, h, cam, view)
+    hit = traverse_scan(world_geometry(buffers), o3, d3, edge=-oracle.BIAS)
+    tri_pipe = np.asarray(hit.triangle).reshape(h, w)
+    s_pipe = np.asarray(hit.suv)[:, 0].reshape(h, w)
+    d3n = np.asarray(d3)
+    b = oracle._Buffers(buffers)
+    agree = np.ones((h, w), dtype=bool)
+    cover_flips = 0
+    for y in range(h):
+        for x in range(w):
+            suv, _, tri = oracle.ray_tracer(
+                b, cam, d3n[y * w + x].astype(np.float32), edge=-oracle.BIAS)
+            if tri == tri_pipe[y, x]:
+                continue
+            agree[y, x] = False
+            if tri == -1 or tri_pipe[y, x] == -1:
+                cover_flips += 1
+                assert cover_flips <= cover_budget, (
+                    f"{cover_flips} coverage flips (> budget "
+                    f"{cover_budget}); latest at {(y, x)}: oracle {tri}, "
+                    f"pipeline {tri_pipe[y, x]}")
+                continue
+            rel = abs(suv[0] - s_pipe[y, x]) / max(s_pipe[y, x], 1e-6)
+            assert rel < 1e-5, (
+                f"primary mismatch at {(y, x)} is not a distance tie: "
+                f"oracle tri {tri} s {suv[0]}, pipeline tri "
+                f"{tri_pipe[y, x]} s {s_pipe[y, x]}")
+    assert agree.mean() > agree_floor, \
+        f"too many edge ties: {1 - agree.mean():.1%}"
+
+    idw_o = np.round(out["render_id"][..., 3] * 255.0)
+    idw_p = np.round(
+        np.asarray(mrt.render_id).reshape(h, w, 4)[..., 3] * 255.0)
+    flips = idw_o != idw_p
+    n_flips = int(flips[agree].sum())
+    assert n_flips <= flip_budget, (
+        f"{n_flips} reservoir-selection flips (> budget {flip_budget})")
+    agree &= ~flips
+
+    stats = {}
+
+    def check(name, pipe, atol):
+        diff = np.abs(out[name] - np.asarray(pipe).reshape(out[name].shape))
+        masked = diff[agree]
+        if masked.ndim > 1:
+            masked = masked.max(axis=-1)
+        n_over = int((masked > atol).sum())
+        stats[name] = float(masked.max())
+        assert n_over <= outliers, (
+            f"{name}: {n_over} pixels exceed {atol} on primary-agreeing "
+            f"pixels (budget {outliers}); max diff {masked.max():.2e}")
+
+    check("color", mrt.color, 2e-4)
+    check("original_color", mrt.original_color, 1e-5)
+    check("render_id", mrt.render_id, 1e-5)
+    check("original_w", mrt.original_w, 1e-5)
+    check("original_id_w", mrt.original_id_w, 1e-5)
+    check("glass", mrt.glass, 0.0)
+    check("location_id", mrt.location_id, 1e-5)
+    check("alpha", mrt.alpha, 0.0)
+    return float(agree.mean()), stats
+
+
+def _example_buffers(module_name, size, animate_frames=0):
+    import importlib
+    import sys
+
+    if "examples" not in str(sys.path):
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(root, "examples"))
+    mod = importlib.import_module(module_name)
+    built = mod.build_scene()
+    animate = None
+    if isinstance(built, tuple):
+        built, animate = built
+    engine = built
+    for _ in range(animate_frames):
+        animate(None)
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from flexlight_tpu.scene.transform import global_registry
+
+    buffers = build_scene_buffers(engine.scene)
+    if animate_frames:
+        # the per-frame transform upload (pathtracerWGL2.js:361-363)
+        rot, shift = global_registry().build_arrays()
+        buffers = buffers._replace(rotations=jnp.asarray(rot),
+                                   shifts=jnp.asarray(shift))
+    camera = engine.camera
+    view = camera.view_matrix(size, size)
+    cam = np.array([camera.x, camera.y, camera.z], np.float32)
+    return buffers, cam, view
+
+
+SIZE = 64
+
+
+def test_parity_obj_monke_64():
+    """OBJ+MTL import (scene.js:330-487) at 64^2: monke.obj (per-vertex
+    normals from the OBJ file) through the full import -> flatten ->
+    render path vs the scalar oracle."""
+    import importlib
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "examples"))
+    mod = importlib.import_module("obj")
+    engine = mod.build_scene("monke")
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+
+    buffers = build_scene_buffers(engine.scene)
+    camera = engine.camera
+    view = camera.view_matrix(SIZE, SIZE)
+    cam = np.array([camera.x, camera.y, camera.z], np.float32)
+    agree, _ = _compare(buffers, cam, view,
+                        cornell_config(max_reflections=2), SIZE,
+                        outliers=12)
+    assert agree > 0.9
+
+
+def test_parity_wave_animated_64():
+    """Animated transforms: 3 animate() steps move every cuboid's
+    transform (wave.js:64-73); parity includes the rotation/shift
+    registry arrays the frame uploads."""
+    buffers, cam, view = _example_buffers("wave", SIZE, animate_frames=3)
+    _compare(buffers, cam, view, cornell_config(max_reflections=2), SIZE,
+             outliers=12)
+
+
+def test_parity_theater_9lights_64():
+    """Theater's 9-light reservoir (glsl:400-447) at 64^2: the weighted
+    reservoir branch and its noise chain decide per pixel. mr=1 keeps the
+    reservoir axis fully exercised while excluding theater's
+    roughness-1.0 bounce chaos (random-path directions differ by an ulp
+    between the vectorized pipeline and the scalar oracle, so bounce-2
+    hits diverge on ~2% of pixels — a different axis, covered at mr=2 by
+    the wave/obj/multitile cases)."""
+    buffers, cam, view = _example_buffers("theater", SIZE)
+    assert buffers.lights.shape[0] == 9
+    _compare(buffers, cam, view, cornell_config(max_reflections=1), SIZE,
+             outliers=12, flip_budget=40)
+
+
+def test_parity_multitile_atlas_64():
+    """Multi-tile atlas row/col arithmetic (glsl:108-117): two textures
+    of different sizes land on different atlas rows; both objects fetch
+    through the non-trivial tile offsets."""
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+
+    scene, camera = cornell_scene()
+    t0 = np.zeros((64, 64, 4), dtype=np.float32)  # RGBA bytes 0-255
+    t0[..., 3] = 255
+    t0[:32, :32, 0:3] = t0[32:, 32:, 0:3] = [230, 25, 25]
+    t0[:32, 32:, 0:3] = t0[32:, :32, 0:3] = [25, 25, 230]
+    t1 = np.zeros((128, 128, 4), dtype=np.float32)
+    t1[..., 3] = 255
+    yy, xx = np.mgrid[0:128, 0:128]
+    t1[..., 0] = np.floor(xx * 2.0)
+    t1[..., 1] = np.floor(yy * 2.0)
+    t1[..., 2] = 128
+    scene.textures.push(scene.texture_from_rgb(t0.reshape(-1), 64, 64))
+    scene.textures.push(scene.texture_from_rgb(t1.reshape(-1), 128, 128))
+    scene.standardTextureSizes = [64, 64]
+    scene.queue[0][0].textureNums = [0, -1, -1]   # cube 0 -> 64x64 tex
+    scene.queue[0][1].textureNums = [1, -1, -1]   # cube 1 -> 128x128 tex
+    buffers = build_scene_buffers(scene)
+    assert buffers.albedo_atlas.shape[0] > 64  # really multi-row
+    view = camera.view_matrix(SIZE, SIZE)
+    cam = np.array([camera.x, camera.y, camera.z], np.float32)
+    _compare(buffers, cam, view, cornell_config(max_reflections=2), SIZE,
+             outliers=12)
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end post chain vs an independent numpy transcription
+# ---------------------------------------------------------------------------
+
+def _np_q(v):
+    # u8 store + normalized readback. The k*(1/255) formulation matches
+    # the pipeline's quantize_rgba8 bit-for-bit (k/255.0 differs by 1 ulp
+    # on ~half the levels, which flips downstream filter-gate ties); the
+    # readback VALUE itself is pinned piecewise in test_post/test_goldens,
+    # this file pins the composition wiring.
+    inv = np.float32(1.0) / np.float32(255.0)
+    return (np.round(np.clip(v, 0.0, 1.0) * 255.0).astype(np.float32)
+            * inv).astype(np.float32)
+
+
+def _np_quantized_mrt(mrt, h, w):
+    """Independent transcription of the MRT->texture store packing
+    (renderTextureBuilder RGBA8 targets, pathtracerWGL2.js:790-806)."""
+    color = np.asarray(mrt.color).reshape(h, w, 3)
+    alpha = np.asarray(mrt.alpha).reshape(h, w)
+    frac = color - np.floor(color)
+    high = np.floor(color) / 256.0
+    color_q = np.concatenate([_np_q(frac), alpha[..., None]], axis=-1)
+    ip_q = np.concatenate(
+        [_np_q(high), _np_q(np.asarray(mrt.glass).reshape(h, w))[..., None]],
+        axis=-1)
+    id_q = _np_q(np.asarray(mrt.render_id).reshape(h, w, 4))
+    oid_q = np.concatenate(
+        [np.zeros((h, w, 3), np.float32),
+         _np_q(np.asarray(mrt.original_id_w).reshape(h, w))[..., None]],
+        axis=-1)
+    ocolor_q = _np_q(np.concatenate(
+        [np.asarray(mrt.original_color).reshape(h, w, 3),
+         np.asarray(mrt.original_w).reshape(h, w)[..., None]], axis=-1))
+    return color_q, ip_q, id_q, oid_q, ocolor_q
+
+
+def _np_temporal_average(ring):
+    """Independent transcription of the generated temporal shader
+    (pathtracerWGL2.js:595-639): id-gated average, oid-gated glass."""
+    frames = list(ring)  # newest first: (color_q, ip_q, id_q, oid_q, ...)
+    c0, p0, i0, o0 = frames[0][:4]
+    color = c0[..., 0:3] + p0[..., 0:3] * 256.0
+    counter = np.ones(c0.shape[:2], np.float32)
+    glass = p0[..., 3].copy()
+    gcount = np.ones(c0.shape[:2], np.float32)
+    for cj, pj, ij, oj in (f[:4] for f in frames[1:]):
+        idm = np.all(ij == i0, axis=-1)
+        color = np.where(idm[..., None],
+                         color + cj[..., 0:3] + pj[..., 0:3] * 256.0, color)
+        counter += idm
+        oidm = np.all(oj == o0, axis=-1)
+        glass = np.where(oidm, glass + pj[..., 3], glass)
+        gcount += oidm
+    return color / counter[..., None], glass / gcount, c0[..., 3]
+
+
+def test_e2e_composed_post_matches_independent_transcription():
+    """Full post chain (temporal 2-frame ring -> 3+3 filter ping-pong ->
+    final -> FXAA) through the pipeline vs the numpy-transcribed wiring
+    (pathtracerWGL2.js:440-554: attachment indices, the dropped
+    originalColor writes on the first two second passes, final index
+    formula) over the SAME two MRT frames. Pass arithmetic itself is
+    pinned piecewise (test_post / test_filter_kernel / test_fxaa_parity);
+    this pins the composition."""
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from flexlight_tpu.ops.pathtrace import render_mrt
+    from flexlight_tpu.post.filters import (final_filter, first_filter,
+                                            second_filter)
+    from flexlight_tpu.post.fxaa import fxaa
+    from flexlight_tpu.post.taa import TAAState
+    from flexlight_tpu.post.temporal import TemporalState
+
+    size = 64
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    view = jnp.asarray(camera.view_matrix(size, size))
+    cam = jnp.asarray(camera.position)
+    cfg = cornell_config(temporal=True, temporal_samples=2, filter=True,
+                         first_passes=3, second_passes=3,
+                         antialiasing="fxaa", max_reflections=2,
+                         filter_mode="compat")
+
+    # Render the two MRT frames ONCE and feed the identical tensors to
+    # both sides: the target is the post COMPOSITION, and two separately
+    # compiled render_mrt instances can differ by fusion-order fp ulps
+    # that flip rgba8 quantization ties and cascade through the id gates.
+    mrts = [render_mrt(buffers, size, size, cam, view, cfg,
+                       jnp.float32(seed), scheme="scan")
+            for seed in (0.0, 1.0)]
+
+    # --- pipeline side: two frames through postprocess_mrt ----------------
+    from flexlight_tpu.models.pathtracer import postprocess_mrt
+
+    temporal = TemporalState.create(2, size, size)
+    taa = TAAState.create(size, size)
+    display = None
+    for mrt in mrts:
+        display, temporal, taa = postprocess_mrt(
+            mrt, temporal, taa, size, size, cfg)
+    got = np.asarray(display)
+
+    # --- composed side: same MRTs, independent wiring ----------------------
+    ring = []
+    for mrt in mrts:
+        ring.insert(0, _np_quantized_mrt(mrt, size, size))  # newest first
+    t_color, t_glass, center_w = _np_temporal_average(ring)
+    _, _, id_q, oid_q, ocolor_q = ring[0]
+
+    frac = t_color - np.floor(t_color)
+    high = np.floor(t_color) / 256.0
+    r = {0: np.concatenate([_np_q(frac), center_w[..., None]], axis=-1)}
+    ip = {0: np.concatenate([_np_q(high), _np_q(t_glass)[..., None]],
+                            axis=-1)}
+    zeros = np.zeros_like(r[0])
+    for k in (1, 2, 3):
+        r[k] = zeros
+        ip[k] = zeros
+    ids = {0: id_q, 1: zeros}
+    ocol = {0: ocolor_q, 1: zeros}
+    oid = oid_q
+
+    # ping-pong transcribed from pathtracerWGL2.js:462-531
+    n = n_id = n_orig = 0
+    fp, sp = cfg.first_passes, cfg.second_passes
+    for i in range(fp + sp):
+        np_slot = (i % 2) ^ 1
+        npo = ((i - fp) % 2) ^ 1
+        if i >= fp:
+            np_slot += 2
+        args = [jnp.asarray(a) for a in
+                (r[n], ip[n], ocol[n_orig], ids[n_id], oid)]
+        if i < fp:
+            c, p, idout = first_filter(*args)
+            r[np_slot], ip[np_slot] = np.asarray(c), np.asarray(p)
+            ids[np_slot] = np.asarray(idout)
+        else:
+            c, p, oc = second_filter(*args)
+            r[np_slot], ip[np_slot] = np.asarray(c), np.asarray(p)
+            if i - 2 >= fp:   # first two second-pass writes are dropped
+                ocol[npo] = np.asarray(oc)
+        n = np_slot
+        if i >= fp:
+            n_orig = npo
+        else:
+            n_id = np_slot
+    index = 2 + (fp + sp) % 2
+    index_id = fp % 2
+    index_orig = sp % 2
+    final = np.asarray(final_filter(
+        jnp.asarray(r[index]), jnp.asarray(ip[index]),
+        jnp.asarray(ocol[index_orig]), jnp.asarray(ids[index_id]),
+        jnp.asarray(oid), cfg.hdr))
+    final = np.clip(final, 0.0, 1.0)
+    aa_in = np.concatenate(
+        [_np_q(final), (np.asarray(ring[0][0][..., 3]) > 0.0
+                        ).astype(np.float32)[..., None]], axis=-1)
+    composed = np.asarray(fxaa(jnp.asarray(aa_in)))[..., 0:3]
+    composed = np.clip(composed, 0.0, 1.0)
+
+    diff = np.abs(got - composed)
+    assert float(diff.max()) <= 1e-5, (
+        f"composed post chain deviates: max {diff.max():.2e} at "
+        f"{np.unravel_index(diff.argmax(), diff.shape)}")
