@@ -84,10 +84,16 @@ def bench_cornell():
 
     img = pt.render_frame()
     coverage = float((img.sum(axis=-1) > 0).mean())
+    # e2e = the production interactive path (serve.py): u8 on-device
+    # quantization + pipelined swapchain fetch (frame N-1's bytes land
+    # while frame N computes), so the relay round-trip is hidden.
+    pt.pipelined = True
+    pt.render_frame_u8()  # prime the double buffer
     t0 = time.perf_counter()
     for _ in range(E2E_FRAMES):
-        img = pt.render_frame()
+        img = pt.render_frame_u8()
     e2e_ms = (time.perf_counter() - t0) / E2E_FRAMES * 1000.0
+    pt.pipelined = False
 
     fps = 1000.0 / device_ms
     rays_per_frame = RES * RES * (1 + 2 * config.max_reflections * coverage)

@@ -364,7 +364,16 @@ class PathTracer:
             display = _quantize_u8(display)
         if self.pipelined:
             # swap: fetch the PREVIOUS frame (already done on device) while
-            # this frame computes; dispatch is async on all jax backends
+            # this frame computes; dispatch is async on all jax backends.
+            # copy_to_host_async starts the device->host transfer NOW, so
+            # by the next call np.asarray finds the bytes already landed —
+            # without it the tunneled relay round-trip serializes into
+            # every frame (bench.py e2e_ms detail: 53.7 ms at cornell-256
+            # vs 1.5 ms device).
+            try:
+                display.copy_to_host_async()
+            except AttributeError:
+                pass  # non-jax arrays (freeze path) / older backends
             prev = self._pending_display
             self._pending_display = display
             display = prev if prev is not None else display

@@ -38,14 +38,14 @@ CLUSTER = 64             # cluster size for the flag prepass
 
 def _kernel(flag_ref, edge_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref,
             v_ref, tri_ref, *, cull: bool, precision, tri_tile: int,
-            ray_tile: int):
+            ray_tile: int, subtile: int = 1):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     # Transposed layout: products are [TRI_TILE, RAY_TILE] so the per-ray
     # reductions run along sublanes and land in native (1, RAY_TILE) rows
     # (no lane-crossing reshapes, full lane utilization).
-    shp = (1, 1, ray_tile)
+    shp = (subtile, 1, ray_tile)
 
     @pl.when(j == 0)
     def _():
@@ -54,61 +54,66 @@ def _kernel(flag_ref, edge_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref,
         v_ref[:] = jnp.zeros(shp, dtype=jnp.float32)
         tri_ref[:] = jnp.full(shp, -1, dtype=jnp.int32)
 
-    @pl.when(flag_ref[i, j] != 0)
-    def _():
-        ft = f_ref[:]                         # [16, 1024]
-        dot = lambda wk: jnp.dot(wk, ft, preferred_element_type=jnp.float32,
-                                 precision=precision)
-        det = dot(w_ref[0])                   # [tri_tile, 1024]
-        udet = dot(w_ref[1])
-        vdet = dot(w_ref[2])
-        sdet = dot(w_ref[3])
-        inv = 1.0 / det
-        u = udet * inv
-        v = vdet * inv
-        s = sdet * inv
-        ml = ml_ref[0]                        # [1, 1024]
-        # edge=-BIAS on primary casts closes the shared-edge rejection
-        # band (see ops.traverse._mt_chunk). It rides in as a runtime SMEM
-        # scalar so primary and bounce traversals share ONE Mosaic program
-        # (a per-edge compile-time constant doubles kernel variants and
-        # proved to destabilize the surrounding XLA schedule).
-        edge = edge_ref[0]
-        valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
-        valid &= (u >= edge) & (u <= 1.0)
-        valid &= (v >= edge) & (u + v <= 1.0)
-        valid &= (s > BIAS) & (s <= ml)
-        s_masked = jnp.where(valid, s, POW32)
+    # `subtile` ray tiles share one Mosaic program (static unroll; each
+    # slice's temps die before the next, so VMEM stays at the single-tile
+    # level) — the per-program fixed cost (~23 us) divides by the group,
+    # the dominant cost for small-scene casts (theater: wt == 1).
+    for k in range(subtile):
+        @pl.when(flag_ref[i * subtile + k, j] != 0)
+        def _(k=k):
+            ft = f_ref[:, k * ray_tile:(k + 1) * ray_tile]  # [16, 1024]
+            dot = lambda wk: jnp.dot(wk, ft, preferred_element_type=jnp.float32,
+                                     precision=precision)
+            det = dot(w_ref[0])                   # [tri_tile, 1024]
+            udet = dot(w_ref[1])
+            vdet = dot(w_ref[2])
+            sdet = dot(w_ref[3])
+            inv = 1.0 / det
+            u = udet * inv
+            v = vdet * inv
+            s = sdet * inv
+            ml = ml_ref[k]                        # [1, 1024]
+            # edge=-BIAS on primary casts closes the shared-edge rejection
+            # band (see ops.traverse._mt_chunk). It rides in as a runtime SMEM
+            # scalar so primary and bounce traversals share ONE Mosaic program
+            # (a per-edge compile-time constant doubles kernel variants and
+            # proved to destabilize the surrounding XLA schedule).
+            edge = edge_ref[0]
+            valid = (det >= BIAS) if cull else (jnp.abs(det) >= BIAS)
+            valid &= (u >= edge) & (u <= 1.0)
+            valid &= (v >= edge) & (u + v <= 1.0)
+            valid &= (s > BIAS) & (s <= ml)
+            s_masked = jnp.where(valid, s, POW32)
 
-        tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)  # [1, 1024]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, ray_tile), 0)
-        is_best = s_masked <= tile_best_s
-        # lowest row among ties (the argmin)
-        best_row = jnp.min(jnp.where(is_best, rows, tri_tile), axis=0, keepdims=True)
-        onehot = (rows == best_row) & valid
-        take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
-        tile_u = take(u)
-        tile_v = take(v)
-        # resolve the drawable-triangle id in-register: an XLA-side
-        # ids[col] s32 gather runs on the scalar core (~0.5 ms per call)
-        ids_bc = jnp.broadcast_to(idsf_ref[:], (tri_tile, ray_tile))
-        tile_tri = take(ids_bc)
+            tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)  # [1, 1024]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tri_tile, ray_tile), 0)
+            is_best = s_masked <= tile_best_s
+            # lowest row among ties (the argmin)
+            best_row = jnp.min(jnp.where(is_best, rows, tri_tile), axis=0, keepdims=True)
+            onehot = (rows == best_row) & valid
+            take = lambda x: jnp.sum(jnp.where(onehot, x, 0.0), axis=0, keepdims=True)
+            tile_u = take(u)
+            tile_v = take(v)
+            # resolve the drawable-triangle id in-register: an XLA-side
+            # ids[col] s32 gather runs on the scalar core (~0.5 ms per call)
+            ids_bc = jnp.broadcast_to(idsf_ref[:], (tri_tile, ray_tile))
+            tile_tri = take(ids_bc)
 
-        prev_s = s_ref[0]                     # [1, 1024]
-        better = tile_best_s < prev_s
-        s_ref[0] = jnp.where(better, tile_best_s, prev_s)
-        u_ref[0] = jnp.where(better, tile_u, u_ref[0])
-        v_ref[0] = jnp.where(better, tile_v, v_ref[0])
-        tri_ref[0] = jnp.where(better & (tile_best_s < POW32),
-                               tile_tri, tri_ref[0].astype(jnp.float32)
-                               ).astype(jnp.int32)
+            prev_s = s_ref[k]                     # [1, 1024]
+            better = tile_best_s < prev_s
+            s_ref[k] = jnp.where(better, tile_best_s, prev_s)
+            u_ref[k] = jnp.where(better, tile_u, u_ref[k])
+            v_ref[k] = jnp.where(better, tile_v, v_ref[k])
+            tri_ref[k] = jnp.where(better & (tile_best_s < POW32),
+                                   tile_tri, tri_ref[k].astype(jnp.float32)
+                                   ).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
-                                   "ray_tile"))
+                                   "ray_tile", "subtile"))
 def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
-               ray_tile: int = RAY_TILE, edge=BIAS):
+               ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     if w4.dtype == jnp.bfloat16:
@@ -119,32 +124,43 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
         ft = f.T
     return _intersect_ft(w4, flags, ft, max_len, idsf, cull=cull,
                          interpret=interpret, precision=precision,
-                         tri_tile=tri_tile, ray_tile=ray_tile, edge=edge)
+                         tri_tile=tri_tile, ray_tile=ray_tile, edge=edge,
+                         subtile=subtile)
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
-                                   "ray_tile"))
+                                   "ray_tile", "subtile"))
 def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
-                  ray_tile: int = RAY_TILE, edge=BIAS):
+                  ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1):
     """_intersect taking features already transposed [K, Rp] (and x6-
     packed when w4 is bf16) — the SoA entry points build that layout
-    directly without a lane-padded [Rp, 16] intermediate."""
+    directly without a lane-padded [Rp, 16] intermediate.
+
+    `subtile`: ray tiles per Mosaic program (grouped grid; pure perf —
+    results identical). Padded tiles flag off and stay at the init
+    sentinel (tri -1)."""
     rp = ft.shape[1]
     tp = w4.shape[1]
     kdim = w4.shape[2]
     if w4.dtype == jnp.bfloat16:
         precision = jax.lax.Precision.DEFAULT  # single bf16 K=96 pass
     rt, wt = rp // ray_tile, tp // tri_tile
-    grid = (rt, wt)
+    if rt % subtile:
+        pad_t = (-rt) % subtile
+        ft = jnp.pad(ft, ((0, 0), (0, pad_t * ray_tile)))
+        max_len = jnp.pad(max_len, (0, pad_t * ray_tile))
+        flags = jnp.pad(flags, ((0, pad_t), (0, 0)))
+        rt += pad_t
+    grid = (rt // subtile, wt)
     out_shape = [
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.float32),
         jax.ShapeDtypeStruct((rt, 1, ray_tile), jnp.int32),
     ]
-    out_spec = pl.BlockSpec((1, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
+    out_spec = pl.BlockSpec((subtile, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     # flags + the accept-window edge ride in as scalar-prefetch arrays
     # (SMEM), flags indexed by program id
@@ -152,13 +168,13 @@ def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            # features transposed: [K, Rp], tile [K, RAY_TILE]
-            pl.BlockSpec((kdim, ray_tile), lambda i, j, *_: (0, i),
+            # features transposed: [K, Rp], tile [K, subtile*RAY_TILE]
+            pl.BlockSpec((kdim, subtile * ray_tile), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
             # W planes transposed: [4, Tp, K], tile [4, tri_tile, K]
             pl.BlockSpec((4, tri_tile, kdim), lambda i, j, *_: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
+            pl.BlockSpec((subtile, 1, ray_tile), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tri_tile, 1), lambda i, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -168,14 +184,14 @@ def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
     edge_arr = jnp.asarray(edge, jnp.float32).reshape(1)
     s, u, v, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile),
+                ray_tile=ray_tile, subtile=subtile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(flags, edge_arr, ft, w4, max_len.reshape(rt, 1, ray_tile), idsf)
-    return tuple(x.reshape(-1) for x in (s, u, v, tri))
+    return tuple(x.reshape(-1)[:rp] for x in (s, u, v, tri))
 
 
 def pick_tri_tile(num_tris: int) -> int:
@@ -291,13 +307,13 @@ def _prep(origin, direction, max_len, ray_tile: int = RAY_TILE):
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "sort_rays", "ray_tile"))
+                                   "sort_rays", "ray_tile", "subtile"))
 def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST,
                     tri_tile: int = TRI_TILE, sort_rays: bool = False,
                     ray_tile: int = RAY_TILE, alive=None,
-                    edge=BIAS) -> Hit:
+                    edge=BIAS, subtile: int = 1) -> Hit:
     """Closest hit of N rays against all triangles, fused on-chip.
 
     `alive` (optional bool [N]): dead rays get max_len 0, so whole dead
@@ -317,7 +333,8 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
     idsf = ids.astype(jnp.float32).reshape(-1, 1)
     s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=False,
                               interpret=interpret, precision=precision,
-                              tri_tile=tri_tile, ray_tile=ray_tile, edge=edge)
+                              tri_tile=tri_tile, ray_tile=ray_tile, edge=edge,
+                              subtile=subtile)
     s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
     if sort_rays:
         s, u, v, tri = s[inv_perm], u[inv_perm], v[inv_perm], tri[inv_perm]
@@ -327,12 +344,13 @@ def traverse_kernel(w4, aabb_min, aabb_max, ids, origin, direction,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "sort_rays", "ray_tile"))
+                                   "sort_rays", "ray_tile", "subtile"))
 def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
                   tri_tile: int = TRI_TILE, sort_rays: bool = False,
-                  ray_tile: int = RAY_TILE, alive=None) -> jnp.ndarray:
+                  ray_tile: int = RAY_TILE, alive=None,
+                  subtile: int = 1) -> jnp.ndarray:
     """Front-face-culled any-hit within max_len, fused on-chip."""
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
@@ -346,7 +364,8 @@ def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
     idsf = ids.astype(jnp.float32).reshape(-1, 1)
     s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=True,
                               interpret=interpret, precision=precision,
-                              tri_tile=tri_tile, ray_tile=ray_tile)
+                              tri_tile=tri_tile, ray_tile=ray_tile,
+                              subtile=subtile)
     tri = tri[:n]
     if sort_rays:
         tri = tri[inv_perm]
@@ -427,12 +446,13 @@ def _flags_soa(aabb_min, aabb_max, o3, d3, max_len, rt, wt,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile"))
+                                   "ray_tile", "subtile"))
 def traverse_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3,
                         interpret: bool = False,
                         precision=jax.lax.Precision.HIGHEST,
                         tri_tile: int = TRI_TILE,
-                        ray_tile: int = RAY_TILE, alive=None, edge=BIAS):
+                        ray_tile: int = RAY_TILE, alive=None, edge=BIAS,
+                        subtile: int = 1):
     """traverse_kernel with SoA ray channels in and (s, u, v, tri) SoA
     out — bit-identical results, no lane-padded [N, 3]/[N, 16] temps.
     No octant sort (every kernel-scheme scene is below the sort
@@ -452,7 +472,7 @@ def traverse_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3,
     s, u, v, tri = _intersect_ft(w4, flags, ft, ml, idsf, cull=False,
                                  interpret=interpret, precision=precision,
                                  tri_tile=tri_tile, ray_tile=ray_tile,
-                                 edge=edge)
+                                 edge=edge, subtile=subtile)
     s, u, v, tri = s[:n], u[:n], v[:n], tri[:n]
     hit = tri >= 0
     zero = jnp.zeros_like(s)
@@ -462,12 +482,13 @@ def traverse_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3,
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
-                                   "ray_tile"))
+                                   "ray_tile", "subtile"))
 def shadow_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3, max_len,
                       interpret: bool = False,
                       precision=jax.lax.Precision.HIGHEST,
                       tri_tile: int = TRI_TILE,
-                      ray_tile: int = RAY_TILE, alive=None) -> jnp.ndarray:
+                      ray_tile: int = RAY_TILE, alive=None,
+                      subtile: int = 1) -> jnp.ndarray:
     """shadow_kernel with SoA ray channels (see traverse_kernel_soa)."""
     if alive is not None:
         max_len = jnp.where(alive, max_len, 0.0)
@@ -482,5 +503,6 @@ def shadow_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3, max_len,
     idsf = ids.astype(jnp.float32).reshape(-1, 1)
     _, _, _, tri = _intersect_ft(w4, flags, ft, ml, idsf, cull=True,
                                  interpret=interpret, precision=precision,
-                                 tri_tile=tri_tile, ray_tile=ray_tile)
+                                 tri_tile=tri_tile, ray_tile=ray_tile,
+                                 subtile=subtile)
     return tri[:n] >= 0

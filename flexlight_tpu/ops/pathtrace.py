@@ -1022,16 +1022,29 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             # 2026-08-19).
             return max(RAY_TILE, min(8192, 8192 * 64 // tri_tile))
 
+        # Ray tiles grouped per Mosaic program: the per-program fixed
+        # cost (~23 us, ~60% of a small-scene cast) divides by the group
+        # while VMEM stays at the single-tile level (each slice's temps
+        # die before the next — unlike raising ray_tile, which OOM'd at
+        # 16384). Mirrors the sparse path's SUBTILE win (dragon batch N).
+        env_dsub = int(os.environ.get("FLEXLIGHT_DENSE_SUBTILE", "4"))
+
+        def _pick_dsub(n_rays: int) -> int:
+            # grouping only pays when there are many programs to merge
+            return env_dsub if n_rays >= 32768 and not sort else 1
+
         def traverse_fn(o, d, alive=None, edge=BIAS):
             return traverse_kernel(w4, amin, amax, ids, o, d, interpret=interp,
                                    tri_tile=tri_tile, sort_rays=sort,
                                    ray_tile=_pick_drt(o.shape[0]),
-                                   alive=alive, edge=edge)
+                                   alive=alive, edge=edge,
+                                   subtile=_pick_dsub(o.shape[0]))
 
         def shadow_fn(o, d, l, alive=None):
             return shadow_kernel(w4, amin, amax, ids, o, d, l, interpret=interp,
                                  tri_tile=tri_tile, sort_rays=sort,
-                                 ray_tile=_pick_drt(o.shape[0]), alive=alive)
+                                 ray_tile=_pick_drt(o.shape[0]), alive=alive,
+                                 subtile=_pick_dsub(o.shape[0]))
 
         if not sort and os.environ.get("FLEXLIGHT_SOA_CAST", "1") != "0":
             # SoA fast path for the bounce loop: ray channels go straight
@@ -1043,13 +1056,14 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                 return traverse_kernel_soa(
                     w4, amin, amax, ids, o3, d3, interpret=interp,
                     tri_tile=tri_tile, ray_tile=_pick_drt(o3[0].shape[0]),
-                    alive=alive, edge=edge)
+                    alive=alive, edge=edge,
+                    subtile=_pick_dsub(o3[0].shape[0]))
 
             def shadow_fn_soa(o3, d3, l, alive=None):
                 return shadow_kernel_soa(
                     w4, amin, amax, ids, o3, d3, l, interpret=interp,
                     tri_tile=tri_tile, ray_tile=_pick_drt(o3[0].shape[0]),
-                    alive=alive)
+                    alive=alive, subtile=_pick_dsub(o3[0].shape[0]))
     elif scheme == "clustered":
         from .traverse_clustered import build_clusters, shadow_clustered, traverse_clustered
 

@@ -251,7 +251,12 @@ class FrameServer:
             self._apply_pending()  # /config mutations land between frames
             renderer = self.engine.renderer  # may have been hot-swapped
             # device-side u8 quantization when the renderer offers it (4x
-            # less fetch traffic over the TPU relay); others fetch f32
+            # less fetch traffic over the TPU relay); others fetch f32.
+            # pipelined = swapchain-style one-frame lag: the device->host
+            # copy of frame N-1 overlaps frame N's compute, hiding the
+            # relay round-trip (pathtracer.render_frame docstring).
+            if hasattr(renderer, "pipelined"):
+                renderer.pipelined = True
             fetch = getattr(renderer, "render_frame_u8",
                             renderer.render_frame)
             io.update()  # integrate held keys into the camera (io.js:51-59)

@@ -117,3 +117,37 @@ def test_kernel_traversal_tri_tile_32_matches_64():
     np.testing.assert_array_equal(np.asarray(hits[32].suv),
                                   np.asarray(hits[64].suv))
     assert int((np.asarray(hits[32].triangle) >= 0).sum()) > 0
+
+
+@pytest.mark.parametrize("subtile", [2, 4])
+def test_kernel_subtile_matches_ungrouped(subtile):
+    """Grouping ray tiles per Mosaic program (subtile) is pure perf: the
+    grouped grid must return bit-identical hits and shadow bits,
+    including when the tile count does not divide the group (padding)."""
+    from flexlight_tpu.ops.intersect_kernel import (shadow_kernel_soa,
+                                                    traverse_kernel_soa)
+
+    buffers, geometry, (w4, amin, amax, ids, tri_tile), origin, direction, rng = _setup()
+    n = origin.shape[0]  # 2048 rays / ray_tile 512 -> 4 tiles; odd with pad
+    alive = jnp.asarray(rng.uniform(size=n) < 0.8)
+    o3 = tuple(jnp.asarray(origin[:, c]) for c in range(3))
+    d3 = tuple(jnp.asarray(direction[:, c]) for c in range(3))
+
+    for rt in (512, 1024):  # 4 tiles (pads at subtile 4 w/ rt=1024? no: 2)
+        base = traverse_kernel_soa(w4, amin, amax, ids, o3, d3,
+                                   interpret=True, tri_tile=tri_tile,
+                                   ray_tile=rt, alive=alive)
+        got = traverse_kernel_soa(w4, amin, amax, ids, o3, d3,
+                                  interpret=True, tri_tile=tri_tile,
+                                  ray_tile=rt, alive=alive, subtile=subtile)
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(g))
+
+        max_len = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+        s_base = shadow_kernel_soa(w4, amin, amax, ids, o3, d3, max_len,
+                                   interpret=True, tri_tile=tri_tile,
+                                   ray_tile=rt, alive=alive)
+        s_got = shadow_kernel_soa(w4, amin, amax, ids, o3, d3, max_len,
+                                  interpret=True, tri_tile=tri_tile,
+                                  ray_tile=rt, alive=alive, subtile=subtile)
+        np.testing.assert_array_equal(np.asarray(s_base), np.asarray(s_got))
