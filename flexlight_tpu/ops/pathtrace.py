@@ -785,6 +785,24 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     """
     post = bounce_post if bounce_post_impl is None else bounce_post_impl
     carry = bounce_carry_init(primary_parts, camera_pos, direction3, aux)
+    # Dead-tail skip: the reference's per-pixel loop exits on the
+    # importance cutoff (glsl:475); on diffuse scenes most frames have NO
+    # ray surviving past bounce ~3, yet the unrolled graph pays the full
+    # per-bounce cost. Wrapping late bounces in lax.cond(any alive)
+    # executes them only when some ray is live — exact (a bounce over an
+    # all-dead wavefront is a no-op by construction: every update is
+    # masked on carry.alive). Disabled for the injected-hook paths (their
+    # Python-side capture lists cannot cross a cond) and by env.
+    # FLEXLIGHT_TAIL_SKIP = first bounce index eligible (0 disables).
+    # Caveat: on TPU the cond branch is a separate fusion context, and
+    # XLA's sin codegen there can differ in the last ulp — with the
+    # sin-hash RNG (config.rng="hash") that flips late-bounce random
+    # numbers entirely (same chaos class as the fused kernels; counter
+    # RNG and all discrete channels are unaffected, CPU is exact to
+    # ~2e-7). The A/B therefore compares images statistically on chip.
+    tail_skip_min = int(os.environ.get("FLEXLIGHT_TAIL_SKIP", "2"))
+    can_skip = (bounce_step_impl is None and bounce_hook is None
+                and DEBUG_CAPTURE is None and tail_skip_min >= 1)
     for i in range(config.max_reflections):
         if bounce_step_impl is not None:
             # whole bounce (interp + tex + shade + shadow + apply +
@@ -792,17 +810,27 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
             carry = bounce_step_impl(carry, i, mat, ndc2, cos_sample_n,
                                      random_seed, traverse_soa, shadow_soa)
             continue
-        carry, surface = bounce_pre(carry, i, mat, config, fetch_rows_fn)
-        tex = bounce_tex(buffers, surface, tex_fetch_fn)
         pkw = ({"pair_soa": pair_soa}
                if bounce_post_impl is None and pair_soa is not None else {})
         if bounce_hints is not None and bounce_post_impl is None:
             pkw["bounce_hint"] = bounce_hints[i]
-        carry = post(
-            carry, surface, tex, i, buffers, camera_pos, ndc2, cos_sample_n,
-            config, random_seed, traverse_soa, shadow_soa,
-            pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
-            force_unroll_lights=force_unroll_lights, **pkw)
+
+        def bounce_i(carry, i=i, pkw=pkw):
+            carry, surface = bounce_pre(carry, i, mat, config, fetch_rows_fn)
+            tex = bounce_tex(buffers, surface, tex_fetch_fn)
+            return post(
+                carry, surface, tex, i, buffers, camera_pos, ndc2,
+                cos_sample_n, config, random_seed, traverse_soa, shadow_soa,
+                pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
+                force_unroll_lights=force_unroll_lights, **pkw)
+
+        if can_skip and i >= tail_skip_min:
+            import jax as _jx
+
+            carry = _jx.lax.cond(jnp.any(carry.alive), bounce_i,
+                                 lambda c: c, carry)
+        else:
+            carry = bounce_i(carry)
         if hit_record is not None:
             hit_record.append(jnp.where(carry.alive, carry.tri, -1))
 

@@ -136,6 +136,7 @@ def test_sharded_tileize_matches_single_chip():
     assert (np.abs(got[..., 3] - ref[..., 3]) > 1e-6).mean() < 0.001
 
 
+@pytest.mark.slow  # sharded full pipeline; dryrun covers the guard too
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
 def test_halo_guard_falls_back_when_reach_exceeds_strip():
     """rows_local below the config worst-case reach: the halo pipeline

@@ -249,6 +249,7 @@ def test_fused_split_xla_mode_matches_mxu(big_atlas, n_lights, spp, bounces):
             atol=5e-5, rtol=0, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_split_kernel_statistics_vs_xla_mode():
     """The interpret kernels: coverage exact, RNG-downstream budgeted
     (same sin-codegen chaos class as the whole-frame kernel)."""
@@ -272,6 +273,7 @@ def test_fused_split_kernel_statistics_vs_xla_mode():
     assert close.mean() >= 0.85, close.mean()
 
 
+@pytest.mark.slow
 def test_fused_split_tiling_matches_single_tile():
     import jax.numpy as jnp
 
@@ -381,6 +383,7 @@ def test_shade_kernel_statistics_vs_plain(monkeypatch):
     assert close.mean() >= 0.85, close.mean()
 
 
+@pytest.mark.slow
 def test_shade_kernel_with_sparse_scheme(monkeypatch):
     """The intended pairing: sparse worklist traversal + Pallas shading.
     Compared against plain sparse on RNG-free channels."""

@@ -56,8 +56,8 @@ def _span_tie(img, y, x):
 
 
 @pytest.mark.parametrize("shape,seed,blocky", [
-    ((64, 64), 0, False),
-    ((48, 80), 1, False),
+    pytest.param((64, 64), 0, False, marks=pytest.mark.slow),  # subsumed by blocky
+    pytest.param((48, 80), 1, False, marks=pytest.mark.slow),
     ((130, 115), 7, False),   # ty/tx straddling: halo crosses tiles
     ((64, 64), 0, True),      # hard edges: the interesting FXAA case
 ])

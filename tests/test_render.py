@@ -219,3 +219,49 @@ def test_pair_cast_matches_separate_casts_end_to_end():
         del os.environ["FLEXLIGHT_PAIR_CAST"]
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tail_skip_matches_unskipped(monkeypatch):
+    """Dead-tail bounce skipping (lax.cond on any-alive) is semantically
+    exact: a bounce over an all-dead wavefront is a no-op by
+    construction, and live bounces run the same arithmetic. Compared
+    under jit on BOTH sides (the cond is a fusion boundary, so the
+    compiled graphs differ by last-ulp fma grouping in color — measured
+    2.4e-7 max on cornell 24^2 mr=5; every discrete/gated channel is
+    bit-identical). Eager-vs-jit comparison is meaningless here: eager
+    lax.cond compiles its branch while the inline path runs op-by-op.
+    CPU-tier only: on TPU the branch's sin codegen can differ in the
+    last ulp, which flips the sin-hash RNG chaotically (counter RNG and
+    discrete channels stay exact) — see the note in light_trace."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from flexlight_tpu.ops.pathtrace import render_mrt
+    from tests.scenes import cornell_config, cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    size = 24
+    view = jnp.asarray(camera.view_matrix(size, size))
+    cam = jnp.asarray(camera.position)
+    cfg = cornell_config(max_reflections=5)
+
+    def run(skip):
+        monkeypatch.setenv("FLEXLIGHT_TAIL_SKIP", skip)
+        fn = jax.jit(lambda b, c, v: render_mrt(b, size, size, c, v, cfg,
+                                                0.0, scheme="scan"))
+        return jax.tree.map(np.asarray, fn(buffers, cam, view))
+
+    base = run("0")
+    for variant in ("1", "2"):
+        got = run(variant)
+        for name in base._fields:
+            a, b = getattr(base, name), getattr(got, name)
+            if name == "color":
+                np.testing.assert_allclose(
+                    a, b, atol=2e-6,
+                    err_msg=f"tail_skip={variant} changed color")
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"tail_skip={variant} changed {name}")

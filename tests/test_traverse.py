@@ -484,8 +484,11 @@ def test_sparse_sort_env_knob_render(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("subtile,ray_tile",
-                         [(2, 256), (4, 256), (8, 128), (16, 128)])
+@pytest.mark.parametrize("subtile,ray_tile", [
+    (2, 256), (4, 256), (8, 128),
+    # 16 is far past the production default (4): slow tier only
+    pytest.param(16, 128, marks=pytest.mark.slow),
+])
 def test_sparse_subtile_matches_single(subtile, ray_tile):
     """Subtiling (several ray tiles per Mosaic program) is a pure
     scheduling change: results must be bit-identical to subtile=1 at the
@@ -597,7 +600,9 @@ def test_nearest2_key_multichunk_merge():
 
 @pytest.mark.parametrize("sort_rays,sort_mode,hinted", [
     (False, "prevtile", False),
-    (True, "prevtile", False),
+    # unhinted-sort x row-path is the costliest variant and adds no
+    # distinct code path over the hinted one: slow tier
+    pytest.param(True, "prevtile", False, marks=pytest.mark.slow),
     (True, "prevtile", True),
     (True, "nearest2", True),
 ])
