@@ -146,6 +146,16 @@ def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
     kdim = w4.shape[2]
     if w4.dtype == jnp.bfloat16:
         precision = jax.lax.Precision.DEFAULT  # single bf16 K=96 pass
+    # Scoped-VMEM guard (chip OOM ladder 2026-08-20): the double-buffered
+    # [K, subtile*ray_tile] feature block costs K*itemsize*2 per grouped
+    # ray (384 B at K=96 bf16) on top of a ~14.6 MB floor at
+    # ray_tile=8192 — subtile 2 at 8192 already blows the 16 MB scoped
+    # limit (17.85 M measured), and emissive's tri_tile=64 at subtile 4
+    # hit 22.2 M. Epilogue temps scale with ray_tile alone, so capping
+    # grouped rays per program at one known-good 8192-ray tile keeps
+    # every (subtile, ray_tile) combination strictly inside the measured
+    # envelope: subtile*ray_tile <= 8192.
+    subtile = max(1, min(subtile, 8192 // ray_tile))
     rt, wt = rp // ray_tile, tp // tri_tile
     if rt % subtile:
         pad_t = (-rt) % subtile

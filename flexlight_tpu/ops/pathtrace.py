@@ -1051,10 +1051,13 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             return max(RAY_TILE, min(8192, 8192 * 64 // tri_tile))
 
         # Ray tiles grouped per Mosaic program: the per-program fixed
-        # cost (~23 us, ~60% of a small-scene cast) divides by the group
-        # while VMEM stays at the single-tile level (each slice's temps
-        # die before the next — unlike raising ray_tile, which OOM'd at
-        # 16384). Mirrors the sparse path's SUBTILE win (dragon batch N).
+        # cost (~23 us, ~60% of a small-scene cast) divides by the group.
+        # Caveat (chip 2026-08-20): the [K, subtile*ray_tile] feature
+        # block is double-buffered, so grouping DOES grow scoped VMEM —
+        # subtile 2 at ray_tile 8192 OOM'd (17.85M/16M). _intersect_ft
+        # clamps subtile*ray_tile <= 8192, so at the 8192 default tile
+        # this is a no-op; grouping engages with FLEXLIGHT_DENSE_RAY_TILE
+        # <= 2048 (same rays per program, smaller epilogue temps).
         env_dsub = int(os.environ.get("FLEXLIGHT_DENSE_SUBTILE", "4"))
 
         def _pick_dsub(n_rays: int) -> int:

@@ -151,3 +151,26 @@ def test_kernel_subtile_matches_ungrouped(subtile):
                                   interpret=True, tri_tile=tri_tile,
                                   ray_tile=rt, alive=alive, subtile=subtile)
         np.testing.assert_array_equal(np.asarray(s_base), np.asarray(s_got))
+
+def test_kernel_subtile_vmem_clamp():
+    """Over-budget groupings silently clamp to the scoped-VMEM envelope
+    (subtile*ray_tile <= 8192; chip OOM ladder 2026-08-20) and still
+    return bit-identical results — no (env, size) combination may OOM
+    the bench."""
+    from flexlight_tpu.ops.intersect_kernel import traverse_kernel_soa
+
+    buffers, geometry, (w4, amin, amax, ids, tri_tile), origin, direction, rng = _setup()
+    alive = jnp.asarray(rng.uniform(size=origin.shape[0]) < 0.8)
+    o3 = tuple(jnp.asarray(origin[:, c]) for c in range(3))
+    d3 = tuple(jnp.asarray(direction[:, c]) for c in range(3))
+
+    base = traverse_kernel_soa(w4, amin, amax, ids, o3, d3, interpret=True,
+                               tri_tile=tri_tile, ray_tile=1024, alive=alive)
+    # 8 x 1024 = 8192 sits exactly on the cap; 32 x 1024 clamps to 8
+    for subtile in (8, 32):
+        got = traverse_kernel_soa(w4, amin, amax, ids, o3, d3,
+                                  interpret=True, tri_tile=tri_tile,
+                                  ray_tile=1024, alive=alive,
+                                  subtile=subtile)
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(g))
