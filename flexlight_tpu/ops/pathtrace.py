@@ -800,7 +800,14 @@ def light_trace(buffers: SceneBuffers, mat, primary_parts, camera_pos,
     # numbers entirely (same chaos class as the fused kernels; counter
     # RNG and all discrete channels are unaffected, CPU is exact to
     # ~2e-7). The A/B therefore compares images statistically on chip.
-    tail_skip_min = int(os.environ.get("FLEXLIGHT_TAIL_SKIP", "2"))
+    # Default OFF (chip 2026-08-20, batch E): wrapping bounces 2+ in
+    # lax.cond made the theater-1080p compile exceed 15 minutes (the cond
+    # branch re-lowers every Mosaic cast kernel per bounce) vs ~2.5 min
+    # without — a compile-cost regression no possible runtime win repays
+    # at interactive sizes. Opt-in for long offline renders of scenes
+    # whose wavefronts genuinely die out (FLEXLIGHT_TAIL_SKIP=<first
+    # eligible bounce>).
+    tail_skip_min = int(os.environ.get("FLEXLIGHT_TAIL_SKIP", "0"))
     can_skip = (bounce_step_impl is None and bounce_hook is None
                 and DEBUG_CAPTURE is None and tail_skip_min >= 1)
     for i in range(config.max_reflections):
