@@ -1164,12 +1164,17 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     # row reads are free leading-dim slices (dragon 1080p: 1.50 -> 1.05 s).
     # Small tables use the one-hot MXU fetch whose [C, N] output is
     # consumed best flat — 2-D there costs boundary relayouts for nothing
-    # at the sizes it was tuned on. FLEXLIGHT_FORCE_2D=1 forces the 2-D
-    # layout regardless of table size (perf experiment: small-table scenes
-    # at 1080p exceed the one-hot n-threshold, so their flat path is the
-    # row-gather + per-row-relayout shape — chip A/B pending).
-    use2d = (mat.shape[0] > 256
-             or os.environ.get("FLEXLIGHT_FORCE_2D", "") == "1")
+    # at the sizes it was tuned on — below ~1M rays. At 1080p-class ray
+    # counts the 2-D layout wins even on small tables: theater 1080p
+    # direct 191.2->153.0 (batch A3) and 188.6->154.4 ms (batch C1, two
+    # independent chip A/Bs) — the flat [C, N] one-hot output pays ~38 ms
+    # of boundary relayouts at 2M rays. Measured crossover data exists
+    # only at 2M (wins) and 0.92M (obj, flat ties/wins), so the
+    # n-threshold is conservative: 1.5M. FLEXLIGHT_FORCE_2D=1/0
+    # overrides either way (perf A/Bs).
+    force_2d = os.environ.get("FLEXLIGHT_FORCE_2D", "")
+    use2d = (mat.shape[0] > 256 or n >= 1_500_000 or force_2d == "1") \
+        and force_2d != "0"
     if use2d:
         pad2 = (-n) % 1024
         g2 = (n + pad2) // 1024
