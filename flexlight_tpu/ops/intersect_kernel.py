@@ -38,7 +38,7 @@ CLUSTER = 64             # cluster size for the flag prepass
 
 def _kernel(flag_ref, edge_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref,
             v_ref, tri_ref, *, cull: bool, precision, tri_tile: int,
-            ray_tile: int, subtile: int = 1):
+            ray_tile: int, subtile: int = 1, any_hit: bool = False):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -83,6 +83,17 @@ def _kernel(flag_ref, edge_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref,
             valid &= (u >= edge) & (u <= 1.0)
             valid &= (v >= edge) & (u + v <= 1.0)
             valid &= (s > BIAS) & (s <= ml)
+
+            if any_hit:
+                # Shadow casts only consume `tri >= 0` (any valid hit
+                # within max_len), so the argmin/one-hot/take machinery —
+                # over half the [tri_tile, ray_tile] epilogue ops — is
+                # dead weight. Any-valid == closest-exists, bit-exactly.
+                hit_col = jnp.max(jnp.where(valid, 1.0, 0.0),
+                                  axis=0, keepdims=True)      # [1, 1024]
+                tri_ref[k] = jnp.where(hit_col > 0.0, 0, tri_ref[k])
+                return
+
             s_masked = jnp.where(valid, s, POW32)
 
             tile_best_s = jnp.min(s_masked, axis=0, keepdims=True)  # [1, 1024]
@@ -110,10 +121,11 @@ def _kernel(flag_ref, edge_ref, f_ref, w_ref, ml_ref, idsf_ref, s_ref, u_ref,
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
-                                   "ray_tile", "subtile"))
+                                   "ray_tile", "subtile", "any_hit"))
 def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
-               ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1):
+               ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1,
+               any_hit: bool = False):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
     idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
     if w4.dtype == jnp.bfloat16:
@@ -125,15 +137,16 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
     return _intersect_ft(w4, flags, ft, max_len, idsf, cull=cull,
                          interpret=interpret, precision=precision,
                          tri_tile=tri_tile, ray_tile=ray_tile, edge=edge,
-                         subtile=subtile)
+                         subtile=subtile, any_hit=any_hit)
 
 
 @partial(jax.jit, static_argnames=("cull", "interpret", "precision", "tri_tile",
-                                   "ray_tile", "subtile"))
+                                   "ray_tile", "subtile", "any_hit"))
 def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST, tri_tile: int = TRI_TILE,
-                  ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1):
+                  ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1,
+                  any_hit: bool = False):
     """_intersect taking features already transposed [K, Rp] (and x6-
     packed when w4 is bf16) — the SoA entry points build that layout
     directly without a lane-padded [Rp, 16] intermediate.
@@ -194,7 +207,7 @@ def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
     edge_arr = jnp.asarray(edge, jnp.float32).reshape(1)
     s, u, v, tri = pl.pallas_call(
         partial(_kernel, cull=cull, precision=precision, tri_tile=tri_tile,
-                ray_tile=ray_tile, subtile=subtile),
+                ray_tile=ray_tile, subtile=subtile, any_hit=any_hit),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -375,7 +388,7 @@ def shadow_kernel(w4, aabb_min, aabb_max, ids, origin, direction, max_len,
     s, u, v, tri = _intersect(w4, flags, f, ml, idsf, cull=True,
                               interpret=interpret, precision=precision,
                               tri_tile=tri_tile, ray_tile=ray_tile,
-                              subtile=subtile)
+                              subtile=subtile, any_hit=True)
     tri = tri[:n]
     if sort_rays:
         tri = tri[inv_perm]
@@ -514,5 +527,5 @@ def shadow_kernel_soa(w4, aabb_min, aabb_max, ids, o3, d3, max_len,
     _, _, _, tri = _intersect_ft(w4, flags, ft, ml, idsf, cull=True,
                                  interpret=interpret, precision=precision,
                                  tri_tile=tri_tile, ray_tile=ray_tile,
-                                 subtile=subtile)
+                                 subtile=subtile, any_hit=True)
     return tri[:n] >= 0
