@@ -37,8 +37,13 @@ def device_time(fn, *args, iters: int = 8, perturb_index: int = 0) -> float:
         def body(_, carry):
             acc, args = carry
             a = list(args)
-            a[perturb_index] = a[perturb_index] + (acc * 1e-30).astype(
-                a[perturb_index].dtype)
+            eps = acc * 1e-30
+            # the perturbed arg may be a pytree (SoA channel tuples) —
+            # nudge every float leaf
+            a[perturb_index] = jax.tree.map(
+                lambda x: x + eps.astype(x.dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                a[perturb_index])
             out = fn(*a)
             return acc + _scalarize(out), args
 
