@@ -43,7 +43,7 @@ def _setup(n_lights=1, size=24):
 
 
 @pytest.mark.parametrize("n_lights,spp,bounces", [
-    (1, 1, 3),
+    pytest.param(1, 1, 3, marks=pytest.mark.slow),  # depth covered by 8-1-2 + slow tier
     (8, 1, 2),    # multi-light reservoir incl. jitter (variation) path
     (1, 2, 2),    # sample loop + carried aux
 ])
@@ -143,6 +143,7 @@ def test_fused_scheme_dispatch_and_eligibility():
         render_mrt_fused(big, 8, 8, pos, view, config, 0.0, pallas=False)
 
 
+@pytest.mark.slow
 def test_fused_textured_small_atlas_matches_mxu():
     """Tiny-texture scenes (eth/example2 class: 1x1 textures padded into
     2048-wide atlas rows) run through the in-kernel one-hot sampler."""

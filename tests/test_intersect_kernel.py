@@ -119,7 +119,8 @@ def test_kernel_traversal_tri_tile_32_matches_64():
     assert int((np.asarray(hits[32].triangle) >= 0).sum()) > 0
 
 
-@pytest.mark.parametrize("subtile", [2, 4])
+@pytest.mark.parametrize("subtile", [
+    pytest.param(2, marks=pytest.mark.slow), 4])
 def test_kernel_subtile_matches_ungrouped(subtile):
     """Grouping ray tiles per Mosaic program (subtile) is pure perf: the
     grouped grid must return bit-identical hits and shadow bits,

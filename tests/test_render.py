@@ -187,6 +187,7 @@ def test_force_2d_layout_matches_flat():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pair_cast_matches_separate_casts_end_to_end():
     """FLEXLIGHT_PAIR_CAST merges each bounce's NEE shadow cast with the
     next closest hit into one sparse pair cast. It must be a pure
@@ -221,6 +222,7 @@ def test_pair_cast_matches_separate_casts_end_to_end():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_tail_skip_matches_unskipped(monkeypatch):
     """Dead-tail bounce skipping (lax.cond on any-alive) is semantically
     exact: a bounce over an all-dead wavefront is a no-op by
