@@ -471,18 +471,41 @@ def _mrt_from_channels(fields, records, loc_geometry, camera_pos, config,
 # it at MAX_TEXELS. Scenes with real textures (theater: 3 multi-megatexel
 # atlases over 20 triangles) instead run each bounce as
 #
-#     PRE kernel  (importance kill + one-hot material fetch + interp)
-#  -> XLA         (the three atlas gathers of bounce_tex — arbitrary size)
-#  -> POST kernel (shading frame, reservoir NEE + shadow rays, radiance,
-#                  next direction, next closest hit)
+#     POST kernel  (bounce_post: shading frame, reservoir NEE + in-kernel
+#                   shadow ray, radiance, next direction, next closest hit
+#                   + FUSED bounce_pre(i+1): importance kill + one-hot
+#                   material fetch + interp)
+#  -> XLA          (the three atlas gathers of bounce_tex — arbitrary size)
 #
-# with the loop-carried BounceCarry crossing HBM as a packed [G, C, rt]
-# f32 block between stages (~45 channels x 2 crossings x bounces; at 1080p
-# x 5 bounces that is ~4 GB/frame ~= 5 ms of HBM traffic, vs the wavefront
-# path's hundreds of ms of per-op round trips). The shading arithmetic is
-# the same oracle-pinned bounce_pre/bounce_tex/bounce_post stage functions
-# light_trace itself is composed of; id packing is deferred exactly as in
-# the whole-frame kernel (records reconstructed by _mrt_from_channels).
+# plus one i0 kernel per sample (primary closest hit + carry init +
+# bounce_pre(0)). The whole inter-kernel contract is ONE packed
+# [G, SP_C, rt] f32 block that stays in HBM untouched between launches;
+# XLA reads only the texin slice (atlas uv/ids) and writes only the
+# [G, SP_TEX, rt] tex block, so per-bounce host-graph glue is ~11 channel
+# packs instead of a full-state repack (v1 of this pipeline repacked ~45
+# channels twice per bounce and lost its chip A/B to program-launch
+# overhead at rt=1024 — 2025 programs x ~23 us x 6 kernels; see
+# docs/PERF.md r2b).
+#
+# v2 structural changes (round 4):
+#  - in-program subtile loop: each Mosaic program walks `subtile`
+#    consecutive rt-ray state slices (grid = G/subtile), so rays/program
+#    reach 8192 at constant per-step VMEM — the same trick as
+#    intersect_sparse/_intersect_ft;
+#  - ONE Mosaic post program serves every bounce: the bounce index rides
+#    scalar prefetch (i, 2^-i exact from host) and bounce_shade's traced-i
+#    path masks the i==0/i==1 branches — no per-bounce program variants
+#    (the r2 accept-window lesson: variants of a hot kernel regress) and
+#    a 5x smaller Mosaic compile;
+#  - bounce_pre(i+1) and the next closest hit always run (also after the
+#    final bounce, where their outputs are dead) to keep the single
+#    program — the waste is one MT cast + interp per frame.
+#
+# The shading arithmetic is the same oracle-pinned bounce_pre/bounce_tex/
+# bounce_post stage functions light_trace itself is composed of; id
+# packing is deferred exactly as in the whole-frame kernel (records
+# reconstructed by _mrt_from_channels). Semantics anchor: bounce loop
+# /root/reference/shaders/pathtracer_fragment.glsl:464-599.
 # ---------------------------------------------------------------------------
 
 N_CARRY = 29
@@ -529,28 +552,34 @@ def _carry_from_channels(ch, zero) -> BounceCarry:
         first_ray_length=ch[28])
 
 
-def _primary_kernel(scal_ref, w_ref, rays_ref, out_ref):
-    rays = rays_ref[0]
-    rt = rays.shape[1]
-    tp = w_ref.shape[1] // 4
-    mt_closest, _, _ = _make_mt_closures(w_ref[...], tp, rt)
-    o3 = (rays[0:1], rays[1:2], rays[2:3])
-    d3 = (rays[3:4], rays[4:5], rays[5:6])
-    # primary rays use the relaxed edge window (see render_mrt)
-    ps, pu, pv, ptri = mt_closest(o3, d3, edge=-BIAS)
-    zero = jnp.zeros((1, rt), jnp.float32)
-    out_ref[0] = jnp.concatenate(
-        [ps, pu, pv, ptri.astype(jnp.float32), zero, zero, zero, zero],
-        axis=0)
+# Split block channel layout: ONE [G, SP_C, rt] f32 block is the whole
+# inter-kernel contract. Kernels consume the [0, SP_IN) prefix of the
+# previous block; XLA consumes the texin/rec/ppart slices.
+SP_SURF0 = N_CARRY       # m, smooth_normal xyz, geometry_offset (5)
+SP_PPART0 = N_CARRY + 5  # primary ps, pu, pv, ptri (MRT assembly + resample)
+SP_IN = 40               # kernel-consumed prefix (38 used + 2 pad)
+SP_TEXIN0 = 40           # bary_u, bary_v, tex_nums3, inline alb/rme/tpo (14)
+SP_REC0 = 54             # df, normal3, rough, metal, emis (id packing, 7)
+SP_C = 64                # padded block channel count
+SP_TEX = 16              # XLA->kernel: albedo3, rough, metal, emis, tpo3,
+                         # ndc2 (11 used + 5 pad)
+SP_SUBTILE = 8           # state slices walked per Mosaic program
 
 
-def _pre_kernel(scal_ref, mat_ref, state_ref, out_ref, *, config, i: int):
-    state = state_ref[0]                                 # [C, rt]
-    rt = state.shape[1]
+def _sp_texin_channels(s: BounceSurface):
+    return [s.bary_u, s.bary_v, *s.tex_nums, *s.inline_albedo,
+            *s.inline_rme, *s.inline_tpo]
+
+
+def _sp_emit(out_ref, k, chans, rt):
     zero = jnp.zeros((1, rt), jnp.float32)
-    carry = _carry_from_channels(
-        [state[k:k + 1] for k in range(N_CARRY)], zero)
-    mat = mat_ref[...]                                   # [Tp, C]
+    chans = list(chans)
+    while len(chans) < SP_C:
+        chans.append(zero)
+    out_ref[k] = jnp.concatenate(chans, axis=0)
+
+
+def _sp_fetch_rows(mat, rt):
     rows_iota = lax.broadcasted_iota(jnp.int32, (mat.shape[0], rt), 0)
 
     def fetch_rows(table, idx):
@@ -558,92 +587,138 @@ def _pre_kernel(scal_ref, mat_ref, state_ref, out_ref, *, config, i: int):
         rows = jnp.dot(table.T, onehot, precision=MATMUL_PRECISION)
         return rows[:, None, :]                          # [C, 1, rt]
 
-    carry, s = bounce_pre(carry, i, mat, config, fetch_rows_fn=fetch_rows)
-    chans = _carry_to_channels(carry) + _surface_channels(s)
-    while len(chans) < out_ref.shape[1]:
-        chans.append(zero)
-    out_ref[0] = jnp.concatenate(chans, axis=0)
+    return fetch_rows
 
 
-def _surface_channels(s: BounceSurface):
-    return [s.m.astype(jnp.float32), *s.smooth_normal, s.geometry_offset,
-            s.bary_u, s.bary_v, *s.tex_nums, *s.inline_albedo,
-            *s.inline_rme, *s.inline_tpo]
+def _sp_loop(body, subtile: int):
+    """Walk `subtile` state slices inside one program. body(k) reads/
+    writes refs at leading index k; results are identical to one program
+    per slice (pure batching)."""
+    if subtile == 1:
+        body(0)
+    else:
+        def step(k, c):
+            body(k)
+            return c
+
+        lax.fori_loop(0, subtile, step, 0)
 
 
-def _surface_from_channels(ch, zero) -> BounceSurface:
-    return BounceSurface(
-        m=ch[0] > 0.0, smooth_normal=(ch[1], ch[2], ch[3]),
-        geometry_offset=ch[4], bary_u=ch[5], bary_v=ch[6],
-        tex_nums=(ch[7], ch[8], ch[9]),
-        inline_albedo=(ch[10], ch[11], ch[12]),
-        inline_rme=(ch[13], ch[14], ch[15]),
-        inline_tpo=(ch[16], ch[17], ch[18]))
-
-
-def _post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, state_ref,
-                 out_ref, *, config, i: int, fuse_next_pre: bool):
-    """bounce_post for bounce i; with `fuse_next_pre`, bounce_pre(i+1)
-    runs in the same program (halves the dispatches and skips one carry
-    crossing per bounce), emitting the next BounceSurface for the XLA
-    atlas gathers."""
-    state = state_ref[0]
-    rt = state.shape[1]
-    zero = jnp.zeros((1, rt), jnp.float32)
-    ch = [state[k:k + 1] for k in range(N_CARRY + 16)]
-    carry = _carry_from_channels(ch[:N_CARRY], zero)
-    b = N_CARRY
-    surface = BounceSurface(
-        m=ch[b] > 0.0, smooth_normal=(ch[b + 1], ch[b + 2], ch[b + 3]),
-        geometry_offset=ch[b + 4],
-        # bounce_post only consumes m/smooth_normal/geometry_offset
-        bary_u=zero, bary_v=zero, tex_nums=(zero,) * 3,
-        inline_albedo=(zero,) * 3, inline_rme=(zero,) * 3,
-        inline_tpo=(zero,) * 3)
-    tex = ((ch[b + 5], ch[b + 6], ch[b + 7]), ch[b + 8], ch[b + 9],
-           ch[b + 10], (ch[b + 11], ch[b + 12], ch[b + 13]))
-    ndc2 = (ch[b + 14], ch[b + 15])
-    random_seed = scal_ref[0]
-    cos_sample_n = scal_ref[1]
-
+def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
+                  resample: bool):
+    """Primary closest hit (relaxed edge window, see render_mrt) + carry
+    init + bounce_pre(0). With `resample` (samples 2..spp), the primary
+    parts and carried aux channels are read from the previous sample's
+    final state block instead of re-casting."""
+    if resample:
+        rays_ref, prev_ref, out_ref = rest
+    else:
+        rays_ref, out_ref = rest
     tp = w_ref.shape[1] // 4
+    rt = rays_ref.shape[2]
+    mt_closest, _, _ = _make_mt_closures(w_ref[...], tp, rt)
+    mat = mat_ref[...]
+    fetch_rows = _sp_fetch_rows(mat, rt)
+    zero = jnp.zeros((1, rt), jnp.float32)
+    one = jnp.ones((1, rt), jnp.float32)
+
+    def body(k):
+        rays = rays_ref[k]                               # [8, rt]
+        o3 = (rays[0:1], rays[1:2], rays[2:3])
+        d3 = (rays[3:4], rays[4:5], rays[5:6])
+        if resample:
+            prev = prev_ref[k]
+            p = SP_PPART0
+            ps, pu, pv = prev[p:p + 1], prev[p + 1:p + 2], prev[p + 2:p + 3]
+            ptri = prev[p + 3:p + 4].astype(jnp.int32)
+            aux = ((zero, zero, zero, prev[24:25]),
+                   (zero, zero, zero, zero),
+                   prev[25:26], prev[26:27], prev[27:28], prev[28:29])
+        else:
+            ps, pu, pv, ptri = mt_closest(o3, d3, edge=-BIAS)
+            aux = ((zero, zero, zero, zero), (zero, zero, zero, zero),
+                   zero, zero, zero, one)
+        carry = bounce_carry_init((ps, pu, pv, ptri), o3, d3, aux)
+        carry, s = bounce_pre(carry, 0, mat, config, fetch_rows_fn=fetch_rows)
+        chans = (_carry_to_channels(carry)
+                 + [s.m.astype(jnp.float32), *s.smooth_normal,
+                    s.geometry_offset,
+                    ps, pu, pv, ptri.astype(jnp.float32), zero, zero]
+                 + _sp_texin_channels(s))
+        _sp_emit(out_ref, k, chans, rt)
+
+    _sp_loop(body, subtile)
+
+
+def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
+                    tex_ref, out_ref, *, config, subtile: int):
+    """bounce_post for the bounce index carried in scalar prefetch
+    (scal = [seed, cos_sample_n, i, 2^-i]) + fused bounce_pre(i+1). One
+    Mosaic program serves every bounce; the in-kernel shadow ray and next
+    closest hit run as MT contractions over the whole (VMEM-resident)
+    triangle set."""
+    tp = w_ref.shape[1] // 4
+    rt = prev_ref.shape[2]
     _, traverse_soa, shadow_soa = _make_mt_closures(w_ref[...], tp, rt)
+    mat = mat_ref[...]
+    fetch_rows = _sp_fetch_rows(mat, rt)
     shim = SceneBuffers(
         geometry=None, attributes=None, id_buffer=None, rotations=None,
         shifts=None, lights=lights_ref[...], ambient=None,
         albedo_atlas=None, pbr_atlas=None, tpo_atlas=None,
         texture_width=None)
+    zero = jnp.zeros((1, rt), jnp.float32)
+    random_seed = scal_ref[0]
+    cos_sample_n = scal_ref[1]
+    i_f = scal_ref[2]
+    i_scale = scal_ref[3]
 
-    rec = []
+    def body(k):
+        prev = prev_ref[k]                               # [SP_IN, rt]
+        texb = tex_ref[k]                                # [SP_TEX, rt]
+        ch = [prev[j:j + 1] for j in range(SP_IN)]
+        carry = _carry_from_channels(ch[:N_CARRY], zero)
+        b = SP_SURF0
+        surface = BounceSurface(
+            m=ch[b] > 0.0, smooth_normal=(ch[b + 1], ch[b + 2], ch[b + 3]),
+            geometry_offset=ch[b + 4],
+            # bounce_post only consumes m/smooth_normal/geometry_offset
+            bary_u=zero, bary_v=zero, tex_nums=(zero,) * 3,
+            inline_albedo=(zero,) * 3, inline_rme=(zero,) * 3,
+            inline_tpo=(zero,) * 3)
+        tex = ((texb[0:1], texb[1:2], texb[2:3]), texb[3:4], texb[4:5],
+               texb[5:6], (texb[6:7], texb[7:8], texb[8:9]))
+        ndc2 = (texb[9:10], texb[10:11])
 
-    def bounce_hook(bi, df, n3, rough, metal, emis):
-        rec[:] = [df.astype(jnp.float32), n3[0], n3[1], n3[2],
-                  rough, metal, emis]
+        rec = []
 
-    def pack_id_stub(n3, rough, metal, emis):
-        return (zero, zero, zero)
+        def bounce_hook(bi, df, n3, rough, metal, emis):
+            rec[:] = [df.astype(jnp.float32), n3[0], n3[1], n3[2],
+                      rough, metal, emis]
 
-    carry = bounce_post(
-        carry, surface, tex, i, shim, cam_ref[0], ndc2, cos_sample_n,
-        config, random_seed, traverse_soa, shadow_soa,
-        pack_id_fn=pack_id_stub, bounce_hook=bounce_hook,
-        force_unroll_lights=_unroll_mode(lights_ref.shape[0]))
-    chans = _carry_to_channels(carry) + rec
-    if fuse_next_pre:
-        mat = mat_ref[...]
-        rows_iota = lax.broadcasted_iota(jnp.int32, (mat.shape[0], rt), 0)
+        def pack_id_stub(n3, rough, metal, emis):
+            return (zero, zero, zero)
 
-        def fetch_rows(table, idx):
-            onehot = (idx == rows_iota).astype(table.dtype)
-            rows = jnp.dot(table.T, onehot, precision=MATMUL_PRECISION)
-            return rows[:, None, :]
+        carry = bounce_post(
+            carry, surface, tex, i_f, shim, cam_ref[0], ndc2, cos_sample_n,
+            config, random_seed, traverse_soa, shadow_soa,
+            pack_id_fn=pack_id_stub, bounce_hook=bounce_hook,
+            force_unroll_lights=_unroll_mode(lights_ref.shape[0]),
+            next_traverse=True, i_scale=i_scale)
+        # fused bounce_pre(i+1); after the final bounce its outputs (and
+        # the next closest hit above) are dead — the channels the
+        # epilogue/resample read (14-28, 34-38) are untouched by both.
+        carry, s2 = bounce_pre(carry, 0, mat, config,
+                               fetch_rows_fn=fetch_rows)
+        p = SP_PPART0
+        chans = (_carry_to_channels(carry)
+                 + [s2.m.astype(jnp.float32), *s2.smooth_normal,
+                    s2.geometry_offset,
+                    ch[p], ch[p + 1], ch[p + 2], ch[p + 3], zero, zero]
+                 + _sp_texin_channels(s2) + rec)
+        _sp_emit(out_ref, k, chans, rt)
 
-        carry, s = bounce_pre(carry, i + 1, mat, config,
-                              fetch_rows_fn=fetch_rows)
-        chans = _carry_to_channels(carry) + rec + _surface_channels(s)
-    while len(chans) < out_ref.shape[1]:
-        chans.append(zero)
-    out_ref[0] = jnp.concatenate(chans, axis=0)
+    _sp_loop(body, subtile)
 
 
 def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
@@ -652,7 +727,8 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                            local_samples: int | None = None,
                            with_raw_aux: bool = False,
                            interpret: bool | None = None,
-                           ray_tile: int | None = None, pallas: bool = True):
+                           ray_tile: int | None = None, pallas: bool = True,
+                           subtile: int | None = None):
     """Drop-in for ops.pathtrace.render_mrt(scheme="fused_split")."""
     assert fused_split_eligible(buffers), \
         "scene too large for the split fused pipeline"
@@ -671,6 +747,12 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
         # Tp=1024 (bike) the default 1024-ray tile would need 16 MB
         budget_rays = ((4 << 20) // (16 * tp)) // 128 * 128
         rt = max(256, min(rt, budget_rays))
+    sub = (subtile
+           or int(os.environ.get("FLEXLIGHT_SPLIT_SUBTILE", "0"))
+           or SP_SUBTILE)
+    # grouped rays per program capped at the known-good 8192-ray envelope
+    # (the same scoped-VMEM reasoning as intersect_kernel._intersect_ft)
+    sub = max(1, min(sub, 8192 // rt))
     w_grouped = jnp.concatenate(
         [_pad_rows(x, tp) for x in (det, udet, vdet, sdet)], axis=0).T
     mat = _pad_rows(
@@ -685,119 +767,122 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     n = origin.shape[0]
     if not pallas:
         rt = -(-n // 128) * 128  # whole image as one tile
+        sub = 1
     pad = (-n) % rt
     g = (n + pad) // rt
+    sub = max(1, min(sub, g))
+    gpad = (-g) % sub
+    g += gpad
+    pad += gpad * rt
 
     def grid_arr(x, fill=0.0):
         return jnp.pad(x, (0, pad), constant_values=fill).reshape(g, rt)
 
     o_t, d_t, ndc_t = origin.T, direction.T, ndc.T
-    o3 = (grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]))
-    d3 = (grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0))
-    ndc2 = (grid_arr(ndc_t[0]), grid_arr(ndc_t[1]))
-    rays_in = jnp.stack([*o3, *d3, *ndc2], axis=1)       # [G, 8, rt]
+    # padded rays get d=(0,0,1): a valid unit direction, dead via ptri=-1
+    rays_in = jnp.stack(
+        [grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]),
+         grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0),
+         grid_arr(ndc_t[0]), grid_arr(ndc_t[1])], axis=1)   # [G, 8, rt]
+    ndc2 = (rays_in[:, 6], rays_in[:, 7])                   # [G, rt] each
 
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
 
-    def run_kernel(kernel, scalars, inputs, state, n_out):
-        c_in = state.shape[1]
+    def run_kernel(kernel, scalars, tables, blocks, block_chans):
+        """blocks: [G, C_k, rt] arrays; block_chans: channels the kernel
+        consumes from each (the BlockSpec slices the leading prefix)."""
         if pallas:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(g,),
-                in_specs=[full(tuple(a.shape)) for a in inputs]
-                + [pl.BlockSpec((1, c_in, rt), lambda i, *_: (i, 0, 0))],
-                out_specs=pl.BlockSpec((1, n_out, rt),
+                grid=(g // sub,),
+                in_specs=[full(tuple(a.shape)) for a in tables]
+                + [pl.BlockSpec((sub, c, rt), lambda i, *_: (i, 0, 0))
+                   for c in block_chans],
+                out_specs=pl.BlockSpec((sub, SP_C, rt),
                                        lambda i, *_: (i, 0, 0)),
             )
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((g, n_out, rt), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((g, SP_C, rt), jnp.float32),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel",)),
                 interpret=interpret,
-            )(scalars, *inputs, state)
-        oref = _OutRef((1, n_out, rt))
-        kernel(*[_ValRef(a) for a in (scalars, *inputs, state)], oref)
+            )(scalars, *tables, *blocks)
+        oref = _OutRef((1, SP_C, rt))
+        kernel(*[_ValRef(a) for a in (scalars, *tables, *blocks)], oref)
         return oref.val[None]
 
-    def pack(channels):
-        cpad = -(-len(channels) // 8) * 8
-        z = jnp.zeros_like(channels[0])
-        return jnp.stack(list(channels) + [z] * (cpad - len(channels)),
-                         axis=1)
-
     seedf = jnp.asarray(random_seed, jnp.float32)
-    pout = run_kernel(_primary_kernel, seedf.reshape(1), [w_grouped],
-                      rays_in, 8)
-    primary_parts = (pout[:, 0], pout[:, 1], pout[:, 2],
-                     pout[:, 3].astype(jnp.int32))
+    n_local = (config.samples_per_ray if local_samples is None
+               else local_samples)
+    n_bounces = config.max_reflections
+    chan = lambda st, j: st[:, j]                           # [G, rt]
 
-    GR = (g, rt)
-    zero = jnp.zeros(GR, jnp.float32)
-    one = jnp.ones(GR, jnp.float32)
-    aux = ((zero, zero, zero, zero), (zero, zero, zero, zero),
-           zero, zero, zero, one)
-    total = (zero, zero, zero)
-    original_color = (one, one, one)
+    total = None
     records = []
-    n_local = config.samples_per_ray if local_samples is None else local_samples
+    state = None
     for s in range(n_local):
+        if s == 0:
+            i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
+                         resample=False)
+            state = run_kernel(i0, seedf.reshape(1), [w_grouped, mat],
+                               [rays_in], [8])
+        else:
+            i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
+                         resample=True)
+            state = run_kernel(i0, seedf.reshape(1), [w_grouped, mat],
+                               [rays_in, state], [8, SP_IN])
         cos_sample_n = jnp.cos(jnp.float32(s) + jnp.float32(sample_offset))
-        scalars = jnp.stack([seedf, cos_sample_n])
-        carry = bounce_carry_init(primary_parts, o3, d3, aux)
-        n_bounces = config.max_reflections
-        pre_k = partial(_pre_kernel, config=config, i=0)
-        out = run_kernel(pre_k, scalars, [mat],
-                         pack(_carry_to_channels(carry)), 48)
-        ch = [out[:, k] for k in range(48)]
-        carry = _carry_from_channels(ch[:N_CARRY], zero)
-        surface = _surface_from_channels(ch[N_CARRY:N_CARRY + 19], zero)
         for i in range(n_bounces):
-            # the atlas gathers run in XLA — arbitrary atlas sizes
+            # the atlas gathers run in XLA — arbitrary atlas sizes. Only
+            # the texin slice of the state block is read and only the
+            # small tex block is packed; the state itself stays in HBM.
+            tx = SP_TEXIN0
+            surface = BounceSurface(
+                m=None, smooth_normal=(None,) * 3, geometry_offset=None,
+                bary_u=chan(state, tx), bary_v=chan(state, tx + 1),
+                tex_nums=tuple(chan(state, tx + 2 + c) for c in range(3)),
+                inline_albedo=tuple(chan(state, tx + 5 + c)
+                                    for c in range(3)),
+                inline_rme=tuple(chan(state, tx + 8 + c) for c in range(3)),
+                inline_tpo=tuple(chan(state, tx + 11 + c)
+                                 for c in range(3)))
             albedo, rough, metal, emis, tpo = bounce_tex(buffers, surface)
-            post_in = (_carry_to_channels(carry)
-                       + [surface.m.astype(jnp.float32),
-                          *surface.smooth_normal, surface.geometry_offset,
-                          *albedo, rough, metal, emis, *tpo, *ndc2])
-            fuse = i + 1 < n_bounces  # bounce_pre(i+1) in the same program
-            post_k = partial(_post_kernel, config=config, i=i,
-                             fuse_next_pre=fuse)
-            out2 = run_kernel(post_k, scalars,
-                              [w_grouped, buffers.lights, cam, mat],
-                              pack(post_in), 56 if fuse else 40)
-            carry = _carry_from_channels(
-                [out2[:, k] for k in range(N_CARRY)], zero)
+            zgr = jnp.zeros_like(rough)
+            tex_block = jnp.stack(
+                [*albedo, rough, metal, emis, *tpo, *ndc2,
+                 *([zgr] * (SP_TEX - 11))], axis=1)         # [G, SP_TEX, rt]
+            scalars = jnp.stack([seedf, cos_sample_n, jnp.float32(float(i)),
+                                 jnp.float32(2.0 ** -i)])
+            post = partial(_sp_post_kernel, config=config, subtile=sub)
+            state = run_kernel(post, scalars,
+                               [w_grouped, buffers.lights, cam, mat],
+                               [state, tex_block], [SP_IN, SP_TEX])
+            r = SP_REC0
             records.append(
-                (out2[:, N_CARRY] > 0.0,
-                 (out2[:, N_CARRY + 1], out2[:, N_CARRY + 2],
-                  out2[:, N_CARRY + 3]),
-                 out2[:, N_CARRY + 4], out2[:, N_CARRY + 5],
-                 out2[:, N_CARRY + 6]))
-            if fuse:
-                surface = _surface_from_channels(
-                    [out2[:, N_CARRY + 7 + k] for k in range(19)], zero)
+                (chan(state, r) > 0.0,
+                 tuple(chan(state, r + 1 + c) for c in range(3)),
+                 chan(state, r + 4), chan(state, r + 5), chan(state, r + 6)))
         # light_trace epilogue (glsl:595-597): ambient by importancy
-        color = tuple(carry.final_color[c]
-                      + carry.importancy[c] * buffers.ambient[c]
+        color = tuple(chan(state, 21 + c)
+                      + chan(state, 14 + c) * buffers.ambient[c]
                       for c in range(3))
-        total = v3.add3(total, color)
-        original_color = carry.original_color
-        aux = (carry.render_id, carry.original_id_acc, carry.glass,
-               carry.original_rme_x, carry.original_tpo_x,
-               carry.first_ray_length)
+        total = color if total is None else v3.add3(total, color)
 
     final_color = v3.scale3(total, 1.0 / config.samples_per_ray)
-    _rid, _oid, glass, rme_x, otpo, frl = aux
 
     flat = lambda x: x.reshape(-1)[:n]
+    p = SP_PPART0
     fields = [flat(final_color[0]), flat(final_color[1]),
-              flat(final_color[2]), flat(original_color[0]),
-              flat(original_color[1]), flat(original_color[2]),
-              flat(otpo), flat(glass), flat(rme_x), flat(frl),
-              flat(_rid[3]), flat(primary_parts[3].astype(jnp.float32)),
-              flat(primary_parts[1]), flat(primary_parts[2])]
+              flat(final_color[2]),
+              flat(chan(state, 17)), flat(chan(state, 18)),
+              flat(chan(state, 19)),                     # original_color
+              flat(chan(state, 27)), flat(chan(state, 25)),
+              flat(chan(state, 26)), flat(chan(state, 28)),
+              flat(chan(state, 24)),                     # otpo/glass/rme/frl/idw
+              flat(chan(state, p + 3)),                  # primary tri (f32)
+              flat(chan(state, p + 1)), flat(chan(state, p + 2))]
     flat_records = [
         (flat(df), tuple(flat(c) for c in n3), flat(ro), flat(me), flat(em))
         for df, n3, ro, me, em in records]

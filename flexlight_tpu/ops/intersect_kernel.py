@@ -127,7 +127,11 @@ def _intersect(w4, flags, f, max_len, idsf, cull: bool, interpret: bool = False,
                ray_tile: int = RAY_TILE, edge=BIAS, subtile: int = 1,
                any_hit: bool = False):
     """w4 [4, Tp, 16], flags [RT, WT] int32, f [Rp, 16], max_len [Rp],
-    idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32)."""
+    idsf [Tp, 1] f32 (drawable-triangle ids; exact in f32).
+
+    Under `any_hit=True` only sign(tri) is meaningful in the result
+    (tri >= 0 occluded, -1 clear): s/u/v stay frozen at their init
+    sentinels (POW32/0/0) and tri is a 0/-1 flag, not a drawable id."""
     if w4.dtype == jnp.bfloat16:
         from .intersect_sparse import pack_rhs_x6
 
@@ -153,7 +157,10 @@ def _intersect_ft(w4, flags, ft, max_len, idsf, cull: bool,
 
     `subtile`: ray tiles per Mosaic program (grouped grid; pure perf —
     results identical). Padded tiles flag off and stay at the init
-    sentinel (tri -1)."""
+    sentinel (tri -1).
+
+    Under `any_hit=True` only sign(tri) is meaningful (s/u/v undefined —
+    see _intersect)."""
     rp = ft.shape[1]
     tp = w4.shape[1]
     kdim = w4.shape[2]

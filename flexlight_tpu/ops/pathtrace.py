@@ -489,16 +489,24 @@ class ShadeRequest(NamedTuple):
     pick: ReservoirPick | None
 
 
-def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
+def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i,
                  buffers: SceneBuffers, camera_pos, ndc2, cos_sample_n,
                  config, random_seed, pack_id_fn=None, bounce_hook=None,
-                 force_unroll_lights: bool = False):
+                 force_unroll_lights: bool = False, i_scale=None):
     """Bounce stage 3a (glsl:529-576 + reservoir selection 400-447):
     shading frame, Fresnel-chance decision, first-surface bookkeeping,
     reservoir light selection — everything up to (and excluding) the NEE
-    shadow ray. Returns (carry, ShadeRequest)."""
+    shadow ray. Returns (carry, ShadeRequest).
+
+    `i` may be a static Python int (wavefront path — bounce-index
+    branches resolve at trace time) or a traced f32 scalar (the split
+    kernel pipeline compiles ONE Mosaic program for all bounces and
+    passes the bounce index through scalar prefetch); the traced path
+    computes the i==0 / i==1 branches unconditionally and masks, with
+    bit-identical results (2**-i is exact in f32 for small ints)."""
     pack_id_fn = (combine_normal_rme_soa if pack_id_fn is None
                   else pack_id_fn)
+    static_i = isinstance(i, int)
     albedo, rough, metal, emis, tpo = tex
     m = surface.m
     smooth_normal = surface.smooth_normal
@@ -552,16 +560,22 @@ def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     if bounce_hook is not None:
         bounce_hook(i, df, smooth_normal, rough, metal, emis)
     idu = pack_id_fn(smooth_normal, rough, metal, emis)
-    scale_i = 2.0 ** -i
+    scale_i = 2.0 ** -i if static_i else i_scale
     render_id = (
         render_id[0] + jnp.where(df, scale_i * idu[0], 0.0),
         render_id[1] + jnp.where(df, scale_i * idu[1], 0.0),
         render_id[2] + jnp.where(df, scale_i * idu[2], 0.0),
         render_id[3],
     )
-    if i == 0:
+    if static_i:
+        if i == 0:
+            original_id_acc = tuple(
+                original_id_acc[c] + jnp.where(df, scale_i * idu[c], 0.0)
+                for c in range(3)) + (original_id_acc[3],)
+    else:
         original_id_acc = tuple(
-            original_id_acc[c] + jnp.where(df, scale_i * idu[c], 0.0)
+            original_id_acc[c] + jnp.where(df & (i == 0.0),
+                                           scale_i * idu[c], 0.0)
             for c in range(3)) + (original_id_acc[3],)
     new_dont_filter = ((rough < 0.01) & is_solid) | ~is_solid
     is_glass = is_solid & (tpo[0] > 0.01)
@@ -577,14 +591,15 @@ def bounce_shade(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     dont_filter = (df & new_dont_filter) | (~df & dont_filter)
 
     first_ray_length = carry.first_ray_length
-    if i == 1:
+    if not static_i or i == 1:
         ratio = (v3.norm3(v3.sub3(ray_origin, last_hit_point))
                  / jnp.maximum(v3.norm3(v3.sub3(
                      last_hit_point,
                      tuple(jnp.broadcast_to(camera_pos[c], shp)
                            for c in range(3)))), 1e-30))
-        first_ray_length = jnp.where(m, jnp.minimum(ratio, first_ray_length),
-                                     first_ray_length)
+        keep = m if static_i else (m & (i == 1.0))
+        first_ray_length = jnp.where(
+            keep, jnp.minimum(ratio, first_ray_length), first_ray_length)
 
     if "reservoir" in DEBUG_DISABLE:
         pick = None
@@ -700,13 +715,13 @@ def bounce_commit(carry: BounceCarry, m, i: int, config, traverse_soa,
                           last_hit_point=last_hit_point)
 
 
-def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
+def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i,
                 buffers: SceneBuffers, camera_pos, ndc2, cos_sample_n,
                 config, random_seed, traverse_soa, shadow_soa,
                 pack_id_fn=None, bounce_hook=None,
                 force_unroll_lights: bool = False,
                 next_traverse: bool | None = None,
-                pair_soa=None, bounce_hint=None) -> BounceCarry:
+                pair_soa=None, bounce_hint=None, i_scale=None) -> BounceCarry:
     """Bounce stage 3 (glsl:529-599) — composition of bounce_shade ->
     NEE shadow ray -> bounce_apply -> bounce_commit, split so a kernel
     pipeline can place the traversals between Pallas programs.
@@ -719,7 +734,10 @@ def bounce_post(carry: BounceCarry, surface: BounceSurface, tex, i: int,
     carry, req = bounce_shade(carry, surface, tex, i, buffers, camera_pos,
                               ndc2, cos_sample_n, config, random_seed,
                               pack_id_fn=pack_id_fn, bounce_hook=bounce_hook,
-                              force_unroll_lights=force_unroll_lights)
+                              force_unroll_lights=force_unroll_lights,
+                              i_scale=i_scale)
+    assert next_traverse is not None or isinstance(i, int), \
+        "traced bounce index requires an explicit next_traverse"
     want_next = (next_traverse if next_traverse is not None
                  else i + 1 < config.max_reflections)
     precomputed = None

@@ -29,8 +29,19 @@ def device_time(fn, *args, iters: int = 8, perturb_index: int = 0) -> float:
     """Median-free simple estimate: seconds per call of fn(*args).
 
     `perturb_index`: which positional arg gets the carry-dependent epsilon
-    (must be a float array whose values tolerate +-1e-30 noise).
+    (a float array or a pytree containing at least one floating leaf,
+    whose values tolerate +-1e-30 noise). Non-float leaves pass through
+    unperturbed; an all-integer pytree would let XLA hoist `fn` out of
+    the loop and under-report, so it is rejected up front.
     """
+    has_float = any(
+        jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        for x in jax.tree.leaves(args[perturb_index]))
+    if not has_float:
+        raise ValueError(
+            "device_time: the perturbed arg has no floating leaves — the "
+            "carry dependency would be dropped and XLA could hoist fn out "
+            "of the timing loop. Pick a perturb_index with a float leaf.")
 
     @jax.jit
     def loop(args):

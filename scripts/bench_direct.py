@@ -17,7 +17,10 @@ import jax.numpy as jnp
 
 from flexlight_tpu import Config
 from flexlight_tpu.ops.pathtrace import render_mrt
+from flexlight_tpu.utils.compile_cache import enable_compile_cache
 from flexlight_tpu.utils.devtime import device_time
+
+enable_compile_cache()
 
 
 def main():

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from flexlight_tpu import Config
+from flexlight_tpu.utils.compile_cache import enable_compile_cache
 from flexlight_tpu.utils.devtime import device_time
+
+enable_compile_cache()  # 1080p filter kernels take minutes cold
 
 HBM_PEAK_GBS = 819.0
 MXU_PEAK_BF16_TFLOPS = 197.0

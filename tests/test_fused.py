@@ -316,9 +316,8 @@ def test_fused_split_scheme_dispatch_and_eligibility():
 
 
 def test_fused_split_lowers_for_tpu():
-    """Pallas->Mosaic lowering of all three split kernels (primary, pre,
-    post) on a big-atlas scene — the configuration the split pipeline
-    exists for."""
+    """Pallas->Mosaic lowering of both split kernels (i0, post) on a
+    big-atlas scene — the configuration the split pipeline exists for."""
     import jax
     import jax.numpy as jnp
     from jax import export
@@ -335,6 +334,52 @@ def test_fused_split_lowers_for_tpu():
     exp = export.export(jax.jit(f), platforms=["tpu"])(
         buffers, pos, view, jnp.float32(0.0))
     assert len(exp.mlir_module_serialized) > 0
+
+
+def test_fused_split_subtiled_lowers_for_tpu():
+    """The in-program subtile loop (fori_loop over dynamic leading-index
+    ref slices, grid = G/subtile) must lower to Mosaic — incl. the
+    resample (spp=2) kernel variant."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    buffers, pos, view = _setup_big_atlas()
+    config = cornell_config(max_reflections=2, samples_per_ray=2)
+
+    def f(buffers, pos, view, seed):
+        return render_mrt_fused_split(buffers, 24, 24, pos, view, config,
+                                      seed, interpret=False, ray_tile=256,
+                                      subtile=2)
+
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        buffers, pos, view, jnp.float32(0.0))
+    assert len(exp.mlir_module_serialized) > 0
+
+
+@pytest.mark.slow
+def test_fused_split_subtile_matches_subtile1():
+    """subtile grouping is pure batching: interpret-mode results are
+    identical to one program per ray tile."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    buffers, pos, view = _setup(size=32)
+    config = cornell_config(max_reflections=2)
+    size = 32
+    one = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                 jnp.float32(0.0), interpret=True,
+                                 ray_tile=256, subtile=1)
+    grouped = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                     jnp.float32(0.0), interpret=True,
+                                     ray_tile=256, subtile=4)
+    for name in one._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, name)),
+            np.asarray(getattr(grouped, name)), err_msg=name)
 
 
 # ---------------------------------------------------------------------------
