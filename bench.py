@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: north-star 1080p full pipeline + Cornell-box reference config.
+"""Benchmark: the five BASELINE.md configs in one JSON line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
 Primary metric is the BASELINE.md north star (BASELINE.md:20-22): FPS on
 a 1920x1080, 1 spp, full-denoise frame (theater.js config: 9 lights,
-temporal + 3-pass filter chain + FXAA). vs_baseline = fps / 60. The
-round-1 proxy (cornell 256x256 direct, Mrays/s) is kept under
-detail.cornell_256 for cross-round continuity.
+temporal + 3-pass filter chain + FXAA). vs_baseline = fps / 60.
+
+detail.configs carries every BASELINE.json config (cornell-256 direct,
+emissive-512 direct, obj-720p TAA, dragon-1080p direct AND full
+pipeline, theater-1080p full pipeline) so cross-round trends are
+auditable from the driver artifact alone (VERDICT r3 weak #5).
 
 Measurement: this environment reaches the chip through a loopback relay
 whose host<->device transfers and dispatch dominate naive wall-clock, and
@@ -15,7 +18,7 @@ block_until_ready is unreliable — so the renderer is timed DEVICE-SIDE by
 chaining frames inside one jitted fori_loop (each frame's random seed
 depends on the previous frame's radiance, preventing loop hoisting) and
 fetching one scalar. End-to-end wall clock (with per-frame image fetch) is
-reported in detail for reference.
+reported in detail.configs.cornell_256_direct for reference.
 """
 
 import json
@@ -43,8 +46,92 @@ NS_W, NS_H = 1920, 1080
 NS_FRAMES = 4
 
 
+def _load_renderer(scene_name, w, h, config):
+    import importlib
+
+    import jax.numpy as jnp
+
+    mod = importlib.import_module(scene_name)
+    engine = mod.build_scene()
+    if isinstance(engine, tuple):
+        engine = engine[0]
+    engine.canvas = (w, h)
+    engine.config = config
+    engine.renderer = "pathtracer"
+    renderer = engine.renderer
+    renderer.render()
+    view = jnp.asarray(engine.camera.view_matrix(w, h))
+    pos = jnp.asarray(engine.camera.position)
+    return renderer, pos, view
+
+
+def bench_direct_cfg(scene_name, w, h, iters=3):
+    """1 spp, 5 bounces, no post — the direct-frame cost (same shape as
+    scripts/bench_direct.py: the timed fn returns mrt.color)."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu import Config
+    from flexlight_tpu.ops.pathtrace import render_mrt
+    from flexlight_tpu.utils.devtime import device_time
+
+    config = Config(samples_per_ray=1, max_reflections=5, temporal=False,
+                    filter=False, antialiasing=None)
+    renderer, pos, view = _load_renderer(scene_name, w, h, config)
+    scheme = renderer._resolved_scheme()
+    buffers = renderer._buffers
+
+    def frame(pos, view, buffers):
+        return render_mrt(buffers, w, h, pos, view, config,
+                          jnp.float32(0.0), scheme=scheme).color
+
+    dt = device_time(frame, pos, view, buffers, iters=iters)
+    return {"ms_per_frame": round(dt * 1000.0, 2),
+            "fps": round(1.0 / dt, 2),
+            "resolution": [w, h], "scheme": scheme,
+            "pipeline": "direct (1 spp, 5 bounces, no post)"}
+
+
+def bench_pipeline_cfg(scene_name, w, h, antialiasing="fxaa",
+                       use_filter=True, temporal=True, iters=NS_FRAMES):
+    """Full-pipeline frame: temporal + denoise chain + AA as configured."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu import Config
+    from flexlight_tpu.models.pathtracer import frame_pipeline
+    from flexlight_tpu.post.taa import TAAState
+    from flexlight_tpu.post.temporal import TemporalState
+    from flexlight_tpu.utils.devtime import device_time
+
+    config = Config(temporal=temporal, temporal_samples=4,
+                    filter=use_filter, antialiasing=antialiasing,
+                    samples_per_ray=1, max_reflections=5)
+    renderer, pos, view = _load_renderer(scene_name, w, h, config)
+    scheme = renderer._resolved_scheme()
+    buffers = renderer._buffers
+    temporal_st = TemporalState.create(config.temporal_samples, h, w)
+    taa = TAAState.create(h, w)
+
+    def frame(pos, view, buffers, temporal_st, taa):
+        out, _, _ = frame_pipeline.__wrapped__(
+            buffers, pos, view, jnp.float32(0.0), temporal_st, taa,
+            width=w, height=h, config=config, scheme=scheme)
+        return out
+
+    dt = device_time(frame, pos, view, buffers, temporal_st, taa,
+                     iters=iters)
+    parts = (["temporal"] if temporal else []) \
+        + (["filter(3+3+final)"] if use_filter else []) \
+        + ([antialiasing] if antialiasing else [])
+    return {"ms_per_frame": round(dt * 1000.0, 2),
+            "fps": round(1.0 / dt, 2),
+            "resolution": [w, h], "scheme": scheme,
+            "pipeline": "+".join(["direct"] + parts), "spp": 1,
+            "max_reflections": config.max_reflections}
+
+
 def bench_cornell():
-    """Round-1 reference config: cornell 256^2 direct, device-side."""
+    """Round-1 reference config: cornell 256^2 direct, device-side +
+    the pipelined-relay e2e number (VERDICT r2 item 6 tracking)."""
     import jax
     import jax.numpy as jnp
 
@@ -99,63 +186,13 @@ def bench_cornell():
     rays_per_frame = RES * RES * (1 + 2 * config.max_reflections * coverage)
     return {
         "mrays_per_s": round(rays_per_frame * fps / 1e6, 2),
-        "device_ms_per_frame": round(device_ms, 2),
-        "device_fps": round(fps, 1),
+        "ms_per_frame": round(device_ms, 2),
+        "fps": round(fps, 1),
         "e2e_ms_per_frame_via_relay": round(e2e_ms, 2),
-        "resolution": RES,
+        "resolution": [RES, RES],
         "coverage": round(coverage, 3),
         "scheme": scheme,
-    }
-
-
-def bench_north_star():
-    """theater.js at 1920x1080, 1 spp, temporal + denoise + FXAA."""
-    import jax.numpy as jnp
-
-    from flexlight_tpu import Config
-    from flexlight_tpu.models.pathtracer import frame_pipeline
-    from flexlight_tpu.post.taa import TAAState
-    from flexlight_tpu.post.temporal import TemporalState
-    from flexlight_tpu.utils.devtime import device_time
-    import theater as theater_mod
-
-    engine = theater_mod.build_scene()
-    if isinstance(engine, tuple):
-        engine = engine[0]
-    config = Config(temporal=True, temporal_samples=4, filter=True,
-                    antialiasing="fxaa", samples_per_ray=1,
-                    max_reflections=5)
-    engine.canvas = (NS_W, NS_H)
-    engine.config = config
-    engine.renderer = "pathtracer"
-    renderer = engine.renderer
-    renderer.render()
-    scheme = renderer._resolved_scheme()
-    buffers = renderer._buffers
-    view = jnp.asarray(engine.camera.view_matrix(NS_W, NS_H))
-    pos = jnp.asarray(engine.camera.position)
-    temporal = TemporalState.create(config.temporal_samples, NS_H, NS_W)
-    taa = TAAState.create(NS_H, NS_W)
-
-    def frame(pos, view, buffers, temporal, taa):
-        out, _, _ = frame_pipeline.__wrapped__(
-            buffers, pos, view, jnp.float32(0.0), temporal, taa,
-            width=NS_W, height=NS_H, config=config, scheme=scheme)
-        return out
-
-    dt = device_time(frame, pos, view, buffers, temporal, taa,
-                     iters=NS_FRAMES)
-    fps = 1.0 / dt
-    n_rays = NS_W * NS_H * (1 + 2 * config.max_reflections)
-    return fps, {
-        "ms_per_frame": round(dt * 1000.0, 2),
-        "mrays_per_s": round(n_rays / dt / 1e6, 1),
-        "resolution": [NS_W, NS_H],
-        "scene": "theater",
-        "pipeline": "temporal+filter+fxaa",
-        "spp": 1,
-        "max_reflections": config.max_reflections,
-        "scheme": scheme,
+        "pipeline": "direct (1 spp, 5 bounces, no post)",
     }
 
 
@@ -205,23 +242,43 @@ def main():
                 "metric": "theater_1080p_full_pipeline_fps", "value": 0.0,
                 "unit": "fps", "vs_baseline": 0.0,
                 "detail": {"error": "bench watchdog expired - device "
-                                    "unreachable or compile stalled"}}),
+                                    "unreachable or compile stalled",
+                           "configs": dict(configs)}}),
                   flush=True)
             os._exit(1)
 
+    configs = {}
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    ns_fps, ns_detail = bench_north_star()
-    try:
-        cornell = bench_cornell()
-    except Exception as exc:           # keep the primary metric printable
-        cornell = {"error": f"{type(exc).__name__}: {str(exc)[:200]}"}
+    # Primary metric first so it exists even if a later config dies.
+    ns = bench_pipeline_cfg("theater", NS_W, NS_H)
+    configs["theater_1080p_full"] = ns
+    ns_fps = ns["fps"]
+
+    skip = set(os.environ.get("FLEXLIGHT_BENCH_SKIP", "").split(","))
+    rest = [
+        ("cornell_256_direct", bench_cornell, ()),
+        ("emissive_512_direct", bench_direct_cfg, ("emissive", 512, 512)),
+        ("obj_720p_taa", bench_pipeline_cfg,
+         ("obj", 1280, 720, "taa", False, False)),
+        ("dragon_1080p_direct", bench_direct_cfg, ("dragon", 1920, 1080)),
+        ("dragon_1080p_full", bench_pipeline_cfg, ("dragon", 1920, 1080)),
+    ]
+    for name, fn, args in rest:
+        if name in skip:
+            continue
+        try:
+            configs[name] = fn(*args)
+        except Exception as exc:       # keep the primary metric printable
+            configs[name] = {
+                "error": f"{type(exc).__name__}: {str(exc)[:200]}"}
+
     result = {
         "metric": "theater_1080p_full_pipeline_fps",
         "value": round(ns_fps, 2),
         "unit": "fps",
         "vs_baseline": round(ns_fps / 60.0, 4),
-        "detail": {**ns_detail, "cornell_256": cornell},
+        "detail": {**ns, "scene": "theater", "configs": configs},
     }
     done.set()
     print(json.dumps(result))

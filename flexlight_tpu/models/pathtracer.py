@@ -281,7 +281,11 @@ class PathTracer:
         transforms (wave.js:64-73) take effect without re-flattening."""
         from ..scene.transform import global_registry
 
-        rot, shift = global_registry().build_arrays()
+        reg = global_registry()
+        if getattr(self, "_transform_version", None) == reg.version:
+            return  # nothing moved: skip the rebuild AND the upload
+        self._transform_version = reg.version
+        rot, shift = reg.build_arrays()
         self._buffers = self._buffers._replace(
             rotations=jnp.asarray(rot), shifts=jnp.asarray(shift))
 

@@ -571,23 +571,71 @@ def _sp_texin_channels(s: BounceSurface):
             *s.inline_rme, *s.inline_tpo]
 
 
-def _sp_emit(out_ref, k, chans, rt):
-    zero = jnp.zeros((1, rt), jnp.float32)
+# Channel layout inside the kernels: every per-ray quantity is a DENSE
+# (rb, 128) brick (rb = rt // 128) — a (1, rt) sublane slice occupies one
+# sublane of each 8x128 vreg, so all elementwise VPU work on it runs at
+# 1/8 throughput (the structural reason the round-2/3 megakernel A/Bs
+# lost: wave fused 306.7 vs 200.2, shade kernel 242.2 vs 153.0). Rays are
+# flattened to (1, rt) ONLY at the MXU contractions (MT products, one-hot
+# row fetches), whose [rt, Tp] / [C, rt] operands are dense either way.
+
+
+def _sp_flat(brick):
+    """(rb, 128) brick -> (1, rt) lane row (for MXU contraction inputs)."""
+    return brick.reshape(1, -1)
+
+
+def _sp_brick(row, rb: int):
+    """(1, rt) / [rt, 1]-transposed lane row -> (rb, 128) brick."""
+    return row.reshape(rb, 128)
+
+
+def _sp_emit(out_ref, k, chans, rb):
+    zero = jnp.zeros((rb, 128), jnp.float32)
     chans = list(chans)
     while len(chans) < SP_C:
         chans.append(zero)
-    out_ref[k] = jnp.concatenate(chans, axis=0)
+    out_ref[k] = jnp.stack(chans, axis=0)
 
 
 def _sp_fetch_rows(mat, rt):
     rows_iota = lax.broadcasted_iota(jnp.int32, (mat.shape[0], rt), 0)
+    rb = rt // 128
 
     def fetch_rows(table, idx):
-        onehot = (idx == rows_iota).astype(table.dtype)
+        onehot = (_sp_flat(idx) == rows_iota).astype(table.dtype)
         rows = jnp.dot(table.T, onehot, precision=MATMUL_PRECISION)
-        return rows[:, None, :]                          # [C, 1, rt]
+        return rows.reshape(-1, rb, 128)                 # [C, rb, 128]
 
     return fetch_rows
+
+
+def _sp_mt_closures(w, tp: int, rt: int):
+    """_make_mt_closures with brick-shaped (rb, 128) ray channels: inputs
+    are flattened to (1, rt) lane rows only for the [rt, 16] feature
+    build feeding the MXU; outputs come back as bricks. Bool results
+    reshape through f32 (Mosaic cannot relayout i1 vectors)."""
+    mt_closest, traverse_flat, shadow_flat = _make_mt_closures(w, tp, rt)
+    rb = rt // 128
+
+    def flat3(c3):
+        return tuple(_sp_flat(c) for c in c3)
+
+    def closest_brick(o3, d3, edge):
+        ps, pu, pv, ptri = mt_closest(flat3(o3), flat3(d3), edge)
+        return (_sp_brick(ps, rb), _sp_brick(pu, rb), _sp_brick(pv, rb),
+                _sp_brick(ptri, rb))
+
+    def traverse_soa(o3, d3, alive=None, hint=None):
+        s, u, v, tri = traverse_flat(flat3(o3), flat3(d3))
+        return (_sp_brick(s, rb), _sp_brick(u, rb), _sp_brick(v, rb),
+                _sp_brick(tri, rb))
+
+    def shadow_soa(o3, d3, max_len, alive=None, hint=None):
+        hit = shadow_flat(flat3(o3), flat3(d3), _sp_flat(max_len))
+        return _sp_brick(hit.astype(jnp.float32), rb) > 0.5
+
+    return closest_brick, traverse_soa, shadow_soa
 
 
 def _sp_loop(body, subtile: int):
@@ -615,25 +663,26 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
     else:
         rays_ref, out_ref = rest
     tp = w_ref.shape[1] // 4
-    rt = rays_ref.shape[2]
-    mt_closest, _, _ = _make_mt_closures(w_ref[...], tp, rt)
+    rb = rays_ref.shape[2]
+    rt = rb * rays_ref.shape[3]
+    mt_closest, _, _ = _sp_mt_closures(w_ref[...], tp, rt)
     mat = mat_ref[...]
     fetch_rows = _sp_fetch_rows(mat, rt)
-    zero = jnp.zeros((1, rt), jnp.float32)
-    one = jnp.ones((1, rt), jnp.float32)
+    zero = jnp.zeros((rb, 128), jnp.float32)
+    one = jnp.ones((rb, 128), jnp.float32)
 
     def body(k):
-        rays = rays_ref[k]                               # [8, rt]
-        o3 = (rays[0:1], rays[1:2], rays[2:3])
-        d3 = (rays[3:4], rays[4:5], rays[5:6])
+        rays = rays_ref[k]                               # [8, rb, 128]
+        o3 = (rays[0], rays[1], rays[2])
+        d3 = (rays[3], rays[4], rays[5])
         if resample:
             prev = prev_ref[k]
             p = SP_PPART0
-            ps, pu, pv = prev[p:p + 1], prev[p + 1:p + 2], prev[p + 2:p + 3]
-            ptri = prev[p + 3:p + 4].astype(jnp.int32)
-            aux = ((zero, zero, zero, prev[24:25]),
+            ps, pu, pv = prev[p], prev[p + 1], prev[p + 2]
+            ptri = prev[p + 3].astype(jnp.int32)
+            aux = ((zero, zero, zero, prev[24]),
                    (zero, zero, zero, zero),
-                   prev[25:26], prev[26:27], prev[27:28], prev[28:29])
+                   prev[25], prev[26], prev[27], prev[28])
         else:
             ps, pu, pv, ptri = mt_closest(o3, d3, edge=-BIAS)
             aux = ((zero, zero, zero, zero), (zero, zero, zero, zero),
@@ -645,7 +694,7 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
                     s.geometry_offset,
                     ps, pu, pv, ptri.astype(jnp.float32), zero, zero]
                  + _sp_texin_channels(s))
-        _sp_emit(out_ref, k, chans, rt)
+        _sp_emit(out_ref, k, chans, rb)
 
     _sp_loop(body, subtile)
 
@@ -658,8 +707,9 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
     closest hit run as MT contractions over the whole (VMEM-resident)
     triangle set."""
     tp = w_ref.shape[1] // 4
-    rt = prev_ref.shape[2]
-    _, traverse_soa, shadow_soa = _make_mt_closures(w_ref[...], tp, rt)
+    rb = prev_ref.shape[2]
+    rt = rb * prev_ref.shape[3]
+    _, traverse_soa, shadow_soa = _sp_mt_closures(w_ref[...], tp, rt)
     mat = mat_ref[...]
     fetch_rows = _sp_fetch_rows(mat, rt)
     shim = SceneBuffers(
@@ -667,16 +717,16 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
         shifts=None, lights=lights_ref[...], ambient=None,
         albedo_atlas=None, pbr_atlas=None, tpo_atlas=None,
         texture_width=None)
-    zero = jnp.zeros((1, rt), jnp.float32)
+    zero = jnp.zeros((rb, 128), jnp.float32)
     random_seed = scal_ref[0]
     cos_sample_n = scal_ref[1]
     i_f = scal_ref[2]
     i_scale = scal_ref[3]
 
     def body(k):
-        prev = prev_ref[k]                               # [SP_IN, rt]
-        texb = tex_ref[k]                                # [SP_TEX, rt]
-        ch = [prev[j:j + 1] for j in range(SP_IN)]
+        prev = prev_ref[k]                               # [SP_IN, rb, 128]
+        texb = tex_ref[k]                                # [SP_TEX, rb, 128]
+        ch = [prev[j] for j in range(SP_IN)]
         carry = _carry_from_channels(ch[:N_CARRY], zero)
         b = SP_SURF0
         surface = BounceSurface(
@@ -686,9 +736,9 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
             bary_u=zero, bary_v=zero, tex_nums=(zero,) * 3,
             inline_albedo=(zero,) * 3, inline_rme=(zero,) * 3,
             inline_tpo=(zero,) * 3)
-        tex = ((texb[0:1], texb[1:2], texb[2:3]), texb[3:4], texb[4:5],
-               texb[5:6], (texb[6:7], texb[7:8], texb[8:9]))
-        ndc2 = (texb[9:10], texb[10:11])
+        tex = ((texb[0], texb[1], texb[2]), texb[3], texb[4],
+               texb[5], (texb[6], texb[7], texb[8]))
+        ndc2 = (texb[9], texb[10])
 
         rec = []
 
@@ -716,7 +766,7 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
                     s2.geometry_offset,
                     ch[p], ch[p + 1], ch[p + 2], ch[p + 3], zero, zero]
                  + _sp_texin_channels(s2) + rec)
-        _sp_emit(out_ref, k, chans, rt)
+        _sp_emit(out_ref, k, chans, rb)
 
     _sp_loop(body, subtile)
 
@@ -779,37 +829,45 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
         return jnp.pad(x, (0, pad), constant_values=fill).reshape(g, rt)
 
     o_t, d_t, ndc_t = origin.T, direction.T, ndc.T
+    rb = rt // 128
+
+    def brick_arr(x, fill=0.0):
+        return grid_arr(x, fill).reshape(g, rb, 128)
+
     # padded rays get d=(0,0,1): a valid unit direction, dead via ptri=-1
     rays_in = jnp.stack(
-        [grid_arr(o_t[0]), grid_arr(o_t[1]), grid_arr(o_t[2]),
-         grid_arr(d_t[0]), grid_arr(d_t[1]), grid_arr(d_t[2], 1.0),
-         grid_arr(ndc_t[0]), grid_arr(ndc_t[1])], axis=1)   # [G, 8, rt]
-    ndc2 = (rays_in[:, 6], rays_in[:, 7])                   # [G, rt] each
+        [brick_arr(o_t[0]), brick_arr(o_t[1]), brick_arr(o_t[2]),
+         brick_arr(d_t[0]), brick_arr(d_t[1]), brick_arr(d_t[2], 1.0),
+         brick_arr(ndc_t[0]), brick_arr(ndc_t[1])],
+        axis=1)                                         # [G, 8, rb, 128]
+    ndc2 = (rays_in[:, 6], rays_in[:, 7])               # [G, rb, 128]
 
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
 
     def run_kernel(kernel, scalars, tables, blocks, block_chans):
-        """blocks: [G, C_k, rt] arrays; block_chans: channels the kernel
-        consumes from each (the BlockSpec slices the leading prefix)."""
+        """blocks: [G, C_k, rb, 128] arrays; block_chans: channels the
+        kernel consumes from each (the BlockSpec slices the prefix)."""
         if pallas:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g // sub,),
                 in_specs=[full(tuple(a.shape)) for a in tables]
-                + [pl.BlockSpec((sub, c, rt), lambda i, *_: (i, 0, 0))
+                + [pl.BlockSpec((sub, c, rb, 128),
+                                lambda i, *_: (i, 0, 0, 0))
                    for c in block_chans],
-                out_specs=pl.BlockSpec((sub, SP_C, rt),
-                                       lambda i, *_: (i, 0, 0)),
+                out_specs=pl.BlockSpec((sub, SP_C, rb, 128),
+                                       lambda i, *_: (i, 0, 0, 0)),
             )
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((g, SP_C, rt), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((g, SP_C, rb, 128),
+                                               jnp.float32),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel",)),
                 interpret=interpret,
             )(scalars, *tables, *blocks)
-        oref = _OutRef((1, SP_C, rt))
+        oref = _OutRef((1, SP_C, rb, 128))
         kernel(*[_ValRef(a) for a in (scalars, *tables, *blocks)], oref)
         return oref.val[None]
 
@@ -817,7 +875,8 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     n_local = (config.samples_per_ray if local_samples is None
                else local_samples)
     n_bounces = config.max_reflections
-    chan = lambda st, j: st[:, j]                           # [G, rt]
+    chan = lambda st, j: st[:, j].reshape(g, rt)            # [G, rt]
+    ndc2 = tuple(c.reshape(g, rt) for c in ndc2)
 
     total = None
     records = []
@@ -852,7 +911,8 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
             zgr = jnp.zeros_like(rough)
             tex_block = jnp.stack(
                 [*albedo, rough, metal, emis, *tpo, *ndc2,
-                 *([zgr] * (SP_TEX - 11))], axis=1)         # [G, SP_TEX, rt]
+                 *([zgr] * (SP_TEX - 11))],
+                axis=1).reshape(g, SP_TEX, rb, 128)
             scalars = jnp.stack([seedf, cos_sample_n, jnp.float32(float(i)),
                                  jnp.float32(2.0 ** -i)])
             post = partial(_sp_post_kernel, config=config, subtile=sub)

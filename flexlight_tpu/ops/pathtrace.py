@@ -958,7 +958,14 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         from .intersect_sparse import (build_w4_tiled, pair_sparse,
                                        shadow_sparse, traverse_sparse)
 
-        w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer)
+        # Worklist granularity knobs (never swept on chip before round 4:
+        # the per-chunk-step VPU epilogue dominates incoherent casts, and
+        # both knobs trade entry count against per-step work / early-exit
+        # granularity).
+        s_tt = int(os.environ.get("FLEXLIGHT_SPARSE_TRI_TILE", "0")) or 128
+        s_ck = int(os.environ.get("FLEXLIGHT_SPARSE_CHUNK", "0")) or 4
+        w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer,
+                                              tri_tile=s_tt)
         interp = jax.default_backend() == "cpu"
         sort = w4t.shape[0] >= 8
         # Candidate-aware bounce/shadow wavefront sort (see
@@ -981,7 +988,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
                                    alive=alive, edge=edge, sort_hint=hint,
-                                   ray_tile=rt, sort_mode=smode, subtile=g)
+                                   ray_tile=rt, sort_mode=smode, subtile=g,
+                                   tri_tile=s_tt, chunk=s_ck)
 
         def shadow_fn(o, d, l, alive=None, hint=None):
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
@@ -989,7 +997,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             return shadow_sparse(w4t, amin, amax, o, d, l,
                                  interpret=interp, sort_rays=sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
-                                 sort_mode=smode, subtile=g)
+                                 sort_mode=smode, subtile=g,
+                                 tri_tile=s_tt, chunk=s_ck)
 
         # SoA bounce casts: carry-sorted wavefront (payload rides one
         # multi-operand lax.sort instead of argsort + lane-padded [N, C]
@@ -1011,7 +1020,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                            sort_rays=sort, alive=alive,
                                            edge=edge, sort_hint=hint,
                                            ray_tile=rt, sort_mode=smode,
-                                           subtile=g)
+                                           subtile=g, tri_tile=s_tt,
+                                           chunk=s_ck)
 
             def shadow_fn_soa(o3, d3, l, alive=None, hint=None):
                 rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
@@ -1020,7 +1030,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                          interpret=interp, sort_rays=sort,
                                          alive=alive, sort_hint=hint,
                                          ray_tile=rt, sort_mode=smode,
-                                         subtile=g)
+                                         subtile=g, tri_tile=s_tt,
+                                         chunk=s_ck)
 
         if os.environ.get("FLEXLIGHT_PAIR_CAST", "0") != "0":
             # Off by default: chip A/B (dragon 1080p direct, 2026-08-19)
@@ -1038,7 +1049,8 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
                                    bounce_alive=bounce_alive,
                                    sort_hint=hint,
                                    ray_tile=SPARSE_BOUNCE_RAY_TILE,
-                                   sort_mode=smode, subtile=sub)
+                                   sort_mode=smode, subtile=sub,
+                                   tri_tile=s_tt, chunk=s_ck)
     elif scheme == "kernel":
         import jax
 

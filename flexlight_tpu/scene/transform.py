@@ -22,6 +22,12 @@ class TransformRegistry:
     def __init__(self):
         self.used: list[bool] = []
         self.transform_list: list["Transform"] = []
+        # Monotonic mutation counter: bumped on every acquire and every
+        # Transform setter, so per-frame consumers (the renderers' UBO
+        # refresh, pathtracerWGL2.js:361-363) can skip the rebuild AND
+        # the host->device upload when nothing moved — on the tunneled
+        # TPU each small upload costs a relay round trip.
+        self.version = 0
         # Slot 0 defaults to the identity transform (scene.js:590-593).
         Transform(registry=self)
 
@@ -30,6 +36,7 @@ class TransformRegistry:
         return len(self.transform_list)
 
     def _acquire(self, transform: "Transform") -> int:
+        self.version += 1
         for i, used in enumerate(self.used):
             if not used:
                 self.used[i] = True
@@ -95,15 +102,19 @@ class Transform:
 
     def move(self, x: float, y: float, z: float) -> None:
         self._position = np.array([x, y, z], dtype=np.float64)
+        self.registry.version += 1
 
     def rotate_axis(self, normal, theta: float) -> None:
         self._rotation_matrix = mathlib.rotation_axis(mathlib.normalize(normal), theta)
+        self.registry.version += 1
 
     def rotate_spherical(self, theta: float, psi: float) -> None:
         self._rotation_matrix = mathlib.rotation_spherical(theta, psi)
+        self.registry.version += 1
 
     def scale(self, s: float) -> None:
         self._scale = float(s)
+        self.registry.version += 1
 
     # camelCase aliases for 1:1 example ports (reference API, scene.js:555-587)
     rotateAxis = rotate_axis

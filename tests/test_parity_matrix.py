@@ -67,6 +67,40 @@ def _compare(buffers, cam, view, config, size, seed=0.0, outliers=0,
     Measured on theater 64^2 mr=1: 17/4096 flips, and every color
     outlier is a flip (non-flip max diff 1.8e-5). Excluded but budgeted:
     a real reservoir bug misselects on most pixels, not a sliver."""
+    m = measure_parity(buffers, cam, view, config, size, seed=seed,
+                       scheme=scheme)
+    assert m["cover_flips"] <= cover_budget, (
+        f"{m['cover_flips']} coverage flips (> budget {cover_budget})")
+    assert m["worst_nontie_rel"] < 1e-5, (
+        "primary mismatch is not a distance tie: rel "
+        f"{m['worst_nontie_rel']:.2e}")
+    assert m["agree_frac"] > agree_floor, \
+        f"too many edge ties: {1 - m['agree_frac']:.1%}"
+    assert m["idw_flips"] <= flip_budget, (
+        f"{m['idw_flips']} reservoir-selection flips (> budget "
+        f"{flip_budget})")
+    stats = {}
+    for name, ch in m["channels"].items():
+        stats[name] = ch["max_abs_diff"]
+        assert ch["n_over_tol"] <= outliers, (
+            f"{name}: {ch['n_over_tol']} pixels exceed {ch['tol']} on "
+            f"primary-agreeing pixels (budget {outliers}); max diff "
+            f"{ch['max_abs_diff']:.2e}")
+    return m["agree_frac"], stats
+
+
+CHANNEL_TOLS = [("color", 2e-4), ("original_color", 1e-5),
+                ("render_id", 1e-5), ("original_w", 1e-5),
+                ("original_id_w", 1e-5), ("glass", 0.0),
+                ("location_id", 1e-5), ("alpha", 0.0)]
+
+
+def measure_parity(buffers, cam, view, config, size, seed=0.0,
+                   scheme="scan"):
+    """Pipeline-vs-scalar-oracle comparison, measurement only (no
+    asserts) — shared by the budget-asserting _compare above and
+    scripts/parity_report.py, which records the numbers as the committed
+    parity artifact."""
     from flexlight_tpu.ops.geometry import world_geometry
     from flexlight_tpu.ops.pathtrace import camera_rays, render_mrt
     from flexlight_tpu.ops.traverse import traverse_scan
@@ -83,6 +117,7 @@ def _compare(buffers, cam, view, config, size, seed=0.0, outliers=0,
     b = oracle._Buffers(buffers)
     agree = np.ones((h, w), dtype=bool)
     cover_flips = 0
+    worst_nontie_rel = 0.0
     for y in range(h):
         for x in range(w):
             suv, _, tri = oracle.ray_tracer(
@@ -92,50 +127,36 @@ def _compare(buffers, cam, view, config, size, seed=0.0, outliers=0,
             agree[y, x] = False
             if tri == -1 or tri_pipe[y, x] == -1:
                 cover_flips += 1
-                assert cover_flips <= cover_budget, (
-                    f"{cover_flips} coverage flips (> budget "
-                    f"{cover_budget}); latest at {(y, x)}: oracle {tri}, "
-                    f"pipeline {tri_pipe[y, x]}")
                 continue
             rel = abs(suv[0] - s_pipe[y, x]) / max(s_pipe[y, x], 1e-6)
-            assert rel < 1e-5, (
-                f"primary mismatch at {(y, x)} is not a distance tie: "
-                f"oracle tri {tri} s {suv[0]}, pipeline tri "
-                f"{tri_pipe[y, x]} s {s_pipe[y, x]}")
-    assert agree.mean() > agree_floor, \
-        f"too many edge ties: {1 - agree.mean():.1%}"
+            worst_nontie_rel = max(worst_nontie_rel, rel)
+    agree_frac = float(agree.mean())
 
     idw_o = np.round(out["render_id"][..., 3] * 255.0)
     idw_p = np.round(
         np.asarray(mrt.render_id).reshape(h, w, 4)[..., 3] * 255.0)
     flips = idw_o != idw_p
     n_flips = int(flips[agree].sum())
-    assert n_flips <= flip_budget, (
-        f"{n_flips} reservoir-selection flips (> budget {flip_budget})")
     agree &= ~flips
 
-    stats = {}
-
-    def check(name, pipe, atol):
-        diff = np.abs(out[name] - np.asarray(pipe).reshape(out[name].shape))
+    channels = {}
+    for name, atol in CHANNEL_TOLS:
+        diff = np.abs(out[name] - np.asarray(getattr(mrt, name)
+                                             ).reshape(out[name].shape))
         masked = diff[agree]
         if masked.ndim > 1:
             masked = masked.max(axis=-1)
-        n_over = int((masked > atol).sum())
-        stats[name] = float(masked.max())
-        assert n_over <= outliers, (
-            f"{name}: {n_over} pixels exceed {atol} on primary-agreeing "
-            f"pixels (budget {outliers}); max diff {masked.max():.2e}")
-
-    check("color", mrt.color, 2e-4)
-    check("original_color", mrt.original_color, 1e-5)
-    check("render_id", mrt.render_id, 1e-5)
-    check("original_w", mrt.original_w, 1e-5)
-    check("original_id_w", mrt.original_id_w, 1e-5)
-    check("glass", mrt.glass, 0.0)
-    check("location_id", mrt.location_id, 1e-5)
-    check("alpha", mrt.alpha, 0.0)
-    return float(agree.mean()), stats
+        channels[name] = {
+            "max_abs_diff": float(masked.max()),
+            "n_over_tol": int((masked > atol).sum()),
+            "tol": atol,
+        }
+    return {
+        "size": size, "agree_frac": agree_frac,
+        "cover_flips": cover_flips, "idw_flips": n_flips,
+        "worst_nontie_rel": float(worst_nontie_rel),
+        "channels": channels,
+    }
 
 
 def _example_buffers(module_name, size, animate_frames=0):
