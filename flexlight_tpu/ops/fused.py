@@ -801,8 +801,12 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
            or int(os.environ.get("FLEXLIGHT_SPLIT_SUBTILE", "0"))
            or SP_SUBTILE)
     # grouped rays per program capped at the known-good 8192-ray envelope
-    # (the same scoped-VMEM reasoning as intersect_kernel._intersect_ft)
-    sub = max(1, min(sub, 8192 // rt))
+    # (the same scoped-VMEM reasoning as intersect_kernel._intersect_ft);
+    # FLEXLIGHT_SPLIT_VMEM_MB raises the Mosaic scoped-vmem limit AND the
+    # cap proportionally (A/B knob: fewer programs per launch).
+    vmem_mb = int(os.environ.get("FLEXLIGHT_SPLIT_VMEM_MB", "0"))
+    ray_cap = 8192 * max(1, vmem_mb // 16) if vmem_mb else 8192
+    sub = max(1, min(sub, ray_cap // rt))
     w_grouped = jnp.concatenate(
         [_pad_rows(x, tp) for x in (det, udet, vdet, sdet)], axis=0).T
     mat = _pad_rows(
@@ -858,13 +862,15 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                 out_specs=pl.BlockSpec((sub, SP_C, rb, 128),
                                        lambda i, *_: (i, 0, 0, 0)),
             )
+            cp = dict(dimension_semantics=("parallel",))
+            if vmem_mb:
+                cp["vmem_limit_bytes"] = vmem_mb << 20
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((g, SP_C, rb, 128),
                                                jnp.float32),
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("parallel",)),
+                compiler_params=pltpu.CompilerParams(**cp),
                 interpret=interpret,
             )(scalars, *tables, *blocks)
         oref = _OutRef((1, SP_C, rb, 128))
