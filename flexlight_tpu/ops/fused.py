@@ -610,12 +610,88 @@ def _sp_fetch_rows(mat, rt):
     return fetch_rows
 
 
-def _sp_mt_closures(w, tp: int, rt: int):
-    """_make_mt_closures with brick-shaped (rb, 128) ray channels: inputs
-    are flattened to (1, rt) lane rows only for the [rt, 16] feature
+def _make_mt_closures_x6(w6, tp: int, rt: int):
+    """MT closures over x6-packed W [96, 4Tp] bf16: ONE DEFAULT-precision
+    K=96 MXU pass per cast instead of XLA's 6-pass HIGHEST emulation of
+    a K=16 f32 dot (the r1 "bf16x6 single-pass" trick the sparse/dense
+    cast kernels already use; chip ablation r4g: the in-kernel shadow
+    cast alone cost 46 ms/frame in the K=16 form). Products land
+    [4Tp, rt], so the epilogue reduces along sublanes and yields (1, rt)
+    rows with no transposes. bf16x6 is f32-faithful (~2 ulp) — same
+    accept-window tie-flip budget class as the cast kernels."""
+    one = jnp.ones((1, rt), jnp.float32)
+    rows_iota = lax.broadcasted_iota(jnp.int32, (tp, rt), 0)
+
+    def _pack_rhs_x6_inkernel(f):
+        # intersect_sparse.pack_rhs_x6 without the optimization_barrier
+        # (it guards an XLA excess-precision rewrite; Mosaic has no such
+        # pass and may not lower the barrier primitive)
+        from .intersect_sparse import _RHS_ORDER
+
+        limbs = []
+        r = f
+        for _ in range(3):
+            l = r.astype(jnp.bfloat16)
+            limbs.append(l)
+            r = r - l.astype(jnp.float32)
+        return jnp.concatenate([limbs[i] for i in _RHS_ORDER], axis=0)
+
+    def mt_products(o3, d3):
+        comps = [one, o3[0], o3[1], o3[2], d3[0], d3[1], d3[2]]
+        comps += [d3[i] * o3[k] for i in range(3) for k in range(3)]
+        f = jnp.concatenate(comps, axis=0)              # [16, rt] f32
+        f6 = _pack_rhs_x6_inkernel(f)                   # [96, rt] bf16
+        prod = jax.lax.dot_general(
+            w6, f6, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [4Tp, rt]
+        det = prod[0:tp]
+        inv = 1.0 / det
+        return (det, prod[tp:2 * tp] * inv, prod[2 * tp:3 * tp] * inv,
+                prod[3 * tp:4 * tp] * inv)
+
+    def mt_closest(o3, d3, edge):
+        det, u, v, s = mt_products(o3, d3)
+        valid = (jnp.abs(det) >= BIAS)
+        valid &= (u >= edge) & (u <= 1.0)
+        valid &= (v >= edge) & (u + v <= 1.0)
+        valid &= (s > BIAS)
+        s_masked = jnp.where(valid, s, POW32)
+        best_s = jnp.min(s_masked, axis=0, keepdims=True)
+        # argmin tie-break = lowest row (drawable) index among the minima
+        best_row = jnp.min(jnp.where(s_masked == best_s, rows_iota, tp),
+                           axis=0, keepdims=True)
+        hit = best_s < POW32
+        sel = rows_iota == best_row
+        best_u = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+        best_v = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+        return (jnp.where(hit, best_s, 0.0), jnp.where(hit, best_u, 0.0),
+                jnp.where(hit, best_v, 0.0),
+                jnp.where(hit, best_row, -1).astype(jnp.int32))
+
+    def traverse_soa(o3, d3, alive=None, hint=None):
+        return mt_closest(o3, d3, edge=BIAS)
+
+    def shadow_soa(o3, d3, max_len, alive=None, hint=None):
+        det, u, v, s = mt_products(o3, d3)
+        valid = (det >= BIAS)
+        valid &= (u >= BIAS) & (u <= 1.0)
+        valid &= (v >= BIAS) & (u + v <= 1.0)
+        valid &= (s > BIAS) & (s <= max_len)            # (1, rt) broadcast
+        anyf = jnp.max(jnp.where(valid, 1.0, 0.0), axis=0, keepdims=True)
+        return anyf > 0.5
+
+    return mt_closest, traverse_soa, shadow_soa
+
+
+def _sp_mt_closures(w, tp: int, rt: int, x6: bool = False):
+    """MT closures with brick-shaped (rb, 128) ray channels: inputs are
+    flattened to (1, rt) lane rows only for the [rt/K-major, *] feature
     build feeding the MXU; outputs come back as bricks. Bool results
-    reshape through f32 (Mosaic cannot relayout i1 vectors)."""
-    mt_closest, traverse_flat, shadow_flat = _make_mt_closures(w, tp, rt)
+    reshape through f32 (Mosaic cannot relayout i1 vectors). `x6` selects
+    the packed-bf16 single-pass closures (real kernels) vs the f32
+    HIGHEST dots (the pallas=False exact-equivalence trace)."""
+    make = _make_mt_closures_x6 if x6 else _make_mt_closures
+    mt_closest, traverse_flat, shadow_flat = make(w, tp, rt)
     rb = rt // 128
 
     def flat3(c3):
@@ -653,7 +729,7 @@ def _sp_loop(body, subtile: int):
 
 
 def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
-                  resample: bool):
+                  resample: bool, x6: bool = False):
     """Primary closest hit (relaxed edge window, see render_mrt) + carry
     init + bounce_pre(0). With `resample` (samples 2..spp), the primary
     parts and carried aux channels are read from the previous sample's
@@ -665,7 +741,7 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
     tp = w_ref.shape[1] // 4
     rb = rays_ref.shape[2]
     rt = rb * rays_ref.shape[3]
-    mt_closest, _, _ = _sp_mt_closures(w_ref[...], tp, rt)
+    mt_closest, _, _ = _sp_mt_closures(w_ref[...], tp, rt, x6=x6)
     mat = mat_ref[...]
     fetch_rows = _sp_fetch_rows(mat, rt)
     zero = jnp.zeros((rb, 128), jnp.float32)
@@ -700,7 +776,8 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
 
 
 def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
-                    tex_ref, out_ref, *, config, subtile: int):
+                    tex_ref, out_ref, *, config, subtile: int,
+                    x6: bool = False):
     """bounce_post for the bounce index carried in scalar prefetch
     (scal = [seed, cos_sample_n, i, 2^-i]) + fused bounce_pre(i+1). One
     Mosaic program serves every bounce; the in-kernel shadow ray and next
@@ -709,7 +786,7 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
     tp = w_ref.shape[1] // 4
     rb = prev_ref.shape[2]
     rt = rb * prev_ref.shape[3]
-    _, traverse_soa, shadow_soa = _sp_mt_closures(w_ref[...], tp, rt)
+    _, traverse_soa, shadow_soa = _sp_mt_closures(w_ref[...], tp, rt, x6=x6)
     mat = mat_ref[...]
     fetch_rows = _sp_fetch_rows(mat, rt)
     shim = SceneBuffers(
@@ -809,6 +886,13 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     sub = max(1, min(sub, ray_cap // rt))
     w_grouped = jnp.concatenate(
         [_pad_rows(x, tp) for x in (det, udet, vdet, sdet)], axis=0).T
+    # Real kernels contract the x6-packed bf16 W in ONE K=96 MXU pass;
+    # the pallas=False exact-equivalence trace keeps the f32 HIGHEST dot.
+    use_x6 = pallas and os.environ.get("FLEXLIGHT_SPLIT_X6", "1") != "0"
+    if use_x6:
+        from .intersect_sparse import pack_lhs_x6
+
+        w_grouped = pack_lhs_x6(w_grouped, axis=0)       # [96, 4Tp] bf16
     mat = _pad_rows(
         build_material_table(buffers, world_geom)[buffers.id_buffer], tp)
     loc_geometry = buffers.geometry[buffers.id_buffer]
@@ -890,12 +974,12 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     for s in range(n_local):
         if s == 0:
             i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
-                         resample=False)
+                         resample=False, x6=use_x6)
             state = run_kernel(i0, seedf.reshape(1), [w_grouped, mat],
                                [rays_in], [8])
         else:
             i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
-                         resample=True)
+                         resample=True, x6=use_x6)
             state = run_kernel(i0, seedf.reshape(1), [w_grouped, mat],
                                [rays_in, state], [8, SP_IN])
         cos_sample_n = jnp.cos(jnp.float32(s) + jnp.float32(sample_offset))
@@ -921,7 +1005,8 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                 axis=1).reshape(g, SP_TEX, rb, 128)
             scalars = jnp.stack([seedf, cos_sample_n, jnp.float32(float(i)),
                                  jnp.float32(2.0 ** -i)])
-            post = partial(_sp_post_kernel, config=config, subtile=sub)
+            post = partial(_sp_post_kernel, config=config, subtile=sub,
+                           x6=use_x6)
             state = run_kernel(post, scalars,
                                [w_grouped, buffers.lights, cam, mat],
                                [state, tex_block], [SP_IN, SP_TEX])

@@ -984,7 +984,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             # NB: returns DRAWABLE indices; the material/location tables
             # below are pre-gathered into drawable order for this scheme.
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
-            g = sub if hint is not None else 1
+            g = sub
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
                                    interpret=interp, sort_rays=sort,
                                    alive=alive, edge=edge, sort_hint=hint,
@@ -993,7 +993,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
         def shadow_fn(o, d, l, alive=None, hint=None):
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
-            g = sub if hint is not None else 1
+            g = sub
             return shadow_sparse(w4t, amin, amax, o, d, l,
                                  interpret=interp, sort_rays=sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
@@ -1014,7 +1014,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
             def traverse_fn_soa(o3, d3, alive=None, edge=BIAS, hint=None):
                 rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
-                g = sub if hint is not None else 1
+                g = sub
                 return traverse_sparse_soa(w4t, w4f, amin, amax, o3, d3,
                                            interpret=interp,
                                            sort_rays=sort, alive=alive,
@@ -1025,7 +1025,7 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
 
             def shadow_fn_soa(o3, d3, l, alive=None, hint=None):
                 rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
-                g = sub if hint is not None else 1
+                g = sub
                 return shadow_sparse_soa(w4t, amin, amax, o3, d3, l,
                                          interpret=interp, sort_rays=sort,
                                          alive=alive, sort_hint=hint,
@@ -1183,8 +1183,18 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
     # Primary rays replace the reference's watertight raster pass
     # (pathtracerWGL2.js vertex stage), so they use the relaxed edge
     # window; bounce rays (traverse_soa below) keep the fragment
-    # shader's exact +BIAS window (glsl:134-136).
-    primary = traverse_fn(origin, direction, edge=-BIAS)
+    # shader's exact +BIAS window (glsl:134-136). The SoA entry (when
+    # the scheme provides one) skips the row path's lane-padded [N, 16]
+    # feature stack and argsort+row-gather sort machinery (~25 ms at
+    # dragon 1080p) — results are bit-identical (pure layout).
+    if traverse_fn_soa is not None:
+        o_t, d_t = origin.T, direction.T
+        p_s, p_u, p_v, p_tri = traverse_fn_soa(
+            (o_t[0], o_t[1], o_t[2]), (d_t[0], d_t[1], d_t[2]), edge=-BIAS)
+        primary = trv.Hit(
+            suv=jnp.stack([p_s, p_u, p_v], axis=-1), triangle=p_tri)
+    else:
+        primary = traverse_fn(origin, direction, edge=-BIAS)
     covered = primary.triangle != -1
 
     # Large material tables (> one-hot threshold) fetch via row gathers;

@@ -746,18 +746,24 @@ SECOND_BAND_EDGES = (1.05, 2.0)
 
 
 def second_filter_tpu(color, ip, ocolor, ids, oid, interpret=False,
-                      ty: int = TY, tx: int = TX, compact: bool = False):
+                      ty: int = TY, tx: int = TX, compact: bool = False,
+                      banded: bool = True):
     """Same signature/returns as filters.second_filter. compact=True pays
     off when the blur key is tile-uniform (filter_mode="fast"); on compat
-    per-pixel keys too few tiles go inactive to repay the remap grid."""
+    per-pixel keys too few tiles go inactive to repay the remap grid.
+    banded=False runs ONE unbanded call (the 148-offset table fits one
+    Mosaic program): with tile-uniform fast keys each band call costs a
+    full program grid, so 3 band sweeps triple the program count for no
+    extra skipping — per-offset pl.when on the tile's (single-valued)
+    scale range already skips everything a band would."""
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc36", SECOND_BOUNDS,
         n_acc=11, out_chs=(4, 4, 4),
         scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
         init_fn=_second_init, update_fn=_second_update,
         finish_fn=_second_finish, interpret=interpret,
-        band_edges=SECOND_BAND_EDGES, n_int=3, n_f32=10, ty=ty, tx=tx,
-        compact=compact)
+        band_edges=SECOND_BAND_EDGES if banded else None,
+        n_int=3, n_f32=10, ty=ty, tx=tx, compact=compact)
     return outs[0], outs[1], outs[2]
 
 
@@ -827,15 +833,15 @@ FINAL_BAND_EDGES = (0.75, 1.6)
 
 def final_filter_tpu(color, ip, ocolor, ids, oid, hdr: bool,
                      interpret=False, ty: int = TY, tx: int = TX,
-                     compact: bool = False):
-    """Same signature/returns as filters.final_filter. compact: see
-    second_filter_tpu."""
+                     compact: bool = False, banded: bool = True):
+    """Same signature/returns as filters.final_filter. compact/banded:
+    see second_filter_tpu."""
     outs = _run_disc(
         (ids, oid, color, ip, ocolor), "disc37", FINAL_BOUNDS,
         n_acc=9, out_chs=(3,),
         scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
         init_fn=_final_init, update_fn=_final_update,
         finish_fn=_final_finish_factory(hdr), interpret=interpret,
-        band_edges=FINAL_BAND_EDGES, n_int=2, n_f32=9, ty=ty, tx=tx,
-        compact=compact)
+        band_edges=FINAL_BAND_EDGES if banded else None,
+        n_int=2, n_f32=9, ty=ty, tx=tx, compact=compact)
     return outs[0]

@@ -79,23 +79,58 @@ def main():
            oid_q, iters=4)
 
     # individual passes on realistic inputs
+    from functools import partial
+
+    from flexlight_tpu.post.filter_kernel import (final_filter_tpu,
+                                                  first_filter_tpu,
+                                                  second_filter_tpu)
+
     first_fn, second_fn, final_fn = _filter_passes("kernel", fast=True)
     key = tileize_blur_key(ocolor_q)
     key = jax.block_until_ready(key)
 
-    report("first pass (fast, tileized key)", lambda a, b, c, d, e:
+    report("first pass (fast default ty=32)", lambda a, b, c, d, e:
            first_fn(a, b, c, d, e), r0, ip0, key, id_q, oid_q, iters=6)
     c1, p1, id1 = first_fn(r0, ip0, key, id_q, oid_q)
     c1, p1, id1 = map(jax.block_until_ready, (c1, p1, id1))
-    report("second pass (fast, tileized key)", lambda a, b, c, d, e:
-           second_fn(a, b, c, d, e), c1, p1, key, id1, oid_q, iters=6)
+    report("second pass (fast default: banded ty=32 compact)",
+           lambda a, b, c, d, e: second_fn(a, b, c, d, e),
+           c1, p1, key, id1, oid_q, iters=6)
     c2, p2, oc2 = second_fn(c1, p1, key, id1, oid_q)
     c2, p2, oc2 = map(jax.block_until_ready, (c2, p2, oc2))
-    report("final pass (fast, tileized key)", lambda a, b, c, d, e:
-           final_fn(a, b, c, d, e, True), c2, p2, tileize_blur_key(oc2),
-           id1, oid_q, iters=6)
+    key2 = jax.block_until_ready(tileize_blur_key(oc2))
+    report("final pass (fast default: banded ty=32 compact)",
+           lambda a, b, c, d, e: final_fn(a, b, c, d, e, True),
+           c2, p2, key2, id1, oid_q, iters=6)
     # the tileize quantizer itself (applied per consumed ocolor)
     report("tileize_blur_key", tileize_blur_key, ocolor_q, iters=8)
+
+    # variants: unbanded single call (per-offset pl.when does the skipping
+    # when tile keys are single-valued) x tile height
+    for ty in (32, 64, 128):
+        fn = partial(first_filter_tpu, ty=ty)
+        report(f"first[banded ty={ty}]", lambda a, b, c, d, e, fn=fn:
+               fn(a, b, c, d, e), r0, ip0, key, id_q, oid_q, iters=6)
+    for ty in (32, 64, 128):
+        fn = partial(second_filter_tpu, ty=ty, banded=False)
+        report(f"second[nobands ty={ty}]", lambda a, b, c, d, e, fn=fn:
+               fn(a, b, c, d, e), c1, p1, key, id1, oid_q, iters=6)
+    for ty in (32, 64, 128):
+        fn = partial(final_filter_tpu, ty=ty, banded=False)
+        report(f"final[nobands ty={ty}]", lambda a, b, c, d, e, fn=fn:
+               fn(a, b, c, d, e, True), c2, p2, key2, id1, oid_q, iters=6)
+    # wider tiles: the ty=32 second/final floor is per-program fixed cost
+    # (~18 us x 510 tiles); tx=256/512 quarters the program count
+    for tx in (256, 512):
+        fn = partial(first_filter_tpu, ty=32, tx=tx)
+        report(f"first[banded ty=32 tx={tx}]", lambda a, b, c, d, e, fn=fn:
+               fn(a, b, c, d, e), r0, ip0, key, id_q, oid_q, iters=6)
+        fn = partial(second_filter_tpu, ty=32, tx=tx, compact=True)
+        report(f"second[banded ty=32 tx={tx}]", lambda a, b, c, d, e, fn=fn:
+               fn(a, b, c, d, e), c1, p1, key, id1, oid_q, iters=6)
+        fn = partial(final_filter_tpu, ty=32, tx=tx, compact=True)
+        report(f"final[banded ty=32 tx={tx}]", lambda a, b, c, d, e, fn=fn:
+               fn(a, b, c, d, e, True), c2, p2, key2, id1, oid_q, iters=6)
 
 
 if __name__ == "__main__":
