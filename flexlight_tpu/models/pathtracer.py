@@ -212,10 +212,15 @@ class PathTracer:
         # last frame (obj.js:72 references it; implemented in the dead
         # highpoly.js:490 renderer — here it is first-class).
         self.freeze = False
-        # Double-buffered fetch: render_frame returns frame N-1 while
-        # frame N computes (see render_frame docstring).
+        # Pipelined fetch: render_frame returns frame N-k while frame N
+        # computes (see render_frame docstring). `pipelined` is the
+        # swapchain depth k: False/0 = synchronous, True/1 = classic
+        # double buffer, 2-4 = deeper pipelining — the tunneled relay's
+        # device->host transfer takes ~30 ms regardless of host work
+        # (bench_e2e_anatomy), so k concurrent transfers in flight are
+        # the only way to push e2e frame cost below the transfer latency.
         self.pipelined = False
-        self._pending_display = None
+        self._pending_display = []
         self.scheme = scheme
         self.tile = tile
         self._halt = True
@@ -263,8 +268,19 @@ class PathTracer:
             # XLA formulations there.
             return ("mxu" if self._buffers.id_buffer.shape[0] <= self.MXU_MAX_TRIS
                     else "clustered")
-        return ("sparse" if self._buffers.id_buffer.shape[0] >= self.SPARSE_MIN_TRIS
-                else "kernel")
+        if self._buffers.id_buffer.shape[0] < self.SPARSE_MIN_TRIS:
+            # Round-4 default: the per-bounce split kernel pipeline with
+            # x6 single-pass casts beats the staged XLA+per-cast hybrid
+            # at every measured size (chip 2026-08-20: theater 1080p
+            # 104.0 vs 152.0, obj 720p 77.5 vs 102, emissive 512 10.4 vs
+            # 13.4, cornell 256 2.4 vs 2.5 — docs/PERF.md round-4
+            # batches I/K).
+            from ..ops.fused import fused_split_eligible
+
+            if fused_split_eligible(self._buffers):
+                return "fused_split"
+            return "kernel"
+        return "sparse"
 
     def update_primary_light_sources(self):
         if self._buffers is None:
@@ -317,7 +333,7 @@ class PathTracer:
             self._taa_state = TAAState.create(self.height, self.width)
             self._frame_count = 0
             self._prepared_shape = shape
-            self._pending_display = None
+            self._pending_display = []
 
     def render_frame(self) -> np.ndarray:
         """Render one frame; returns [H, W, 3] float32 in [0, 1].
@@ -367,20 +383,23 @@ class PathTracer:
         if as_u8:
             display = _quantize_u8(display)
         if self.pipelined:
-            # swap: fetch the PREVIOUS frame (already done on device) while
-            # this frame computes; dispatch is async on all jax backends.
-            # copy_to_host_async starts the device->host transfer NOW, so
-            # by the next call np.asarray finds the bytes already landed —
-            # without it the tunneled relay round-trip serializes into
-            # every frame (bench.py e2e_ms detail: 53.7 ms at cornell-256
-            # vs 1.5 ms device).
+            # swapchain: fetch frame N-k (its transfer started k calls
+            # ago) while this frame computes; dispatch is async on all
+            # jax backends. copy_to_host_async starts the device->host
+            # transfer NOW, so with depth k there are k transfers in
+            # flight and the ~30 ms relay transfer latency amortizes
+            # (bench.py e2e detail; depth 1 was 53.7 -> 19.4 ms at
+            # cornell-256, deeper pipelining hides the rest).
+            depth = int(self.pipelined)
             try:
                 display.copy_to_host_async()
             except AttributeError:
                 pass  # non-jax arrays (freeze path) / older backends
-            prev = self._pending_display
-            self._pending_display = display
-            display = prev if prev is not None else display
+            self._pending_display.append(display)
+            if len(self._pending_display) > depth:
+                display = self._pending_display.pop(0)
+            # else: warmup — return the newest (still correct, just not
+            # yet pipelined)
         self._frame_count += 1
         self._fps_frames += 1
         now = time.perf_counter()

@@ -392,9 +392,11 @@ def bounce_pre(carry: BounceCarry, i: int, mat, config, fetch_rows_fn=None):
     # fused row+column-slice gather falls off TPU's vectorized path.
     if "matfetch" in DEBUG_DISABLE:
         # ablation: broadcast row 0 instead of gathering — isolates
-        # the gather+relayout cost of the per-bounce material fetch
-        rowt = jnp.broadcast_to(mat[0][(slice(None),) + (None,) * tri.ndim],
-                                (mat.shape[1],) + tri.shape)
+        # the gather+relayout cost of the per-bounce material fetch.
+        # Per-scalar broadcasts (not a 1-D row reshape) so the stub also
+        # lowers inside Mosaic kernels with brick-shaped channels.
+        rowt = [jnp.broadcast_to(mat[0, k], tri.shape)
+                for k in range(mat.shape[1])]
     else:
         rowt = fetch_rows_fn(mat, tri)      # [49, N]
     rot = tuple(rowt[40 + k] for k in range(9))
@@ -958,12 +960,13 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         from .intersect_sparse import (build_w4_tiled, pair_sparse,
                                        shadow_sparse, traverse_sparse)
 
-        # Worklist granularity knobs (never swept on chip before round 4:
-        # the per-chunk-step VPU epilogue dominates incoherent casts, and
-        # both knobs trade entry count against per-step work / early-exit
-        # granularity).
+        # Worklist granularity knobs (first chip-swept in round 4: the
+        # per-chunk-step VPU epilogue dominates incoherent casts).
+        # chunk=2 default: dragon 1080p direct 837.5 -> 806.9 ms (batch
+        # r4c) — finer early-exit granularity beats loop overhead; ck=1
+        # gives it back (811.8), ck=8 / tri_tile 256 VMEM-OOM at chunk 4.
         s_tt = int(os.environ.get("FLEXLIGHT_SPARSE_TRI_TILE", "0")) or 128
-        s_ck = int(os.environ.get("FLEXLIGHT_SPARSE_CHUNK", "0")) or 4
+        s_ck = int(os.environ.get("FLEXLIGHT_SPARSE_CHUNK", "0")) or 2
         w4t, amin, amax, w4f = build_w4_tiled(world_geom, buffers.id_buffer,
                                               tri_tile=s_tt)
         interp = jax.default_backend() == "cpu"
@@ -975,10 +978,10 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # small-tile matmul savings without the program-launch
         # overhead). Trace-time like the other perf knobs here.
         smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "nearest2")
-        # subtile 4 default: chip A/B 2026-08-19 (dragon 1080p direct,
-        # SoA casts on) 856.1 -> 839.2 ms; per-program fixed cost
-        # (~23 us) divides by the group size. 8/16 staged (batch N).
-        sub = int(os.environ.get("FLEXLIGHT_SPARSE_SUBTILE", "4"))
+        # subtile 8 default (round 4, with chunk=2 + subtiled primaries:
+        # dragon 1080p direct 806.9 -> 799.4 -> 765.5 ms across batches
+        # r4f/r4i; r3's subtile-4 default measured 839.2).
+        sub = int(os.environ.get("FLEXLIGHT_SPARSE_SUBTILE", "8"))
 
         def traverse_fn(o, d, alive=None, edge=BIAS, hint=None):
             # NB: returns DRAWABLE indices; the material/location tables
