@@ -571,6 +571,105 @@ def _sp_texin_channels(s: BounceSurface):
             *s.inline_rme, *s.inline_tpo]
 
 
+# In-kernel texture pipeline (flavor 3, round 4). The r4k chip ablation
+# put the XLA tex stage at ~51 ms of theater's 104 ms direct frame —
+# dominated not by the one unavoidable big-table gather (~4.3 ms/bounce)
+# but by the per-bounce XLA index arithmetic, slot one-hots and channel
+# packing around THREE fetch_tex_val_table pipelines. Since bounce_pre
+# (i+1) already runs fused inside post(i), the surface (uv, tex ids,
+# inline defaults) is in registers there — so the whole fetch arithmetic
+# moves in-kernel: small texel lists sample via exact one-hot MXU
+# contractions; a big list (theater's 262k-texel albedo) gets its flat
+# index computed in-kernel and only the [K, 3] u8 row gather stays in
+# XLA. Integer // and % are emulated in f32 (exact: all operands are
+# < 2^24 for the tile geometries involved — see _sp_fetch_table).
+SP3_ALBREQ = 40   # idx_f, miss_f, inline_albedo3 (xla-gathered table)
+SP3_TEXVAL = 45   # albedo3 (in-kernel modes), rough, metal, emis, tpo3
+SP3_REC = 54      # df, normal3, rough, metal, emis
+SP3_IN = 54       # kernel-consumed prefix in flavor 3
+SP_TEX3 = 8       # XLA->kernel: albedo3 (xla mode), ndc2, pad
+
+
+def _sp_tex_modes(buffers: SceneBuffers):
+    """Static per-table fetch mode for the in-kernel tex pipeline, or
+    None when a table's geometry needs the legacy XLA bounce_tex flavor.
+    Only the albedo table may defer its texel gather to XLA (its index
+    still computes in-kernel)."""
+    tabs = (buffers.albedo_tab, buffers.pbr_tab, buffers.tpo_tab)
+    if any(t is None for t in tabs):
+        return None
+    modes = []
+    for t in tabs:
+        k, ns = int(t.texels.shape[0]), int(t.tile_info.shape[0])
+        if k == 1:
+            modes.append(("inline", ns, k))
+        elif k <= 512 and ns <= 64:
+            modes.append(("onehot", ns, k))
+        elif ns <= 64:
+            modes.append(("xla", ns, k))
+        else:
+            return None
+    if modes[1][0] == "xla" or modes[2][0] == "xla":
+        return None
+    return tuple(modes)
+
+
+def _sp_table_args(tab, mode):
+    """(texelsT [3, Kp] f32 | zeros, infoT [3, Sp] f32) kernel inputs."""
+    info = tab.tile_info.astype(jnp.float32).T            # [3, S]
+    sp = -(-info.shape[1] // 128) * 128
+    info_t = jnp.pad(info, ((0, 0), (0, sp - info.shape[1])))
+    if mode == "xla":
+        tex_t = jnp.zeros((3, 128), jnp.float32)
+    else:
+        tex = tab.texels.astype(jnp.float32)
+        if tab.texels.dtype == jnp.uint8:
+            tex = tex * jnp.float32(1.0 / 255.0)
+        kp = -(-tex.shape[0] // 128) * 128
+        tex_t = jnp.pad(tex.T, ((0, 0), (0, kp - tex.shape[0])))
+    return tex_t, info_t
+
+
+def _sp_fetch_table(tex_t, info_t, meta5, u, v, tex_num, default3, *,
+                    mode: str, n_slots: int, n_texels: int):
+    """fetch_tex_val_table (ops/buffers.py:140) inside a Mosaic kernel.
+    Ray operands are (1, rt) lane rows; meta5 = (std_w, std_h, tpr, h,
+    w) as traced f32 scalars (values < 2^24, exact). Gathers become
+    one-hot MXU contractions; // and % run in f32 — exact because every
+    intermediate (pixel coords <= 4096, products <= std*stored <= 2^23)
+    is integer-valued and below 2^24, and f32 division of such pairs
+    floors correctly (r/b <= 1 - 1/b stays a half-ulp away from 1).
+    Returns (values3, None) or (None, (idx_f, miss_f)) for mode="xla"."""
+    rt = u.shape[1]
+    miss = tex_num == -1.0
+    if mode == "inline":
+        return tuple(jnp.where(miss, d, tex_t[c, 0])
+                     for c, d in enumerate(default3)), None
+    std_w, std_h, tpr, hf, wf = meta5
+    height_factor = wf / hf
+    cx = (u + jnp.mod(tex_num, tpr)) / tpr
+    cy = (v + jnp.floor(tex_num / tpr)) * height_factor / tpr
+    px = jnp.clip(jnp.floor(jnp.mod(cx, 1.0) * wf), 0.0, wf - 1.0)
+    py = jnp.clip(jnp.floor(jnp.mod(cy, 1.0) * hf), 0.0, hf - 1.0)
+    col = jnp.floor(px / std_w)
+    row = jnp.floor(py / std_h)
+    slot = jnp.clip(row * tpr + col, 0.0, jnp.float32(n_slots - 1))
+    s_iota = lax.broadcasted_iota(jnp.int32, (info_t.shape[1], rt), 0)
+    hot = (slot.astype(jnp.int32) == s_iota).astype(jnp.float32)
+    info = jnp.dot(info_t, hot, precision=jax.lax.Precision.HIGHEST)
+    off, sw, sh = info[0:1], info[1:2], info[2:3]
+    sx = jnp.floor((px - col * std_w) * sw / std_w)
+    sy = jnp.floor((py - row * std_h) * sh / std_h)
+    idx = off + sy * sw + sx
+    if mode == "xla":
+        return None, (idx, jnp.where(miss, 1.0, 0.0))
+    k_iota = lax.broadcasted_iota(jnp.int32, (tex_t.shape[1], rt), 0)
+    k_hot = (idx.astype(jnp.int32) == k_iota).astype(jnp.float32)
+    sampled = jnp.dot(tex_t, k_hot, precision=jax.lax.Precision.HIGHEST)
+    return tuple(jnp.where(miss, d, sampled[c:c + 1])
+                 for c, d in enumerate(default3)), None
+
+
 # Channel layout inside the kernels: every per-ray quantity is a DENSE
 # (rb, 128) brick (rb = rt // 128) — a (1, rt) sublane slice occupies one
 # sublane of each 8x128 vreg, so all elementwise VPU work on it runs at
@@ -714,6 +813,42 @@ def _sp_mt_closures(w, tp: int, rt: int, x6: bool = False):
     return closest_brick, traverse_soa, shadow_soa
 
 
+def _sp_fetch_all(surface: BounceSurface, tabs, metas, modes, rb: int):
+    """Run the three table fetches for `surface` inside the kernel.
+    tabs = ((alb_texT, alb_infoT), (pbr...), (tpo...)); metas = three
+    5-tuples of traced f32 scalars. Returns (albreq5 | None, texval9)
+    as (rb, 128) bricks; albedo's value slot is zeros in "xla" mode
+    (the driver gathers and re-injects it through the tex block)."""
+    u = _sp_flat(surface.bary_u)
+    v = _sp_flat(surface.bary_v)
+    zero = jnp.zeros((rb, 128), jnp.float32)
+
+    def run(ti, tex_num, default3):
+        mode, n_slots, n_texels = modes[ti]
+        vals, req = _sp_fetch_table(
+            tabs[ti][0], tabs[ti][1], metas[ti], u, v, _sp_flat(tex_num),
+            tuple(_sp_flat(d) for d in default3), mode=mode,
+            n_slots=n_slots, n_texels=n_texels)
+        if vals is not None:
+            vals = tuple(_sp_brick(x, rb) if hasattr(x, "reshape")
+                         else jnp.full((rb, 128), x) for x in vals)
+        if req is not None:
+            req = tuple(_sp_brick(x, rb) for x in req)
+        return vals, req
+
+    alb_vals, alb_req = run(0, surface.tex_nums[0], surface.inline_albedo)
+    pbr_vals, _ = run(1, surface.tex_nums[1], surface.inline_rme)
+    tpo_vals, _ = run(2, surface.tex_nums[2], surface.inline_tpo)
+    if alb_req is not None:
+        albreq5 = [alb_req[0], alb_req[1], *surface.inline_albedo]
+        alb3 = (zero, zero, zero)
+    else:
+        albreq5 = [zero] * 5
+        alb3 = alb_vals
+    texval9 = [*alb3, *pbr_vals, *tpo_vals]
+    return albreq5, texval9
+
+
 def _sp_loop(body, subtile: int):
     """Walk `subtile` state slices inside one program. body(k) reads/
     writes refs at leading index k; results are identical to one program
@@ -729,11 +864,18 @@ def _sp_loop(body, subtile: int):
 
 
 def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
-                  resample: bool, x6: bool = False):
+                  resample: bool, x6: bool = False, tex_modes=None):
     """Primary closest hit (relaxed edge window, see render_mrt) + carry
     init + bounce_pre(0). With `resample` (samples 2..spp), the primary
     parts and carried aux channels are read from the previous sample's
-    final state block instead of re-casting."""
+    final state block instead of re-casting. With `tex_modes` (flavor 3)
+    the bounce-0 texture fetch arithmetic runs here too."""
+    rest = list(rest)
+    tabs = None
+    if tex_modes is not None:
+        t6, rest = rest[:6], rest[6:]
+        tabs = [(t6[0][...], t6[1][...]), (t6[2][...], t6[3][...]),
+                (t6[4][...], t6[5][...])]
     if resample:
         rays_ref, prev_ref, out_ref = rest
     else:
@@ -746,6 +888,10 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
     fetch_rows = _sp_fetch_rows(mat, rt)
     zero = jnp.zeros((rb, 128), jnp.float32)
     one = jnp.ones((rb, 128), jnp.float32)
+    metas = None
+    if tex_modes is not None:
+        metas = [tuple(scal_ref[1 + 5 * t + j] for j in range(5))
+                 for t in range(3)]
 
     def body(k):
         rays = rays_ref[k]                               # [8, rb, 128]
@@ -765,24 +911,36 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
                    zero, zero, zero, one)
         carry = bounce_carry_init((ps, pu, pv, ptri), o3, d3, aux)
         carry, s = bounce_pre(carry, 0, mat, config, fetch_rows_fn=fetch_rows)
-        chans = (_carry_to_channels(carry)
-                 + [s.m.astype(jnp.float32), *s.smooth_normal,
-                    s.geometry_offset,
-                    ps, pu, pv, ptri.astype(jnp.float32), zero, zero]
-                 + _sp_texin_channels(s))
+        head = (_carry_to_channels(carry)
+                + [s.m.astype(jnp.float32), *s.smooth_normal,
+                   s.geometry_offset,
+                   ps, pu, pv, ptri.astype(jnp.float32), zero, zero])
+        if tex_modes is None:
+            chans = head + _sp_texin_channels(s)
+        else:
+            albreq5, texval9 = _sp_fetch_all(s, tabs, metas, tex_modes, rb)
+            chans = head + albreq5 + texval9
         _sp_emit(out_ref, k, chans, rb)
 
     _sp_loop(body, subtile)
 
 
-def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
-                    tex_ref, out_ref, *, config, subtile: int,
-                    x6: bool = False):
+def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, *rest,
+                    config, subtile: int, x6: bool = False, tex_modes=None):
     """bounce_post for the bounce index carried in scalar prefetch
-    (scal = [seed, cos_sample_n, i, 2^-i]) + fused bounce_pre(i+1). One
-    Mosaic program serves every bounce; the in-kernel shadow ray and next
-    closest hit run as MT contractions over the whole (VMEM-resident)
-    triangle set."""
+    (scal = [seed, cos_sample_n, i, 2^-i, (flavor-3: 3x5 table metas)])
+    + fused bounce_pre(i+1). One Mosaic program serves every bounce; the
+    in-kernel shadow ray and next closest hit run as MT contractions
+    over the whole (VMEM-resident) triangle set. With `tex_modes` the
+    NEXT bounce's texture fetch arithmetic also runs here (see
+    _sp_fetch_table)."""
+    rest = list(rest)
+    tabs = None
+    if tex_modes is not None:
+        t6, rest = rest[:6], rest[6:]
+        tabs = [(t6[0][...], t6[1][...]), (t6[2][...], t6[3][...]),
+                (t6[4][...], t6[5][...])]
+    prev_ref, tex_ref, out_ref = rest
     tp = w_ref.shape[1] // 4
     rb = prev_ref.shape[2]
     rt = rb * prev_ref.shape[3]
@@ -799,11 +957,16 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
     cos_sample_n = scal_ref[1]
     i_f = scal_ref[2]
     i_scale = scal_ref[3]
+    metas = None
+    if tex_modes is not None:
+        metas = [tuple(scal_ref[4 + 5 * t + j] for j in range(5))
+                 for t in range(3)]
 
     def body(k):
-        prev = prev_ref[k]                               # [SP_IN, rb, 128]
-        texb = tex_ref[k]                                # [SP_TEX, rb, 128]
-        ch = [prev[j] for j in range(SP_IN)]
+        prev = prev_ref[k]                               # [*, rb, 128]
+        texb = tex_ref[k]
+        n_in = SP_IN if tex_modes is None else SP3_IN
+        ch = [prev[j] for j in range(n_in)]
         carry = _carry_from_channels(ch[:N_CARRY], zero)
         b = SP_SURF0
         surface = BounceSurface(
@@ -813,9 +976,19 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
             bary_u=zero, bary_v=zero, tex_nums=(zero,) * 3,
             inline_albedo=(zero,) * 3, inline_rme=(zero,) * 3,
             inline_tpo=(zero,) * 3)
-        tex = ((texb[0], texb[1], texb[2]), texb[3], texb[4],
-               texb[5], (texb[6], texb[7], texb[8]))
-        ndc2 = (texb[9], texb[10])
+        if tex_modes is None:
+            tex = ((texb[0], texb[1], texb[2]), texb[3], texb[4],
+                   texb[5], (texb[6], texb[7], texb[8]))
+            ndc2 = (texb[9], texb[10])
+        else:
+            tv = SP3_TEXVAL
+            if tex_modes[0][0] == "xla":
+                albedo = (texb[0], texb[1], texb[2])
+            else:
+                albedo = (ch[tv], ch[tv + 1], ch[tv + 2])
+            tex = (albedo, ch[tv + 3], ch[tv + 4], ch[tv + 5],
+                   (ch[tv + 6], ch[tv + 7], ch[tv + 8]))
+            ndc2 = (texb[3], texb[4])
 
         rec = []
 
@@ -838,11 +1011,15 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, prev_ref,
         carry, s2 = bounce_pre(carry, 0, mat, config,
                                fetch_rows_fn=fetch_rows)
         p = SP_PPART0
-        chans = (_carry_to_channels(carry)
-                 + [s2.m.astype(jnp.float32), *s2.smooth_normal,
-                    s2.geometry_offset,
-                    ch[p], ch[p + 1], ch[p + 2], ch[p + 3], zero, zero]
-                 + _sp_texin_channels(s2) + rec)
+        head = (_carry_to_channels(carry)
+                + [s2.m.astype(jnp.float32), *s2.smooth_normal,
+                   s2.geometry_offset,
+                   ch[p], ch[p + 1], ch[p + 2], ch[p + 3], zero, zero])
+        if tex_modes is None:
+            chans = head + _sp_texin_channels(s2) + rec
+        else:
+            albreq5, texval9 = _sp_fetch_all(s2, tabs, metas, tex_modes, rb)
+            chans = head + albreq5 + texval9 + rec
         _sp_emit(out_ref, k, chans, rb)
 
     _sp_loop(body, subtile)
@@ -898,6 +1075,19 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     loc_geometry = buffers.geometry[buffers.id_buffer]
     cam = jnp.stack([jnp.asarray(camera_pos[c], jnp.float32)
                      for c in range(3)]).reshape(1, 3)
+
+    # Flavor 3: texture fetch arithmetic in-kernel (see _sp_fetch_table);
+    # FLEXLIGHT_SPLIT_TEX=xla forces the legacy full-XLA bounce_tex.
+    tex_modes = (None if os.environ.get("FLEXLIGHT_SPLIT_TEX", "") == "xla"
+                 else _sp_tex_modes(buffers))
+    tex_tables = []
+    tex_metas = []
+    if tex_modes is not None:
+        for tab, (mode, _, _) in zip((buffers.albedo_tab, buffers.pbr_tab,
+                                      buffers.tpo_tab), tex_modes):
+            tex_t, info_t = _sp_table_args(tab, mode)
+            tex_tables += [tex_t, info_t]
+            tex_metas.append(tab.meta.astype(jnp.float32))
 
     n_rows = height if rows is None else rows
     origin, direction, ndc = camera_rays(width, height, camera_pos,
@@ -968,49 +1158,83 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     chan = lambda st, j: st[:, j].reshape(g, rt)            # [G, rt]
     ndc2 = tuple(c.reshape(g, rt) for c in ndc2)
 
+    flavor3 = tex_modes is not None
+    meta_f = (jnp.concatenate(tex_metas) if flavor3
+              else jnp.zeros(0, jnp.float32))
+    in_ch = SP3_IN if flavor3 else SP_IN
     total = None
     records = []
     state = None
     for s in range(n_local):
+        i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
+                     resample=s > 0, x6=use_x6, tex_modes=tex_modes)
+        i0_scal = jnp.concatenate([seedf.reshape(1), meta_f])
         if s == 0:
-            i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
-                         resample=False, x6=use_x6)
-            state = run_kernel(i0, seedf.reshape(1), [w_grouped, mat],
+            state = run_kernel(i0, i0_scal,
+                               [w_grouped, mat] + tex_tables,
                                [rays_in], [8])
         else:
-            i0 = partial(_sp_i0_kernel, config=config, subtile=sub,
-                         resample=True, x6=use_x6)
-            state = run_kernel(i0, seedf.reshape(1), [w_grouped, mat],
-                               [rays_in, state], [8, SP_IN])
+            state = run_kernel(i0, i0_scal,
+                               [w_grouped, mat] + tex_tables,
+                               [rays_in, state], [8, in_ch])
         cos_sample_n = jnp.cos(jnp.float32(s) + jnp.float32(sample_offset))
         for i in range(n_bounces):
-            # the atlas gathers run in XLA — arbitrary atlas sizes. Only
-            # the texin slice of the state block is read and only the
-            # small tex block is packed; the state itself stays in HBM.
-            tx = SP_TEXIN0
-            surface = BounceSurface(
-                m=None, smooth_normal=(None,) * 3, geometry_offset=None,
-                bary_u=chan(state, tx), bary_v=chan(state, tx + 1),
-                tex_nums=tuple(chan(state, tx + 2 + c) for c in range(3)),
-                inline_albedo=tuple(chan(state, tx + 5 + c)
-                                    for c in range(3)),
-                inline_rme=tuple(chan(state, tx + 8 + c) for c in range(3)),
-                inline_tpo=tuple(chan(state, tx + 11 + c)
-                                 for c in range(3)))
-            albedo, rough, metal, emis, tpo = bounce_tex(buffers, surface)
-            zgr = jnp.zeros_like(rough)
-            tex_block = jnp.stack(
-                [*albedo, rough, metal, emis, *tpo, *ndc2,
-                 *([zgr] * (SP_TEX - 11))],
-                axis=1).reshape(g, SP_TEX, rb, 128)
-            scalars = jnp.stack([seedf, cos_sample_n, jnp.float32(float(i)),
-                                 jnp.float32(2.0 ** -i)])
+            if flavor3:
+                # the only XLA tex work left: the big-table texel gather
+                # by the in-kernel-computed index (u8 row gather), or
+                # nothing at all when every table samples in-kernel.
+                if tex_modes[0][0] == "xla":
+                    tab = buffers.albedo_tab
+                    idx = chan(state, SP3_ALBREQ).astype(jnp.int32)
+                    missf = chan(state, SP3_ALBREQ + 1)
+                    sampled = tab.texels[
+                        jnp.clip(idx, 0, tab.texels.shape[0] - 1)
+                    ].astype(jnp.float32)
+                    if tab.texels.dtype == jnp.uint8:
+                        sampled = sampled * jnp.float32(1.0 / 255.0)
+                    albedo = tuple(
+                        jnp.where(missf > 0.5,
+                                  chan(state, SP3_ALBREQ + 2 + c),
+                                  sampled[..., c]) for c in range(3))
+                else:
+                    albedo = (ndc2[0] * 0.0,) * 3  # unused by the kernel
+                tex_block = jnp.stack(
+                    [*albedo, *ndc2, *([ndc2[0] * 0.0] * (SP_TEX3 - 5))],
+                    axis=1).reshape(g, SP_TEX3, rb, 128)
+            else:
+                # legacy flavor: all three atlas fetches in XLA. Only the
+                # texin slice of the state block is read and only the
+                # small tex block is packed; the state stays in HBM.
+                tx = SP_TEXIN0
+                surface = BounceSurface(
+                    m=None, smooth_normal=(None,) * 3, geometry_offset=None,
+                    bary_u=chan(state, tx), bary_v=chan(state, tx + 1),
+                    tex_nums=tuple(chan(state, tx + 2 + c)
+                                   for c in range(3)),
+                    inline_albedo=tuple(chan(state, tx + 5 + c)
+                                        for c in range(3)),
+                    inline_rme=tuple(chan(state, tx + 8 + c)
+                                     for c in range(3)),
+                    inline_tpo=tuple(chan(state, tx + 11 + c)
+                                     for c in range(3)))
+                albedo, rough, metal, emis, tpo = bounce_tex(buffers,
+                                                             surface)
+                zgr = jnp.zeros_like(rough)
+                tex_block = jnp.stack(
+                    [*albedo, rough, metal, emis, *tpo, *ndc2,
+                     *([zgr] * (SP_TEX - 11))],
+                    axis=1).reshape(g, SP_TEX, rb, 128)
+            scalars = jnp.concatenate(
+                [jnp.stack([seedf, cos_sample_n, jnp.float32(float(i)),
+                            jnp.float32(2.0 ** -i)]), meta_f])
             post = partial(_sp_post_kernel, config=config, subtile=sub,
-                           x6=use_x6)
+                           x6=use_x6, tex_modes=tex_modes)
             state = run_kernel(post, scalars,
-                               [w_grouped, buffers.lights, cam, mat],
-                               [state, tex_block], [SP_IN, SP_TEX])
-            r = SP_REC0
+                               [w_grouped, buffers.lights, cam, mat]
+                               + tex_tables,
+                               [state, tex_block],
+                               [in_ch, SP_TEX3 if flavor3 else SP_TEX])
+            r = SP3_REC if flavor3 else SP_REC0
             records.append(
                 (chan(state, r) > 0.0,
                  tuple(chan(state, r + 1 + c) for c in range(3)),
