@@ -1076,10 +1076,19 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
     cam = jnp.stack([jnp.asarray(camera_pos[c], jnp.float32)
                      for c in range(3)]).reshape(1, 3)
 
-    # Flavor 3: texture fetch arithmetic in-kernel (see _sp_fetch_table);
-    # FLEXLIGHT_SPLIT_TEX=xla forces the legacy full-XLA bounce_tex.
-    tex_modes = (None if os.environ.get("FLEXLIGHT_SPLIT_TEX", "") == "xla"
-                 else _sp_tex_modes(buffers))
+    # Flavor 3 (FLEXLIGHT_SPLIT_TEX=inkernel): texture fetch arithmetic
+    # in-kernel (see _sp_fetch_table). Default OFF — chip A/B 2026-08-20
+    # (batch r4m): theater 1080p direct 112.7 vs 106.3 ms legacy, obj/
+    # emissive neutral. The r4k "-texfetch" ablation had suggested the
+    # XLA tex stage cost ~51 ms, but replacing it moved nothing — the
+    # stub delta was fusion-context distortion, and the in-kernel
+    # index arithmetic on (1, rt) rows plus HIGHEST one-hot dots costs
+    # slightly more than the XLA pipelines it replaces. Kept env-gated
+    # (fully tested: exact-equality vs mxu incl. the f32-emulated
+    # integer ops) as a documented negative result.
+    tex_modes = (_sp_tex_modes(buffers)
+                 if os.environ.get("FLEXLIGHT_SPLIT_TEX", "") == "inkernel"
+                 else None)
     tex_tables = []
     tex_metas = []
     if tex_modes is not None:

@@ -250,6 +250,33 @@ def test_fused_split_xla_mode_matches_mxu(big_atlas, n_lights, spp, bounces):
             atol=5e-5, rtol=0, err_msg=name)
 
 
+@pytest.mark.parametrize("big_atlas", [False, True])
+def test_fused_split_inkernel_tex_matches_mxu(monkeypatch, big_atlas):
+    """Flavor 3 (FLEXLIGHT_SPLIT_TEX=inkernel, default-off negative
+    result): the in-kernel fetch arithmetic — f32-emulated // and %,
+    one-hot slot/texel contractions, xla-deferred big-table gather —
+    must be value-exact vs scheme=mxu."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+
+    monkeypatch.setenv("FLEXLIGHT_SPLIT_TEX", "inkernel")
+    if big_atlas:
+        buffers, pos, view = _setup_big_atlas()
+    else:
+        buffers, pos, view = _setup()
+    config = cornell_config(max_reflections=2)
+    size = 24
+    ref = pt.render_mrt(buffers, size, size, pos, view, config,
+                        jnp.float32(0.0), scheme="mxu")
+    got = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                 jnp.float32(0.0), pallas=False)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            atol=5e-5, rtol=0, err_msg=name)
+
+
 @pytest.mark.slow
 def test_fused_split_kernel_statistics_vs_xla_mode():
     """The interpret kernels: coverage exact, RNG-downstream budgeted
