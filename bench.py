@@ -41,7 +41,7 @@ enable_compile_cache()  # the 1080p filter kernels take minutes cold
 
 RES = 256
 DEVICE_FRAMES = 16
-E2E_FRAMES = 5
+E2E_FRAMES = 20
 NS_W, NS_H = 1920, 1080
 NS_FRAMES = 4
 
@@ -172,10 +172,13 @@ def bench_cornell():
     img = pt.render_frame()
     coverage = float((img.sum(axis=-1) > 0).mean())
     # e2e = the production interactive path (serve.py): u8 on-device
-    # quantization + pipelined swapchain fetch (frame N-1's bytes land
-    # while frame N computes), so the relay round-trip is hidden.
-    pt.pipelined = True
-    pt.render_frame_u8()  # prime the double buffer
+    # quantization + pipelined swapchain fetch (frame N-4's bytes land
+    # while frame N computes). Depth 4: the relay transfer itself takes
+    # ~30 ms regardless of host work (bench_e2e_anatomy), so several
+    # transfers in flight are the only way below the transfer latency.
+    pt.pipelined = 4
+    for _ in range(4):
+        pt.render_frame_u8()  # prime the swapchain
     t0 = time.perf_counter()
     for _ in range(E2E_FRAMES):
         img = pt.render_frame_u8()
@@ -189,6 +192,7 @@ def bench_cornell():
         "ms_per_frame": round(device_ms, 2),
         "fps": round(fps, 1),
         "e2e_ms_per_frame_via_relay": round(e2e_ms, 2),
+        "swapchain_depth": 4,
         "resolution": [RES, RES],
         "coverage": round(coverage, 3),
         "scheme": scheme,

