@@ -30,11 +30,13 @@ implementations —
 Eligibility (checked by `fused_eligible`): the scene's triangle count
 fits the in-VMEM tables (<= MAX_TRIS), the light count fits the
 unrolled in-kernel reservoir (<= MAX_LIGHTS), and every atlas has
-<= MAX_TEXELS texels. Big-ATLAS scenes run the per-bounce SPLIT
-pipeline instead (`render_mrt_fused_split`, scheme="fused_split",
-second half of this file): PRE/POST Pallas kernels around XLA atlas
-gathers, loop-carried state crossing HBM as one packed block. Scenes
-over MAX_TRIS (dragon) keep the sparse wavefront path.
+<= MAX_TEXELS texels. Scenes with bigger atlases run the per-bounce
+SPLIT pipeline instead (`render_mrt_fused_split`, scheme="fused_split",
+second half of this file — since round 4 the DEFAULT scheme for every
+<=512-triangle scene): subtile-looped POST kernels (bounce_post + fused
+next bounce_pre) around the XLA atlas gathers, loop-carried state
+crossing HBM as one packed brick-channel block. Scenes over MAX_TRIS
+(dragon) keep the sparse wavefront path.
 
 Equivalence: in interpret mode the kernel traces to the same XLA ops as
 scheme="mxu", so tests pin near-exact equality; on real TPU hardware the
@@ -830,8 +832,7 @@ def _sp_fetch_all(surface: BounceSurface, tabs, metas, modes, rb: int):
             tuple(_sp_flat(d) for d in default3), mode=mode,
             n_slots=n_slots, n_texels=n_texels)
         if vals is not None:
-            vals = tuple(_sp_brick(x, rb) if hasattr(x, "reshape")
-                         else jnp.full((rb, 128), x) for x in vals)
+            vals = tuple(_sp_brick(x, rb) for x in vals)
         if req is not None:
             req = tuple(_sp_brick(x, rb) for x in req)
         return vals, req
