@@ -161,13 +161,19 @@ def bench_cornell():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(chained(buffers, pos, view, 1))          # compile + warm
-    t0 = time.perf_counter()
-    float(chained(buffers, pos, view, 1))
-    one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(buffers, pos, view, DEVICE_FRAMES + 1))
-    many = time.perf_counter() - t0
-    device_ms = max(many - one, 1e-6) / DEVICE_FRAMES * 1000.0
+    # median of 3 paired (1, N+1) measurements: a single relay hiccup in
+    # the 1-frame call otherwise skews the subtraction wildly (a 0.19 ms
+    # "device frame" was recorded once from exactly that)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(buffers, pos, view, 1))
+        one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chained(buffers, pos, view, DEVICE_FRAMES + 1))
+        many = time.perf_counter() - t0
+        samples.append(max(many - one, 1e-6) / DEVICE_FRAMES * 1000.0)
+    device_ms = sorted(samples)[1]
 
     img = pt.render_frame()
     coverage = float((img.sum(axis=-1) > 0).mean())
