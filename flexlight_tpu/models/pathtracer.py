@@ -304,9 +304,12 @@ class PathTracer:
         from ..scene.transform import global_registry
 
         reg = global_registry()
-        if getattr(self, "_transform_version", None) == reg.version:
+        # key on the registry object's identity too: after
+        # reset_global_registry() a fresh registry could coincide with the
+        # cached counter value and skip the upload with stale arrays
+        if getattr(self, "_transform_version", None) == (id(reg), reg.version):
             return  # nothing moved: skip the rebuild AND the upload
-        self._transform_version = reg.version
+        self._transform_version = (id(reg), reg.version)
         rot, shift = reg.build_arrays()
         self._buffers = self._buffers._replace(
             rotations=jnp.asarray(rot), shifts=jnp.asarray(shift))
@@ -403,9 +406,14 @@ class PathTracer:
                 pass  # non-jax arrays (freeze path) / older backends
             self._pending_display.append(display)
             if len(self._pending_display) > depth:
-                display = self._pending_display.pop(0)
-            # else: warmup — return the newest (still correct, just not
-            # yet pipelined)
+                # drain fully so a lowered depth takes effect immediately
+                while len(self._pending_display) > depth:
+                    display = self._pending_display.pop(0)
+            else:
+                # warmup: return the OLDEST pending frame so the displayed
+                # sequence stays monotonic (0,0,..,1,2,...) instead of
+                # showing each warmup frame twice and jumping back
+                display = self._pending_display[0]
         self._frame_count += 1
         self._fps_frames += 1
         now = time.perf_counter()
