@@ -63,17 +63,93 @@ def _filter_passes(post_scheme: str, fast: bool = False):
         from ..post.filter_kernel import (final_filter_tpu, first_filter_tpu,
                                           second_filter_tpu)
 
+        interp = jax.default_backend() == "cpu"
         if fast:
-            return (first_filter_tpu,
-                    partial(second_filter_tpu, ty=32, compact=True),
-                    partial(final_filter_tpu, ty=32, compact=True))
-        return first_filter_tpu, second_filter_tpu, final_filter_tpu
+            return (partial(first_filter_tpu, interpret=interp),
+                    partial(second_filter_tpu, ty=32, compact=True,
+                            interpret=interp),
+                    partial(final_filter_tpu, ty=32, compact=True,
+                            interpret=interp))
+        return (partial(first_filter_tpu, interpret=interp),
+                partial(second_filter_tpu, interpret=interp),
+                partial(final_filter_tpu, interpret=interp))
     return first_filter, second_filter, final_filter
 
 
-def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=lambda f: f,
+def _filter_chain_packed(config: Config, r0, ip0, oc0, id0, oid):
+    """The kernel-scheme filter chain on PACKED int32 [H, W] planes
+    (round 5): the legacy route's [H, W, 4] float intermediates are
+    lane-padded 32x on TPU, so every pass paid a [C,H,W] -> [H,W,4]
+    transpose + re-pack in XLA (~half the fast-chain cost,
+    scripts/bench_filter_io.py). Values identical to the legacy kernel
+    route (packing rgba8-quantized floats is lossless; pinned by
+    tests/test_fast_filter.py::test_packed_chain_matches_legacy).
+    Same ping-pong/dropped-attachment indexing as _filter_chain."""
+    from ..post.filter_kernel import (final_filter_tpu_packed,
+                                      first_filter_tpu_packed, pack_rgba8,
+                                      second_filter_tpu_packed,
+                                      tileize_blur_key_packed)
+
+    fast = config.filter_mode == "fast"
+    interp = jax.default_backend() == "cpu"
+    first_fn = partial(first_filter_tpu_packed, interpret=interp)
+    if fast:
+        second_fn = partial(second_filter_tpu_packed, ty=32, compact=True,
+                            interpret=interp)
+        final_fn = partial(final_filter_tpu_packed, ty=32, compact=True,
+                           interpret=interp)
+    else:
+        second_fn = partial(second_filter_tpu_packed, interpret=interp)
+        final_fn = partial(final_filter_tpu_packed, interpret=interp)
+    key_fn = tileize_blur_key_packed if fast else (lambda x: x)
+    r0p, ip0p, oc0p, id0p, oidp = (pack_rgba8(x)
+                                   for x in (r0, ip0, oc0, id0, oid))
+    zeros = jnp.zeros_like(r0p)
+    render = {0: r0p, 1: zeros, 2: zeros, 3: zeros}
+    ip = {0: ip0p, 1: zeros, 2: zeros, 3: zeros}
+    ids = {0: id0p, 1: zeros}
+    ocolor = {0: key_fn(oc0p), 1: zeros}
+    n = n_id = n_original = 0
+    first, second = config.first_passes, config.second_passes
+    for i in range(first + second):
+        np_ = (i % 2) ^ 1
+        npo = ((i - first) % 2) ^ 1
+        if i >= first:
+            np_ += 2
+        inputs = (render[n], ip[n], ocolor[n_original], ids[n_id], oidp)
+        if i < first:
+            c, p, idout = first_fn(*inputs)
+            render[np_], ip[np_] = c, p
+            ids[np_] = idout
+        else:
+            c, p, oc = second_fn(*inputs)
+            render[np_], ip[np_] = c, p
+            if i - 2 >= first:
+                ocolor[npo] = key_fn(oc)  # earlier second passes: dropped
+        n = np_
+        if i >= first:
+            n_original = npo
+        else:
+            n_id = np_
+    index = 2 + (first + second) % 2
+    index_id = first % 2
+    index_original = second % 2
+    return final_fn(render[index], ip[index], ocolor[index_original],
+                    ids[index_id], oidp, config.hdr)
+
+
+def _filter_chain(config: Config, r0, ip0, oc0, id0, oid, lift=None,
                   post_scheme: str = "gather", tileize=None):
     fast = config.filter_mode == "fast"
+    resolved = post_scheme
+    if resolved == "auto":
+        resolved = "gather" if jax.default_backend() == "cpu" else "kernel"
+    if resolved == "kernel" and lift is None and tileize is None:
+        # single-chip kernel route: packed pipeline (no [H, W, 4] float
+        # intermediates between passes). The halo-sharded pipeline (which
+        # injects lift/tileize) keeps the legacy float route.
+        return _filter_chain_packed(config, r0, ip0, oc0, id0, oid)
+    lift = lift if lift is not None else (lambda f: f)
     first_fn, second_fn, final_fn = _filter_passes(post_scheme, fast)
     if fast and tileize is None:
         from ..post.common import tileize_blur_key

@@ -185,12 +185,19 @@ def fetch_tex_val_table(table: AtlasTable, u, v, tex_num, default3):
         if texels.dtype == jnp.uint8:
             tabf = tabf * jnp.float32(1.0 / 255.0)
         sampled = jnp.dot(hot, tabf, precision=jax.lax.Precision.HIGHEST)
+        return tuple(jnp.where(miss, d, sampled[..., c])
+                     for c, d in enumerate(default3))
     else:
+        # The 2M-index row gather is a hard ~4.4 ms floor on this chip
+        # (scripts/bench_fetch_bisect.py — ~2 cycles/row, table size and
+        # barriers irrelevant); what IS avoidable is the [N, 3] -> [3, N]
+        # moveaxis relayout that used to follow it (~3.5 ms/bounce):
+        # slice the channels off the gather result instead.
         sampled = texels[idx].astype(jnp.float32)
         if texels.dtype == jnp.uint8:
             sampled = sampled * jnp.float32(1.0 / 255.0)
-    sampled = jnp.moveaxis(sampled, -1, 0)
-    return tuple(jnp.where(miss, d, sampled[c]) for c, d in enumerate(default3))
+        return tuple(jnp.where(miss, d, sampled[..., c])
+                     for c, d in enumerate(default3))
 
 
 def build_scene_buffers(scene, registry=None) -> SceneBuffers:
@@ -236,8 +243,10 @@ def fetch_tex_val(atlas: jnp.ndarray, uv: jnp.ndarray, tex_num: jnp.ndarray,
     px = jnp.floor(jnp.mod(cx, 1.0) * w).astype(jnp.int32).clip(0, w - 1)
     py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
     # flat row gather: a two-axis atlas[py, px] gather leaves the TPU
-    # vectorized gather path
-    sampled = atlas.reshape(h * w, atlas.shape[-1])[py * w + px]
+    # vectorized gather path; the barrier keeps the computed index from
+    # fusing into the gather (which demotes it to the scalar core)
+    flat_idx = jax.lax.optimization_barrier(py * w + px)
+    sampled = atlas.reshape(h * w, atlas.shape[-1])[flat_idx]
     return jnp.where((tex_num == -1.0)[..., None], default, sampled)
 
 
@@ -257,5 +266,6 @@ def fetch_tex_val_soa(atlas: jnp.ndarray, u, v, tex_num, default3,
     px = jnp.floor(jnp.mod(cx, 1.0) * w).astype(jnp.int32).clip(0, w - 1)
     py = jnp.floor(jnp.mod(cy, 1.0) * h).astype(jnp.int32).clip(0, h - 1)
     sampled = jnp.moveaxis(
-        atlas.reshape(h * w, atlas.shape[-1])[py * w + px], -1, 0)
+        atlas.reshape(h * w, atlas.shape[-1])[
+            jax.lax.optimization_barrier(py * w + px)], -1, 0)
     return tuple(jnp.where(miss, d, sampled[c]) for c, d in enumerate(default3))

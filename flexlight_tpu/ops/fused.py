@@ -831,6 +831,10 @@ def _sp_fetch_all(surface: BounceSurface, tabs, metas, modes, rb: int):
     u = surface.bary_u
     v = surface.bary_v
     zero = jnp.zeros((rb, 128), jnp.float32)
+    if os.environ.get("FLEXLIGHT_SPLIT_FETCHSTUB", ""):
+        # decomposition stub: inline defaults instead of fetch arithmetic
+        return ([zero] * 5, [*surface.inline_albedo, *surface.inline_rme,
+                             *surface.inline_tpo])
 
     def run(ti, tex_num, default3):
         mode, n_slots, n_texels = modes[ti]
@@ -938,7 +942,8 @@ def _sp_i0_kernel(scal_ref, w_ref, mat_ref, *rest, config, subtile: int,
 
 
 def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, *rest,
-                    config, subtile: int, x6: bool = False, tex_modes=None):
+                    config, subtile: int, x6: bool = False, tex_modes=None,
+                    allow_skip: bool = True):
     """bounce_post for the bounce index carried in scalar prefetch
     (scal = [seed, cos_sample_n, i, 2^-i, (flavor-3: 3x5 table metas)])
     + fused bounce_pre(i+1). One Mosaic program serves every bounce; the
@@ -985,10 +990,40 @@ def _sp_post_kernel(scal_ref, w_ref, lights_ref, cam_ref, mat_ref, *rest,
         _sp_loop(stub_body, subtile)
         return
 
+    # Dead-subtile skip (round 5): bounce alive fractions collapse
+    # (theater ~98/43/13/4%) and alive-at-bounce-k pixels cluster
+    # spatially (camera-order tiles), so whole subtiles go dead from
+    # bounce 2 on. When no ray in the slice has surface.m set, every
+    # carry write in bounce_post/bounce_pre is m-guarded (pathtrace.py:
+    # bounce_shade/apply/commit where-guards), so the true output equals
+    # the input with surf.m forced 0 (bounce_pre(i+1) would recompute
+    # m = False: commit kills alive wherever m was False) and the rec df
+    # channel 0 — which is exactly what the copy branch emits. Pinned by
+    # test_fused.py::test_fused_split_dead_subtile_skip (interpret,
+    # skip on == off exactly).
+    skip_dead = allow_skip and os.environ.get(
+        "FLEXLIGHT_SPLIT_SKIP", "1") != "0"
+
     def body(k):
         prev = prev_ref[k]                               # [*, rb, 128]
         texb = tex_ref[k]
         n_in = SP_IN if tex_modes is None else SP3_IN
+        if skip_dead:
+            any_live = jnp.max(prev[SP_SURF0]) > 0.0
+
+            @pl.when(jnp.logical_not(any_live))
+            def _():
+                chc = [prev[j] for j in range(n_in)]
+                chc[SP_SURF0] = jnp.zeros((rb, 128), jnp.float32)
+                _sp_emit(out_ref, k, chc, rb)
+
+            @pl.when(any_live)
+            def _():
+                _body_live(k, prev, texb, n_in)
+        else:
+            _body_live(k, prev, texb, n_in)
+
+    def _body_live(k, prev, texb, n_in):
         ch = [prev[j] for j in range(n_in)]
         carry = _carry_from_channels(ch[:N_CARRY], zero)
         b = SP_SURF0
@@ -1100,15 +1135,17 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                      for c in range(3)]).reshape(1, 3)
 
     # Flavor 3 (FLEXLIGHT_SPLIT_TEX=inkernel): texture fetch arithmetic
-    # in-kernel (see _sp_fetch_table). Default OFF — chip A/B 2026-08-20
-    # (batch r4m): theater 1080p direct 112.7 vs 106.3 ms legacy, obj/
-    # emissive neutral. The r4k "-texfetch" ablation had suggested the
-    # XLA tex stage cost ~51 ms, but replacing it moved nothing — the
-    # stub delta was fusion-context distortion, and the in-kernel
-    # index arithmetic on (1, rt) rows plus HIGHEST one-hot dots costs
-    # slightly more than the XLA pipelines it replaces. Kept env-gated
-    # (fully tested: exact-equality vs mxu incl. the f32-emulated
-    # integer ops) as a documented negative result.
+    # in-kernel (see _sp_fetch_table). Default OFF — re-rejected in
+    # round 5 with the right attribution (docs/PERF.md r5 batch A): the
+    # XLA tex stage really was ~53 ms of theater's 105 ms frame (the r4m
+    # "moved nothing" conclusion was wrong), but flavor 3 loses anyway —
+    # its in-kernel fetch costs ~44 ms even with brick-layout math
+    # (Mosaic lowering/register pressure) and its residual XLA part
+    # ~37 ms. The fix that stuck is in the LEGACY stage instead: drop
+    # the [N,3]->[3,N] moveaxis after the big-table gather
+    # (ops/buffers.py fetch_tex_val_table). Kept env-gated (fully
+    # tested: exact-equality vs mxu incl. the f32-emulated integer ops)
+    # as a documented negative result.
     tex_modes = (_sp_tex_modes(buffers)
                  if os.environ.get("FLEXLIGHT_SPLIT_TEX", "") == "inkernel"
                  else None)
@@ -1219,9 +1256,10 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                     tab = buffers.albedo_tab
                     idx = chan(state, SP3_ALBREQ).astype(jnp.int32)
                     missf = chan(state, SP3_ALBREQ + 1)
-                    sampled = tab.texels[
-                        jnp.clip(idx, 0, tab.texels.shape[0] - 1)
-                    ].astype(jnp.float32)
+                    safe = jax.lax.optimization_barrier(
+                        jnp.clip(idx, 0, tab.texels.shape[0] - 1))
+                    sampled = jax.lax.optimization_barrier(
+                        tab.texels[safe]).astype(jnp.float32)
                     if tab.texels.dtype == jnp.uint8:
                         sampled = sampled * jnp.float32(1.0 / 255.0)
                     albedo = tuple(
@@ -1265,7 +1303,8 @@ def render_mrt_fused_split(buffers: SceneBuffers, width: int, height: int,
                 [jnp.stack([seedf, cos_sample_n, jnp.float32(float(i)),
                             jnp.float32(2.0 ** -i)]), meta_f])
             post = partial(_sp_post_kernel, config=config, subtile=sub,
-                           x6=use_x6, tex_modes=tex_modes)
+                           x6=use_x6, tex_modes=tex_modes,
+                           allow_skip=pallas)
             state = run_kernel(post, scalars,
                                [w_grouped, buffers.lights, cam, mat]
                                + tex_tables,

@@ -150,10 +150,29 @@ def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
     VMEM. The output is the tile's minimum entry distance over (rays x
     clusters) — POW32 when no ray can hit the tile — which doubles as
     the hit flag AND the worklist's near-to-far sort key / early-exit
-    bound (any hit in the tile has s >= this entry distance)."""
+    bound (any hit in the tile has s >= this entry distance).
+
+    All-dead ray tiles (every max_len <= 0 — sorted wavefronts park dead
+    rays in trailing tiles) skip the slab loop outright: the computed
+    result there is POW32 everywhere (hit needs tmin < ml = 0 while
+    entry >= BIAS), so the fast path is value-exact."""
+    ml = rays_ref[0, 6:7, :]
+    any_live = jnp.max(ml) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        out_ref[:] = jnp.full(out_ref.shape, POW32, dtype=jnp.float32)
+
+    @pl.when(any_live)
+    def _():
+        _flags_body(rays_ref, amin_ref, amax_ref, out_ref, ml, kp=kp,
+                    k_chunk=k_chunk, cpt=cpt, ray_tile=ray_tile)
+
+
+def _flags_body(rays_ref, amin_ref, amax_ref, out_ref, ml, *, kp: int,
+                k_chunk: int, cpt: int, ray_tile: int):
     o = [rays_ref[0, c:c + 1, :] for c in range(3)]        # [1, R]
     inv = [rays_ref[0, 3 + c:4 + c, :] for c in range(3)]
-    ml = rays_ref[0, 6:7, :]
     for kc in range(kp // k_chunk):
         sl = slice(kc * k_chunk, (kc + 1) * k_chunk)
         tmin = jnp.full((k_chunk, ray_tile), -jnp.inf, dtype=jnp.float32)
@@ -166,7 +185,9 @@ def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
             tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
             tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
         entry = jnp.maximum(tmin, BIAS)
-        hit = (tmax >= entry) & (tmin < ml)
+        # ml > 0: dead rays flag nothing (they can never accept a hit,
+        # so their candidate tiles were pure worklist inflation)
+        hit = (tmax >= entry) & (tmin < ml) & (ml > 0.0)
         e = jnp.where(hit, entry, POW32)
         emin = jnp.min(e, axis=1, keepdims=True)           # [k_chunk, 1]
         tile = jnp.min(emin.reshape(k_chunk // cpt, cpt, 1), axis=1)
@@ -252,7 +273,8 @@ def _tmins_xla(aabb_min, aabb_max, origin, direction, max_len, rt, wt,
         tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
         entry = jnp.maximum(tmin, BIAS)
-        hit = (tmax >= entry) & (tmin < ml[:, None])
+        hit = ((tmax >= entry) & (tmin < ml[:, None])
+               & (ml[:, None] > 0.0))
         e = jnp.where(hit, entry, POW32)
         return e.reshape(-1, ray_tile, k).min(axis=1)       # [C, K]
 
@@ -362,10 +384,26 @@ def _key_kernel(rays_ref, bmin_ref, bmax_ref, out_ref, *, nbp: int,
     """Per-ray (nearest, 2nd-nearest) supertile box + direction octant,
     packed into one int32 sort key. POW32-entry boxes (missed) map to
     index `nb` so no-candidate rays group together at the back of the
-    live region."""
+    live region. All-dead tiles short-circuit to the dead key (1 << 30 —
+    exactly what the final where would produce for every lane)."""
+    ml = rays_ref[0, 6:7, :]
+    any_live = jnp.max(ml) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        out_ref[:] = jnp.full((1, 1, ray_tile), jnp.int32(1) << 30,
+                              dtype=jnp.int32)
+
+    @pl.when(any_live)
+    def _():
+        _key_body(rays_ref, bmin_ref, bmax_ref, out_ref, ml, nbp=nbp,
+                  k_chunk=k_chunk, ray_tile=ray_tile, nb=nb)
+
+
+def _key_body(rays_ref, bmin_ref, bmax_ref, out_ref, ml, *, nbp: int,
+              k_chunk: int, ray_tile: int, nb: int):
     o = [rays_ref[0, c:c + 1, :] for c in range(3)]
     inv = [rays_ref[0, 3 + c:4 + c, :] for c in range(3)]
-    ml = rays_ref[0, 6:7, :]
     shp = (1, ray_tile)
     e1 = jnp.full(shp, POW32, dtype=jnp.float32)
     i1 = jnp.full(shp, nb, dtype=jnp.int32)
@@ -612,6 +650,16 @@ def _kernel_subtile(cnt_ref, edge_ref, f_ref, ml_ref, w_hbm, s_ref,
             c, _ = carry
             slot = jax.lax.rem(c, 2)
             wait_chunk(slot, c)
+            # Prefetch the next chunk NOW, before the epilogue decides
+            # whether to continue: the old exit-conditional start at the
+            # bottom of the loop exposed the full DMA latency on every
+            # step (~11 us/step measured on coherent primaries, round 5).
+            # Clamped to the last chunk so worklist-row reads stay in
+            # bounds; the one possibly-wasted chunk DMA per subtile is
+            # ~200 KB. The single outstanding prefetch is drained after
+            # the loop (semaphores must balance across grid steps).
+            cp = jnp.minimum(c + 1, nch - 1)
+            start_chunk(jax.lax.rem(c + 1, 2), cp)
             ft = f_ref[:, rsl]                  # [16, ray_tile]
             dn = (((0,), (0,)), ((), ()))       # contract both dim 0
 
@@ -697,14 +745,10 @@ def _kernel_subtile(cnt_ref, edge_ref, f_ref, ml_ref, w_hbm, s_ref,
                                       tm_s.shape[1] - 1)]
             cont = jnp.logical_and(c + 1 < nch,
                                    worst * _EXIT_REL + _EXIT_ABS >= nxt)
-
-            @pl.when(cont)
-            def _():
-                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
-
             return (c + 1, cont)
 
-        jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
+        c_end, _ = jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
+        wait_chunk(jax.lax.rem(c_end, 2), jnp.minimum(c_end, nch - 1))
 
 
 def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
@@ -759,6 +803,9 @@ def _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
             c, _ = carry
             slot = jax.lax.rem(c, 2)
             wait_chunk(slot, c)
+            # prefetch-ahead; see _kernel_subtile
+            cp = jnp.minimum(c + 1, nch - 1)
+            start_chunk(jax.lax.rem(c + 1, 2), cp)
             ft = f_ref[:, rsl]
             dn = (((0,), (0,)), ((), ()))
 
@@ -784,14 +831,10 @@ def _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
                                                hit_ref[0, g:g + 1, :])
             done = jnp.all((hit_ref[0, g:g + 1, :] > 0) | dead)
             cont = jnp.logical_and(jnp.logical_not(done), c + 1 < nch)
-
-            @pl.when(cont)
-            def _():
-                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
-
             return (c + 1, cont)
 
-        jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
+        c_end, _ = jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
+        wait_chunk(jax.lax.rem(c_end, 2), jnp.minimum(c_end, nch - 1))
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",

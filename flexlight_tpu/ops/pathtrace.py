@@ -978,6 +978,15 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         # small-tile matmul savings without the program-launch
         # overhead). Trace-time like the other perf knobs here.
         smode = os.environ.get("FLEXLIGHT_SPARSE_SORT", "nearest2")
+        # Primary casts are block-tiled coherent already; the unhinted
+        # (octant, morton) sort is nearly order-preserving there and its
+        # carry-sort machinery cost 15.4 ms/frame at dragon 1080p
+        # (bench_sparse_anatomy r5: sorted 105.9 vs unsorted 90.5).
+        # Bounce/shadow (hinted) casts keep the sort: 176 vs 578 ms on a
+        # synthetic fully-incoherent wavefront.
+        sort_primary = os.environ.get(
+            "FLEXLIGHT_SPARSE_SORT_PRIMARY", "0") == "1"
+
         # subtile 8 default (round 4, with chunk=2 + subtiled primaries:
         # dragon 1080p direct 806.9 -> 799.4 -> 765.5 ms across batches
         # r4f/r4i; r3's subtile-4 default measured 839.2).
@@ -988,8 +997,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             # below are pre-gathered into drawable order for this scheme.
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
             g = sub
+            do_sort = sort and (hint is not None or sort_primary)
             return traverse_sparse(w4t, w4f, amin, amax, o, d,
-                                   interpret=interp, sort_rays=sort,
+                                   interpret=interp, sort_rays=do_sort,
                                    alive=alive, edge=edge, sort_hint=hint,
                                    ray_tile=rt, sort_mode=smode, subtile=g,
                                    tri_tile=s_tt, chunk=s_ck)
@@ -997,8 +1007,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
         def shadow_fn(o, d, l, alive=None, hint=None):
             rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
             g = sub
+            do_sort = sort and (hint is not None or sort_primary)
             return shadow_sparse(w4t, amin, amax, o, d, l,
-                                 interpret=interp, sort_rays=sort,
+                                 interpret=interp, sort_rays=do_sort,
                                  alive=alive, sort_hint=hint, ray_tile=rt,
                                  sort_mode=smode, subtile=g,
                                  tri_tile=s_tt, chunk=s_ck)
@@ -1018,9 +1029,10 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             def traverse_fn_soa(o3, d3, alive=None, edge=BIAS, hint=None):
                 rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
                 g = sub
+                do_sort = sort and (hint is not None or sort_primary)
                 return traverse_sparse_soa(w4t, w4f, amin, amax, o3, d3,
                                            interpret=interp,
-                                           sort_rays=sort, alive=alive,
+                                           sort_rays=do_sort, alive=alive,
                                            edge=edge, sort_hint=hint,
                                            ray_tile=rt, sort_mode=smode,
                                            subtile=g, tri_tile=s_tt,
@@ -1029,8 +1041,9 @@ def render_mrt(buffers: SceneBuffers, width: int, height: int, camera_pos,
             def shadow_fn_soa(o3, d3, l, alive=None, hint=None):
                 rt = SPARSE_BOUNCE_RAY_TILE if hint is not None else 1024
                 g = sub
+                do_sort = sort and (hint is not None or sort_primary)
                 return shadow_sparse_soa(w4t, amin, amax, o3, d3, l,
-                                         interpret=interp, sort_rays=sort,
+                                         interpret=interp, sort_rays=do_sort,
                                          alive=alive, sort_hint=hint,
                                          ray_tile=rt, sort_mode=smode,
                                          subtile=g, tri_tile=s_tt,

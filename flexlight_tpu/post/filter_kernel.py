@@ -321,10 +321,15 @@ def _disc_body(tlohi_ref, win_ref, out_refs, acc_ref, sc_i_ref, sc_f_ref,
             return stair[s] == np.float32(o)
         return stair[-s] == np.float32(-o)
 
+    # perf bisection only (WRONG RESULTS): replace every ox-group's
+    # unaligned lane slice with the aligned center read, to measure the
+    # vector-realignment share of the pass cost
+    aligntest = os.environ.get("FLEXLIGHT_FILTER_ALIGNTEST", "") == "1"
     for ox, grp_lo, grp_hi, items in _group_by_ox(entries):
         @pl.when((tmax >= grp_lo) & (tmin <= grp_hi))
         def _(ox=ox, items=items):
-            col = win_ref[:, :, rx + ox:rx + ox + tx]   # [5, TYW, tx]
+            xo = 0 if aligntest else ox
+            col = win_ref[:, :, rx + xo:rx + xo + tx]   # [5, TYW, tx]
             int_planes, f32_planes = prep_fn(col)
             for k, v in enumerate(int_planes):
                 sc_i_ref[k] = v
@@ -386,10 +391,13 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
               scale_fn, prep_fn, ctx_fn, init_fn, update_fn, finish_fn,
               valid_fn=None, interpret: bool = False,
               ty: int = TY, tx: int = TX, band_edges=None,
-              n_int: int = 4, n_f32: int = 4, compact: bool = True):
+              n_int: int = 4, n_f32: int = 4, compact: bool = True,
+              packed5=None, chw_out: bool = False):
     """Drive a disc-filter kernel over packed rgba8 images.
 
-    imgs_hwc: (ids, oid, color, ip, ocolor) as [H, W, 4] quantized f32.
+    imgs_hwc: (ids, oid, color, ip, ocolor) as [H, W, 4] quantized f32 —
+    or None with `packed5` a [5, H, W] int32 already-packed stack (the
+    packed-pipeline chain: no per-pass [H, W, 4] relayouts).
     valid_fn: optional per-pixel predicate over the packed image selecting
     pixels whose blur output is actually consumed; excluded pixels do not
     widen the tile scale range (their output must not depend on acc).
@@ -399,8 +407,13 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
     separate kernels (bounds Mosaic code size for wide-scale filters);
     the band partials sum in XLA and finish_fn runs there.
     n_int/n_f32: per-ox scratch plane counts (prep_fn's two tuples).
-    Returns one [H, W, c] f32 output per out_chs entry."""
-    h, w = imgs_hwc[0].shape[0], imgs_hwc[0].shape[1]
+    Returns one [H, W, c] f32 output per out_chs entry — or, with
+    `chw_out`, channels-first [c, H, W] (no transpose; the packed chain
+    packs bytes straight off these planes)."""
+    if packed5 is not None:
+        h, w = packed5.shape[1], packed5.shape[2]
+    else:
+        h, w = imgs_hwc[0].shape[0], imgs_hwc[0].shape[1]
     entries, max_r, svals = _offset_table(stencil_key, *bounds)
     ry = _halo_ry(max_r)
     rx = RX
@@ -408,7 +421,8 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
 
     hp = -(-h // ty) * ty
     wp = -(-w // tx) * tx
-    packed = jnp.stack([pack_rgba8(im) for im in imgs_hwc], axis=0)  # [5,H,W]
+    packed = (packed5 if packed5 is not None
+              else jnp.stack([pack_rgba8(im) for im in imgs_hwc], axis=0))
     padded = jnp.pad(packed, ((0, 0), (ry, ry + hp - h), (rx, rx + wp - w)))
 
     # per-tile scale range for offset skipping (zero-padding keeps scale
@@ -523,6 +537,8 @@ def _run_disc(imgs_hwc, stencil_key: str, bounds, n_acc: int, out_chs,
             acc = acc + call(bentries, (blo, bhi), (n_acc,),
                              zero_init, emit_acc, remap=remap)[0]
         outs = finish_fn(acc, packed_full)
+    if chw_out:
+        return [o[:, :h, :w] for o in outs]
     return [jnp.transpose(o, (1, 2, 0))[:h, :w] for o in outs]
 
 
@@ -825,6 +841,104 @@ def _final_finish_factory(hdr: bool):
         covered = _byte_f(center[COLOR], 3) > 0.0
         return (jnp.where(covered[None], jnp.clip(final, 0.0, 1.0), 0.0),)
     return finish
+
+
+# ---------------------------------------------------------------------------
+# Packed-pipeline pass variants (round 5). The [H, W, 4] float images the
+# legacy wrappers exchange between passes are lane-padded on TPU (minor
+# dim 4 -> 128-lane tiles), so every pass paid a [C,H,W] -> [H,W,4]
+# transpose + re-pack in XLA — measured 2-4 ms/pass at 1080p, roughly
+# HALF the fast-chain cost (scripts/bench_filter_io.py). These variants
+# keep the chain on packed [H, W] int32 planes end to end: inputs are
+# the packed stack, outputs pack straight off the kernels' channels-first
+# planes. Values are IDENTICAL to the legacy wrappers (packing rgba8-
+# quantized floats is lossless; pinned by test_filter_kernel).
+# ---------------------------------------------------------------------------
+
+
+def _pack_planes(planes):
+    """[H, W] quantized-f32 planes (k/255) -> one packed int32 plane."""
+    out = jnp.round(planes[0] * 255.0).astype(jnp.int32)
+    for i, p in enumerate(planes[1:], 1):
+        out = out | (jnp.round(p * 255.0).astype(jnp.int32) << (8 * i))
+    return out
+
+
+def first_filter_tpu_packed(color_p, ip_p, ocolor_p, ids_p, oid_p,
+                            interpret=False, ty: int = 32, tx: int = TX):
+    """first_filter_tpu on packed int32 [H, W] planes in and out.
+    Returns (color_p, ip_p, render_id_p)."""
+    render_id_p, render_ip_w = vote_repair_packed(
+        ids_p, oid_p, _byte_f(ip_p, 3))
+    packed5 = jnp.stack([ids_p, oid_p, color_p, ip_p, ocolor_p], axis=0)
+    new_color, new_ip3 = _run_disc(
+        None, "disc37", FIRST_BOUNDS, n_acc=4, out_chs=(4, 3),
+        scale_fn=_first_scale, prep_fn=_first_prep, ctx_fn=_first_ctx,
+        init_fn=_first_init, update_fn=_first_update,
+        finish_fn=_first_finish, valid_fn=_first_valid,
+        interpret=interpret, band_edges=FIRST_BAND_EDGES,
+        n_int=4, n_f32=3, ty=ty, tx=tx, packed5=packed5, chw_out=True)
+    # color.w is rgba8-quantized (>= 0), so sign(w) == (w > 0)
+    sgn = (_byte_i(color_p, 3) > 0).astype(jnp.float32)
+    ip_w = quantize_rgba8(sgn * render_ip_w)
+    return (_pack_planes([new_color[c] for c in range(4)]),
+            _pack_planes([new_ip3[0], new_ip3[1], new_ip3[2], ip_w]),
+            render_id_p)
+
+
+def second_filter_tpu_packed(color_p, ip_p, ocolor_p, ids_p, oid_p,
+                             interpret=False, ty: int = TY, tx: int = TX,
+                             compact: bool = False, banded: bool = True):
+    """second_filter_tpu on packed planes. Returns (color_p, ip_p,
+    ocolor_p)."""
+    packed5 = jnp.stack([ids_p, oid_p, color_p, ip_p, ocolor_p], axis=0)
+    outs = _run_disc(
+        None, "disc36", SECOND_BOUNDS, n_acc=11, out_chs=(4, 4, 4),
+        scale_fn=_second_scale, prep_fn=_second_prep, ctx_fn=_second_ctx,
+        init_fn=_second_init, update_fn=_second_update,
+        finish_fn=_second_finish, interpret=interpret,
+        band_edges=SECOND_BAND_EDGES if banded else None,
+        n_int=3, n_f32=10, ty=ty, tx=tx, compact=compact,
+        packed5=packed5, chw_out=True)
+    return tuple(_pack_planes([o[c] for c in range(4)]) for o in outs)
+
+
+def final_filter_tpu_packed(color_p, ip_p, ocolor_p, ids_p, oid_p,
+                            hdr: bool, interpret=False, ty: int = TY,
+                            tx: int = TX, compact: bool = False,
+                            banded: bool = True):
+    """final_filter_tpu on packed planes in; returns the display image
+    [H, W, 3] f32 (the chain's one unavoidable relayout)."""
+    packed5 = jnp.stack([ids_p, oid_p, color_p, ip_p, ocolor_p], axis=0)
+    outs = _run_disc(
+        None, "disc37", FINAL_BOUNDS, n_acc=9, out_chs=(3,),
+        scale_fn=_final_scale, prep_fn=_final_prep, ctx_fn=_final_ctx,
+        init_fn=_final_init, update_fn=_final_update,
+        finish_fn=_final_finish_factory(hdr), interpret=interpret,
+        band_edges=FINAL_BAND_EDGES if banded else None,
+        n_int=2, n_f32=9, ty=ty, tx=tx, compact=compact,
+        packed5=packed5)
+    return outs[0]
+
+
+def tileize_blur_key_packed(ocolor_p, ty: int = 32, tx: int = 128):
+    """post.common.tileize_blur_key on a packed plane: byte 3 (the blur
+    key) is replaced by its per-tile nonzero mean; bytes 0-2 untouched."""
+    w = _byte_f(ocolor_p, 3)
+    h, wd = w.shape
+    hp = -(-h // ty) * ty
+    wp = -(-wd // tx) * tx
+    wpad = jnp.pad(w, ((0, hp - h), (0, wp - wd)))
+    t = wpad.reshape(hp // ty, ty, wp // tx, tx)
+    nz = t > 0.0
+    s = jnp.sum(jnp.where(nz, t, 0.0), axis=(1, 3))
+    c = jnp.sum(nz, axis=(1, 3)).astype(jnp.float32)
+    mean = jnp.round(jnp.clip(s / jnp.maximum(c, 1.0), 0.0, 1.0) * 255.0)
+    mean_full = jnp.broadcast_to(
+        mean[:, None, :, None].astype(jnp.int32),
+        t.shape).reshape(hp, wp)[:h, :wd]
+    new_b3 = jnp.where(w > 0.0, mean_full, 0)
+    return (ocolor_p & _XYZ) | (new_b3 << 24)
 
 
 # scale == 0.7 tiles (the no-key common case) reach only 13 offsets.

@@ -250,13 +250,18 @@ def run_matrix(size=64):
     for name, anchor, build in cases:
         reset_global_registry()
         buffers, cam, view, config = build()
-        m = tm.measure_parity(buffers, cam, view, config, size)
+        m = tm.measure_parity(buffers, cam, view, config, size,
+                              tag_outliers=True)
         worst = max(c["max_abs_diff"] for c in m["channels"].values())
         n_over = sum(c["n_over_tol"] for c in m["channels"].values())
+        causes = [o["cause"] for o in m.get("outliers", [])]
         rows.append({"case": name, "anchor": anchor, **m,
-                     "worst": worst, "n_over_tol_total": n_over})
+                     "worst": worst, "n_over_tol_total": n_over,
+                     "n_reroute": causes.count("reroute"),
+                     "n_same_path": causes.count("same-path")})
         print({k: rows[-1][k] for k in ("case", "agree_frac", "idw_flips",
-                                        "worst", "n_over_tol_total")},
+                                        "worst", "n_over_tol_total",
+                                        "n_reroute", "n_same_path")},
               flush=True)
 
     # composed post chain e2e (asserts max diff <= 1e-5 internally)

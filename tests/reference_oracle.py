@@ -325,8 +325,11 @@ def reservoir_sample(b, albedo, rme, tpo, ray_origin, ray_dir, random_vec,
 
 
 def light_trace(b, hit, target, camera, clip_xy, cos_sample_n, bounces,
-                min_importancy, random_seed, g: _Globals):
-    """glsl:464-599. hit = (suv, transform m, triangle slot)."""
+                min_importancy, random_seed, g: _Globals, trace=None):
+    """glsl:464-599. hit = (suv, transform m, triangle slot).
+    `trace`: optional list — appends each bounce's NEXT-hit triangle
+    slot (-1 on miss), mirroring render_mrt's with_trace_hints record,
+    for the parity outlier cause-tagging (VERDICT r4 item 6)."""
     dont_filter = True
     final_color = np.zeros(3, dtype=np.float32)
     importancy = np.ones(3, dtype=np.float32)
@@ -433,6 +436,8 @@ def light_trace(b, hit, target, camera, clip_xy, cos_sample_n, bounces,
                              * roughness_brdf)
 
         suv, hit_m, hit_tri = ray_tracer(b, ray_origin, ray_dir)
+        if trace is not None:
+            trace.append(hit_tri)
         if hit_tri == -1:
             break
         last_hit_point = ray_origin.copy()
@@ -442,7 +447,7 @@ def light_trace(b, hit, target, camera, clip_xy, cos_sample_n, bounces,
 
 
 def render(buffers, width, height, camera_pos, view_matrix, config,
-           random_seed=0.0):
+           random_seed=0.0, with_trace=False):
     """glsl main() (601-646) over a ray-cast primary pass.
 
     Returns a dict mirroring ops.pathtrace.MRT (pre mode-packing):
@@ -464,6 +469,9 @@ def render(buffers, width, height, camera_pos, view_matrix, config,
         "alpha": np.zeros((height, width), dtype=np.float32),
         "location_id": np.zeros((height, width, 4), dtype=np.float32),
     }
+    if with_trace:
+        out["tri_trace"] = np.full(
+            (height, width, config.max_reflections), -1, dtype=np.int32)
     samples = config.samples_per_ray
     for y in range(height):
         for x in range(width):
@@ -479,10 +487,15 @@ def render(buffers, width, height, camera_pos, view_matrix, config,
             g = _Globals()
             final_color = np.zeros(3, dtype=np.float32)
             for s in range(samples):
+                trace = [] if (with_trace and s == samples - 1) else None
                 final_color += light_trace(
                     b, phit, cam + phit[0][0] * direction, cam, ndc,
                     COS(F(s)), config.max_reflections,
-                    F(config.min_importancy), random_seed, g)
+                    F(config.min_importancy), random_seed, g, trace=trace)
+                if trace is not None:
+                    for bi, tv in enumerate(trace):
+                        if bi < config.max_reflections:
+                            out["tri_trace"][y, x, bi] = tv
             final_color *= F(1.0) / F(samples)
             out["color"][y, x] = final_color
             out["original_color"][y, x] = g.original_color

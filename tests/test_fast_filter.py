@@ -109,6 +109,33 @@ def test_zero_keys_identical_in_both_modes():
         _chain(cfg.replace(filter_mode="compat"), imgs))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["compat", "fast"])
+def test_packed_chain_matches_legacy(mode):
+    """The packed-int32 kernel chain (round 5: no [H, W, 4] float
+    intermediates between passes) must equal the legacy chain exactly —
+    packing rgba8-quantized floats is lossless and the kernels are
+    oracle-pinned per pass (test_filter_kernel), so the gather-scheme
+    chain doubles as the chain-level oracle here."""
+    from flexlight_tpu.models.pathtracer import (_filter_chain,
+                                                 _filter_chain_packed)
+
+    rng = np.random.default_rng(13)
+    imgs = _images(rng, 48, 128, "noisy")
+    cfg = cornell_config(filter=True, filter_mode=mode,
+                         first_passes=2, second_passes=3)
+    # the legacy KERNEL chain is the oracle (the gather chain differs
+    # sub-quantization-step on the unquantized final output: documented
+    # tree-reduction-order deviation of the kernels)
+    legacy = np.asarray(_filter_chain(cfg, *imgs, lift=lambda f: f,
+                                      post_scheme="kernel"))
+    packed = np.asarray(_filter_chain_packed(cfg, *imgs))
+    np.testing.assert_array_equal(legacy, packed)
+    # and the gather chain stays within a quantization step
+    gather = _chain(cfg, imgs, post_scheme="gather")
+    assert np.abs(gather - packed).max() < 1.0 / 255.0
+
+
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
 def test_sharded_tileize_matches_single_chip():
     from flexlight_tpu.parallel.tile_sharding import (

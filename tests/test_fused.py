@@ -277,6 +277,43 @@ def test_fused_split_inkernel_tex_matches_mxu(monkeypatch, big_atlas):
             atol=5e-5, rtol=0, err_msg=name)
 
 
+def test_fused_split_dead_subtile_skip(monkeypatch):
+    """The round-5 dead-subtile skip (@pl.when copy branch when no ray in
+    the slice has surface.m) must be RESULT-EXACT vs the unskipped
+    kernel: interpret mode, a camera far enough back that whole
+    128-ray subtiles are sky from the primary cast on."""
+    import jax.numpy as jnp
+
+    from flexlight_tpu.ops.fused import render_mrt_fused_split
+    from tests.scenes import cornell_scene
+
+    scene, camera = cornell_scene()
+    camera.z = -60.0          # box subtends a narrow band: edge tiles die
+    buffers = build_scene_buffers(scene)
+    size = 32
+    view = jnp.asarray(camera.view_matrix(size, size))
+    pos = jnp.asarray(camera.position)
+    config = cornell_config(max_reflections=3)
+    kw = dict(ray_tile=128, subtile=2, interpret=True)
+
+    monkeypatch.setenv("FLEXLIGHT_SPLIT_SKIP", "0")
+    off = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                 jnp.float32(0.0), **kw)
+    monkeypatch.setenv("FLEXLIGHT_SPLIT_SKIP", "1")
+    on = render_mrt_fused_split(buffers, size, size, pos, view, config,
+                                jnp.float32(0.0), **kw)
+    # the setup must actually produce >= 1 fully-dead 128-ray subtile
+    # (4 consecutive image rows with no primary hit), or the skip branch
+    # was never exercised
+    alpha = np.asarray(off.alpha).reshape(size, size)
+    row_dead = (alpha.sum(axis=1) == 0.0).reshape(-1, 4).all(axis=1)
+    assert row_dead.any(), "no dead subtile — camera setup regressed"
+    for name in off._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(off, name)),
+                                      np.asarray(getattr(on, name)),
+                                      err_msg=name)
+
+
 @pytest.mark.slow
 def test_fused_split_kernel_statistics_vs_xla_mode():
     """The interpret kernels: coverage exact, RNG-downstream budgeted

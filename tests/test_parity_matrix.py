@@ -49,7 +49,7 @@ def _aligned_sin():
 
 def _compare(buffers, cam, view, config, size, seed=0.0, outliers=0,
              agree_floor=0.85, scheme="scan", cover_budget=4,
-             flip_budget=0):
+             flip_budget=0, require_reroute_tag=False):
     """test_reference_parity._compare generalized over image size.
 
     `cover_budget`: at 64^2 a handful of rays graze silhouette edges where
@@ -68,7 +68,14 @@ def _compare(buffers, cam, view, config, size, seed=0.0, outliers=0,
     outlier is a flip (non-flip max diff 1.8e-5). Excluded but budgeted:
     a real reservoir bug misselects on most pixels, not a sliver."""
     m = measure_parity(buffers, cam, view, config, size, seed=seed,
-                       scheme=scheme)
+                       scheme=scheme, tag_outliers=require_reroute_tag)
+    if require_reroute_tag:
+        # every over-tolerance pixel must be a path REROUTE (per-bounce
+        # next-hit trace diverges — the fp-chaos class the budget is
+        # for); a same-path outlier would be an arithmetic bug and is
+        # NOT budgeted (VERDICT r4 item 6)
+        same_path = [o for o in m["outliers"] if o["cause"] != "reroute"]
+        assert not same_path, same_path
     assert m["cover_flips"] <= cover_budget, (
         f"{m['cover_flips']} coverage flips (> budget {cover_budget})")
     assert m["worst_nontie_rel"] < 1e-5, (
@@ -96,18 +103,32 @@ CHANNEL_TOLS = [("color", 2e-4), ("original_color", 1e-5),
 
 
 def measure_parity(buffers, cam, view, config, size, seed=0.0,
-                   scheme="scan"):
+                   scheme="scan", tag_outliers=False):
     """Pipeline-vs-scalar-oracle comparison, measurement only (no
     asserts) — shared by the budget-asserting _compare above and
     scripts/parity_report.py, which records the numbers as the committed
-    parity artifact."""
+    parity artifact.
+
+    `tag_outliers` (VERDICT r4 item 6): each over-tolerance pixel is
+    tagged with the CAUSE — "reroute" when its per-bounce next-hit
+    triangle trace diverges from the oracle's at some bounce (the
+    fp-chaos path-divergence class the budgets exist for), "same-path"
+    otherwise (which would indicate a genuine arithmetic bug)."""
     from flexlight_tpu.ops.geometry import world_geometry
     from flexlight_tpu.ops.pathtrace import camera_rays, render_mrt
     from flexlight_tpu.ops.traverse import traverse_scan
 
     h = w = size
-    mrt = render_mrt(buffers, w, h, cam, view, config, seed, scheme=scheme)
-    out = oracle.render(buffers, w, h, cam, view, config, seed)
+    if tag_outliers:
+        mrt, hints = render_mrt(buffers, w, h, cam, view, config, seed,
+                                scheme=scheme, with_trace_hints=True)
+        pipe_trace = np.stack(
+            [np.asarray(x).reshape(h, w) for x in hints], axis=-1)
+    else:
+        mrt = render_mrt(buffers, w, h, cam, view, config, seed,
+                         scheme=scheme)
+    out = oracle.render(buffers, w, h, cam, view, config, seed,
+                        with_trace=tag_outliers)
 
     o3, d3, _ = camera_rays(w, h, cam, view)
     hit = traverse_scan(world_geometry(buffers), o3, d3, edge=-oracle.BIAS)
@@ -140,23 +161,39 @@ def measure_parity(buffers, cam, view, config, size, seed=0.0,
     agree &= ~flips
 
     channels = {}
+    outlier_tags = []
     for name, atol in CHANNEL_TOLS:
         diff = np.abs(out[name] - np.asarray(getattr(mrt, name)
                                              ).reshape(out[name].shape))
-        masked = diff[agree]
-        if masked.ndim > 1:
-            masked = masked.max(axis=-1)
+        if diff.ndim > 2:
+            diff = diff.max(axis=-1)
+        over = agree & (diff > atol)
         channels[name] = {
-            "max_abs_diff": float(masked.max()),
-            "n_over_tol": int((masked > atol).sum()),
+            "max_abs_diff": float(diff[agree].max()),
+            "n_over_tol": int(over.sum()),
             "tol": atol,
         }
-    return {
+        if tag_outliers and over.any():
+            for y, x in zip(*np.nonzero(over)):
+                rerouted = bool(
+                    (pipe_trace[y, x] != out["tri_trace"][y, x]).any())
+                outlier_tags.append({
+                    "channel": name, "y": int(y), "x": int(x),
+                    "diff": float(diff[y, x]),
+                    "cause": "reroute" if rerouted else "same-path",
+                    "pipe_trace": [int(t) for t in pipe_trace[y, x]],
+                    "oracle_trace": [int(t) for t in
+                                     out["tri_trace"][y, x]],
+                })
+    result = {
         "size": size, "agree_frac": agree_frac,
         "cover_flips": cover_flips, "idw_flips": n_flips,
         "worst_nontie_rel": float(worst_nontie_rel),
         "channels": channels,
     }
+    if tag_outliers:
+        result["outliers"] = outlier_tags
+    return result
 
 
 def _example_buffers(module_name, size, animate_frames=0):
@@ -268,7 +305,7 @@ def test_parity_multitile_atlas_64():
     view = camera.view_matrix(SIZE, SIZE)
     cam = np.array([camera.x, camera.y, camera.z], np.float32)
     _compare(buffers, cam, view, cornell_config(max_reflections=2), SIZE,
-             outliers=12)
+             outliers=12, require_reroute_tag=True)
 
 
 # ---------------------------------------------------------------------------

@@ -291,12 +291,45 @@ def test_nearest2_key_kernel_matches_xla():
     direction[::17] = np.array([0.0, 1.0, 0.0])     # axis-aligned zeros
     max_len = np.full(n, POW32, dtype=np.float32)
     max_len[rng.uniform(size=n) < 0.3] = 0.0        # dead rays
+    max_len[2048:] = 0.0    # a FULLY dead ray tile (all-dead fast path)
 
     ref = _nearest2_key_xla(amin, amax, jnp.asarray(origin),
                             jnp.asarray(direction), jnp.asarray(max_len))
     got = nearest2_key(amin, amax, jnp.asarray(origin),
                        jnp.asarray(direction), jnp.asarray(max_len),
                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_flags_sparse_dead_tile_matches_oracle():
+    """The flags kernel's all-dead-tile fast path (round 5) must be
+    value-exact vs the jnp oracle: POW32 everywhere for the dead tile,
+    untouched elsewhere."""
+    from flexlight_tpu.ops.geometry import world_geometry
+    from flexlight_tpu.ops.intersect_sparse import (_tmins_xla,
+                                                    build_w4_tiled,
+                                                    flags_sparse)
+    from flexlight_tpu.ops.buffers import build_scene_buffers
+    from tests.scenes import cornell_scene
+
+    scene, camera = cornell_scene()
+    buffers = build_scene_buffers(scene)
+    wg = world_geometry(buffers)
+    _, amin, amax, _ = build_w4_tiled(wg, buffers.id_buffer, tri_tile=8)
+    rng = np.random.default_rng(3)
+    n = 512                                    # 4 ray tiles of 128
+    origin = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    direction = rng.normal(size=(n, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    max_len = np.full(n, POW32, dtype=np.float32)
+    max_len[128:256] = 0.0                     # tile 1 fully dead
+    got = flags_sparse(amin, amax, jnp.asarray(origin),
+                       jnp.asarray(direction), jnp.asarray(max_len),
+                       tri_tile=8, ray_tile=128, interpret=True)
+    wt = got.shape[1]
+    ref = _tmins_xla(amin, amax, jnp.asarray(origin),
+                     jnp.asarray(direction), jnp.asarray(max_len),
+                     4, wt, 128)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
