@@ -16,4 +16,7 @@ echo "=== B5: input-to-photon latency (cornell 256, depths 0-4)"
 timeout 1800 python scripts/bench_latency.py cornell 256 8
 echo "=== B6: full bench.py at HEAD"
 timeout 3600 python bench.py
+echo "=== B7: cold vs warm compile budget (theater 1080p full)"
+timeout 3600 python scripts/bench_cold_compile.py cold
+timeout 1200 python scripts/bench_cold_compile.py warm
 echo "BATCH R5B DONE"
