@@ -273,6 +273,9 @@ def main():
          ("obj", 1280, 720, "taa", False, False)),
         ("dragon_1080p_direct", bench_direct_cfg, ("dragon", 1920, 1080)),
         ("dragon_1080p_full", bench_pipeline_cfg, ("dragon", 1920, 1080)),
+        # the fifth-config alternate (BASELINE.md): 970 tris exercises the
+        # 512-4096 band the scheme table left unmeasured until round 5
+        ("bike_1080p_direct", bench_direct_cfg, ("bike", 1920, 1080)),
     ]
     for name, fn, args in rest:
         if name in skip:

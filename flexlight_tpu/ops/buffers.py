@@ -190,14 +190,24 @@ def fetch_tex_val_table(table: AtlasTable, u, v, tex_num, default3):
     else:
         # The 2M-index row gather is a hard ~4.4 ms floor on this chip
         # (scripts/bench_fetch_bisect.py — ~2 cycles/row, table size and
-        # barriers irrelevant); what IS avoidable is the [N, 3] -> [3, N]
-        # moveaxis relayout that used to follow it (~3.5 ms/bounce):
-        # slice the channels off the gather result instead.
-        sampled = texels[idx].astype(jnp.float32)
+        # barriers irrelevant). The avoidable part is the traffic of the
+        # lane-padded [N, 3] result (minor dim 3 pads to 128 lanes):
+        # slice per channel BEFORE any f32 cast so every strided read
+        # stays in u8 (4x less physical traffic than a cast-first
+        # [N, 3] f32 intermediate); values identical (cast/slice
+        # commute). FLEXLIGHT_TEX_PAD4 gathers 4-byte-aligned rows
+        # instead (A/B knob for the gather engine's row alignment).
+        import os as _os
+
+        if (texels.dtype == jnp.uint8
+                and _os.environ.get("FLEXLIGHT_TEX_PAD4", "") == "1"):
+            texels = jnp.pad(texels, ((0, 0), (0, 1)))
+        sampled = texels[idx]
+        ch = tuple(sampled[..., c].astype(jnp.float32) for c in range(3))
         if texels.dtype == jnp.uint8:
-            sampled = sampled * jnp.float32(1.0 / 255.0)
-        return tuple(jnp.where(miss, d, sampled[..., c])
-                     for c, d in enumerate(default3))
+            ch = tuple(c * jnp.float32(1.0 / 255.0) for c in ch)
+        return tuple(jnp.where(miss, d, c)
+                     for c, d in zip(ch, default3))
 
 
 def build_scene_buffers(scene, registry=None) -> SceneBuffers:

@@ -53,6 +53,14 @@ TRI_TILE = 128           # triangles per worklist tile (2 cull clusters)
 CHUNK = 4                # tri tiles DMA'd + evaluated per inner-loop step
 CLUSTER = 64
 
+# Round-5 structural knobs, read at import/trace time (A/B bisection —
+# scripts/bench_r5c.sh): prefetch-ahead in the worklist loops and the
+# all-dead-tile fast path in the flags/key kernels.
+import os as _os
+
+_PREFETCH_AHEAD = _os.environ.get("FLEXLIGHT_SPARSE_PREFETCH", "1") != "0"
+_DEAD_TILE_SKIP = _os.environ.get("FLEXLIGHT_SPARSE_DEADSKIP", "1") != "0"
+
 
 """bf16x6 packing: fp32 matmul at HIGHEST precision lowers to 6 MXU
 passes over bf16 limb pairs (A1B1, A1B2, A2B1, A2B2, A1B3, A3B1 with
@@ -157,6 +165,10 @@ def _flags_kernel(rays_ref, amin_ref, amax_ref, out_ref, *, kp: int,
     result there is POW32 everywhere (hit needs tmin < ml = 0 while
     entry >= BIAS), so the fast path is value-exact."""
     ml = rays_ref[0, 6:7, :]
+    if not _DEAD_TILE_SKIP:
+        _flags_body(rays_ref, amin_ref, amax_ref, out_ref, ml, kp=kp,
+                    k_chunk=k_chunk, cpt=cpt, ray_tile=ray_tile)
+        return
     any_live = jnp.max(ml) > 0.0
 
     @pl.when(jnp.logical_not(any_live))
@@ -387,6 +399,10 @@ def _key_kernel(rays_ref, bmin_ref, bmax_ref, out_ref, *, nbp: int,
     live region. All-dead tiles short-circuit to the dead key (1 << 30 —
     exactly what the final where would produce for every lane)."""
     ml = rays_ref[0, 6:7, :]
+    if not _DEAD_TILE_SKIP:
+        _key_body(rays_ref, bmin_ref, bmax_ref, out_ref, ml, nbp=nbp,
+                  k_chunk=k_chunk, ray_tile=ray_tile, nb=nb)
+        return
     any_live = jnp.max(ml) > 0.0
 
     @pl.when(jnp.logical_not(any_live))
@@ -658,8 +674,9 @@ def _kernel_subtile(cnt_ref, edge_ref, f_ref, ml_ref, w_hbm, s_ref,
             # bounds; the one possibly-wasted chunk DMA per subtile is
             # ~200 KB. The single outstanding prefetch is drained after
             # the loop (semaphores must balance across grid steps).
-            cp = jnp.minimum(c + 1, nch - 1)
-            start_chunk(jax.lax.rem(c + 1, 2), cp)
+            if _PREFETCH_AHEAD:
+                cp = jnp.minimum(c + 1, nch - 1)
+                start_chunk(jax.lax.rem(c + 1, 2), cp)
             ft = f_ref[:, rsl]                  # [16, ray_tile]
             dn = (((0,), (0,)), ((), ()))       # contract both dim 0
 
@@ -745,10 +762,15 @@ def _kernel_subtile(cnt_ref, edge_ref, f_ref, ml_ref, w_hbm, s_ref,
                                       tm_s.shape[1] - 1)]
             cont = jnp.logical_and(c + 1 < nch,
                                    worst * _EXIT_REL + _EXIT_ABS >= nxt)
+            if not _PREFETCH_AHEAD:
+                @pl.when(cont)
+                def _():
+                    start_chunk(jax.lax.rem(c + 1, 2), c + 1)
             return (c + 1, cont)
 
         c_end, _ = jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
-        wait_chunk(jax.lax.rem(c_end, 2), jnp.minimum(c_end, nch - 1))
+        if _PREFETCH_AHEAD:
+            wait_chunk(jax.lax.rem(c_end, 2), jnp.minimum(c_end, nch - 1))
 
 
 def _shadow_kernel(cnt_ref, f_ref, ml_ref, tlist_hbm, w_hbm,
@@ -803,9 +825,10 @@ def _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
             c, _ = carry
             slot = jax.lax.rem(c, 2)
             wait_chunk(slot, c)
-            # prefetch-ahead; see _kernel_subtile
-            cp = jnp.minimum(c + 1, nch - 1)
-            start_chunk(jax.lax.rem(c + 1, 2), cp)
+            if _PREFETCH_AHEAD:
+                # prefetch-ahead; see _kernel_subtile
+                cp = jnp.minimum(c + 1, nch - 1)
+                start_chunk(jax.lax.rem(c + 1, 2), cp)
             ft = f_ref[:, rsl]
             dn = (((0,), (0,)), ((), ()))
 
@@ -831,10 +854,15 @@ def _shadow_subtile(cnt_ref, f_ref, ml_ref, w_hbm, hit_ref, w_s, tl_s,
                                                hit_ref[0, g:g + 1, :])
             done = jnp.all((hit_ref[0, g:g + 1, :] > 0) | dead)
             cont = jnp.logical_and(jnp.logical_not(done), c + 1 < nch)
+            if not _PREFETCH_AHEAD:
+                @pl.when(cont)
+                def _():
+                    start_chunk(jax.lax.rem(c + 1, 2), c + 1)
             return (c + 1, cont)
 
         c_end, _ = jax.lax.while_loop(lambda cr: cr[1], body, (0, True))
-        wait_chunk(jax.lax.rem(c_end, 2), jnp.minimum(c_end, nch - 1))
+        if _PREFETCH_AHEAD:
+            wait_chunk(jax.lax.rem(c_end, 2), jnp.minimum(c_end, nch - 1))
 
 
 @partial(jax.jit, static_argnames=("interpret", "precision", "tri_tile",
@@ -1006,16 +1034,16 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
                                    subtile=subtile)
     tri = tri[:n]
     # Exact f32 (s, u, v) of the winner: one vectorized row gather of its
-    # MT constants + a 16-wide dot — the kernel's distance is only an
-    # approx-reciprocal argmin key and never leaves this function.
-    w = jax.lax.optimization_barrier(w4f[jnp.maximum(tri, 0)])   # [n, 64]
-    dots = (w.reshape(-1, 4, 16) * f[:n, None, :]).sum(axis=-1)  # [n, 4]
-    det = dots[:, 0]
+    # MT constants + 16-wide dots (channel-major; see _recover_suv) —
+    # the kernel's distance is only an approx-reciprocal argmin key and
+    # never leaves this function.
+    fch = [f[:n, k] for k in range(16)]
+    det, udet, vdet, sdet = _recover_suv(w4f, tri, fch, n)
     inv = 1.0 / jnp.where(det != 0.0, det, 1.0)
     hit = tri >= 0
-    s = jnp.where(hit, dots[:, 3] * inv, POW32)
-    u = jnp.where(hit, dots[:, 1] * inv, 0.0)
-    v = jnp.where(hit, dots[:, 2] * inv, 0.0)
+    s = jnp.where(hit, sdet * inv, POW32)
+    u = jnp.where(hit, udet * inv, 0.0)
+    v = jnp.where(hit, vdet * inv, 0.0)
     if sort_rays:
         packed = jnp.stack(
             [s, u, v, tri.astype(jnp.float32)], axis=1)[inv_perm]
@@ -1023,6 +1051,36 @@ def _run(w4t, w4f, aabb_min, aabb_max, origin, direction, max_len, cull,
         s, u, v = packed[:, 0], packed[:, 1], packed[:, 2]
         tri = packed[:, 3].astype(jnp.int32)   # drawable ids < 2^24: exact
     return s, u, v, tri
+
+
+
+def _recover_suv(w4f, tri, fch, n):
+    """Exact f32 (det, udet, vdet, sdet) of each ray's winning triangle
+    from its 64 MT constants + the ray's 16 features.
+
+    Default "legacy" form: the [n, 4, 16] product reduce. The
+    "chanmajor" variant (FLEXLIGHT_SPARSE_RECOVERY=chanmajor — one
+    transpose + 64 dense-[n] FMAs) measures 3.95 vs 27.2 ms STANDALONE
+    (bench_recovery) but regresses the dragon frame 611 -> 1049 ms
+    IN-SITU (batch r5c C1/C3): inside the real frame XLA fuses the
+    legacy reduce into its consumers while the chanmajor transpose
+    serializes against them. Kept as a documented negative result;
+    values differ only in f32 summation order (~1 ulp)."""
+    import os as _os
+
+    w = jax.lax.optimization_barrier(w4f[jnp.maximum(tri, 0)])   # [n, 64]
+    if _os.environ.get("FLEXLIGHT_SPARSE_RECOVERY", "legacy") == "legacy":
+        f = jnp.stack(fch, axis=-1)                              # [n, 16]
+        dots = (w.reshape(-1, 4, 16) * f[:, None, :]).sum(axis=-1)
+        return dots[:, 0], dots[:, 1], dots[:, 2], dots[:, 3]
+    wt = w.T                                                     # [64, n]
+    outs = []
+    for p_ in range(4):
+        acc = wt[16 * p_] * fch[0]
+        for k in range(1, 16):
+            acc = acc + wt[16 * p_ + k] * fch[k]
+        outs.append(acc)
+    return outs[0], outs[1], outs[2], outs[3]
 
 
 def _carry_sort(key, cols):
@@ -1112,21 +1170,18 @@ def _run_soa(w4t, w4f, aabb_min, aabb_max, o3, d3, max_len, cull,
                                    ray_tile=ray_tile, chunk=chunk, edge=edge,
                                    subtile=subtile)
     tri = tri[:n]
-    # Exact (s, u, v) of the winner — same expression as _run's tail (the
-    # [n, 16] feature stack fuses into the dot; only the [n, 64] gather
-    # materializes), so values are bit-identical to the row path.
-    w = jax.lax.optimization_barrier(w4f[jnp.maximum(tri, 0)])   # [n, 64]
+    # Exact (s, u, v) of the winner — same expression as _run's tail
+    # (channel-major, _recover_suv), so values are bit-identical to the
+    # row path.
     fch = ([jnp.ones_like(o3[0][:n])] + [c[:n] for c in o3]
            + [c[:n] for c in d3]
            + [d3[c][:n] * o3[k][:n] for c in range(3) for k in range(3)])
-    f = jnp.stack(fch, axis=-1)                                  # [n, 16]
-    dots = (w.reshape(-1, 4, 16) * f[:, None, :]).sum(axis=-1)   # [n, 4]
-    det = dots[:, 0]
+    det, udet, vdet, sdet = _recover_suv(w4f, tri, fch, n)
     inv = 1.0 / jnp.where(det != 0.0, det, 1.0)
     hit = tri >= 0
-    s = jnp.where(hit, dots[:, 3] * inv, POW32)
-    u = jnp.where(hit, dots[:, 1] * inv, 0.0)
-    v = jnp.where(hit, dots[:, 2] * inv, 0.0)
+    s = jnp.where(hit, sdet * inv, POW32)
+    u = jnp.where(hit, udet * inv, 0.0)
+    v = jnp.where(hit, vdet * inv, 0.0)
     if sort_rays:
         s, u, v, tri = _carry_unsort(perm, (s, u, v, tri))
     return s, u, v, tri

@@ -73,6 +73,11 @@ FINAL_BOUNDS = (0.7, 2.7)
 # packed-channel indices
 ID, OID, COLOR, IP, OCOLOR = range(5)
 
+# Round-5 A/B knob: per-offset pl.when (1, default) vs unconditional
+# masked updates (0) — see _disc_body.
+_OFFSET_WHEN = os.environ.get("FLEXLIGHT_FILTER_OFFSET_WHEN", "1") != "0"
+
+
 
 def pack_rgba8(img: jnp.ndarray) -> jnp.ndarray:
     """[..., 4] f32 with values k/255 -> [...] int32 (b0|b1<<8|b2<<16|b3<<24)."""
@@ -342,8 +347,7 @@ def _disc_body(tlohi_ref, win_ref, out_refs, acc_ref, sc_i_ref, sc_f_ref,
                     if sx not in mxs:
                         mxs[sx] = axis_mask(sx, ox)
             for oy, olo, ohi, taps in items:
-                @pl.when((tmax >= olo) & (tmin <= ohi))
-                def _(oy=oy, ox=ox, taps=taps, mxs=mxs):
+                def _offset_update(oy=oy, ox=ox, taps=taps, mxs=mxs):
                     masks = []
                     for sy, sx, _tlo, _thi in taps:
                         my = axis_mask(sy, oy)
@@ -381,6 +385,17 @@ def _disc_body(tlohi_ref, win_ref, out_refs, acc_ref, sc_i_ref, sc_f_ref,
                             w = jnp.where(bandm, w, 0.0)
                     nb = _Nb(sc_i_ref, sc_f_ref, oy, ry, ty)
                     acc_ref[:] = update_fn(acc_ref[:], ctx, nb, w)
+
+                if _OFFSET_WHEN:
+                    pl.when((tmax >= olo) & (tmin <= ohi))(_offset_update)
+                else:
+                    # unconditional: the in-kernel tap masks are exact
+                    # (w = 0 where a tap does not fire), so the per-
+                    # offset pl.when is a pure skip optimization — at
+                    # ~150 scalar branches per (tile, band) the branch
+                    # overhead can exceed the masked vector update
+                    # (round-5 A/B knob)
+                    _offset_update()
 
     outs = finish_fn(acc_ref[:], center)
     for ref, val in zip(out_refs, outs):
