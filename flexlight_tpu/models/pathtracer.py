@@ -92,11 +92,14 @@ def _filter_chain_packed(config: Config, r0, ip0, oc0, id0, oid):
 
     fast = config.filter_mode == "fast"
     interp = jax.default_backend() == "cpu"
+    # FLEXLIGHT_FILTER_TY: chip A/B knob for the fast-mode second/final
+    # tile height (default 32; program-fixed-cost vs halo tradeoff)
+    ty2 = int(os.environ.get("FLEXLIGHT_FILTER_TY", "0")) or 32
     first_fn = partial(first_filter_tpu_packed, interpret=interp)
     if fast:
-        second_fn = partial(second_filter_tpu_packed, ty=32, compact=True,
+        second_fn = partial(second_filter_tpu_packed, ty=ty2, compact=True,
                             interpret=interp)
-        final_fn = partial(final_filter_tpu_packed, ty=32, compact=True,
+        final_fn = partial(final_filter_tpu_packed, ty=ty2, compact=True,
                            interpret=interp)
     else:
         second_fn = partial(second_filter_tpu_packed, interpret=interp)

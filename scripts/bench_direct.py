@@ -28,6 +28,7 @@ def main():
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     h = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mr = int(sys.argv[5]) if len(sys.argv) > 5 else 5
     brt = os.environ.get("FLEXLIGHT_BOUNCE_RT")
     if brt:
         import flexlight_tpu.ops.pathtrace as pt
@@ -37,7 +38,7 @@ def main():
     engine = mod.build_scene()
     if isinstance(engine, tuple):
         engine = engine[0]
-    config = Config(samples_per_ray=1, max_reflections=5, temporal=False,
+    config = Config(samples_per_ray=1, max_reflections=mr, temporal=False,
                     filter=False, antialiasing=None)
     engine.canvas = (w, h)
     engine.config = config
@@ -55,8 +56,8 @@ def main():
         return mrt.color
 
     dt = device_time(frame, pos, view, buffers, iters=iters)
-    print(f"{scene} {w}x{h} scheme={scheme}: {dt * 1000.0:.1f} ms/frame",
-          flush=True)
+    print(f"{scene} {w}x{h} scheme={scheme} mr={mr}: {dt * 1000.0:.1f} "
+          "ms/frame", flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,14 @@ FLEXLIGHT_FILTER_OFFSET_WHEN=0 timeout 2400 python scripts/bench_stages.py theat
 echo "=== D8: bike 1080p kernel vs fused_split"
 timeout 2400 python scripts/bench_direct.py bike 1920 1080 3
 FLEXLIGHT_SCHEME=fused_split timeout 2400 python scripts/bench_direct.py bike 1920 1080 3
+echo "=== D14: theater stages FILTER_TY=64"
+FLEXLIGHT_FILTER_TY=64 timeout 2400 python scripts/bench_stages.py theater 1920 1080
+echo "=== D12: dragon BOUNCE_RT=512 SUBTILE=16 (union shrink at const programs)"
+FLEXLIGHT_BOUNCE_RT=512 FLEXLIGHT_SPARSE_SUBTILE=16 timeout 2400 python scripts/bench_direct.py dragon 1920 1080 3
+echo "=== D15: dragon mr sweep (marginal decomposition)"
+timeout 1800 python scripts/bench_direct.py dragon 1920 1080 3 0
+timeout 1800 python scripts/bench_direct.py dragon 1920 1080 3 1
+timeout 1800 python scripts/bench_direct.py dragon 1920 1080 3 3
 echo "=== D9: latency depths"
 timeout 1800 python scripts/bench_latency.py cornell 256 8
 echo "=== D10: bench.py"

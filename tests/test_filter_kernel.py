@@ -154,6 +154,28 @@ def tiled_imgs():
     return color, ip, ocolor, ids, oid
 
 
+@pytest.mark.parametrize("which", ["second", "final"])
+def test_offset_when_off_matches_on(tiled_imgs, which, monkeypatch):
+    """FLEXLIGHT_FILTER_OFFSET_WHEN=0 replaces the per-offset pl.when
+    skip with unconditional masked updates — results must be BIT-exact
+    (the tap masks are exact; the when is a pure skip optimization)."""
+    color, ip, ocolor, ids, oid = tiled_imgs
+
+    def run():
+        if which == "second":
+            return K.second_filter_tpu(color, ip, ocolor, ids, oid,
+                                       interpret=True, ty=16)
+        return (K.final_filter_tpu(color, ip, ocolor, ids, oid, True,
+                                   interpret=True, ty=16),)
+
+    monkeypatch.setattr(K, "_OFFSET_WHEN", True)
+    on = run()
+    monkeypatch.setattr(K, "_OFFSET_WHEN", False)
+    off = run()
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("which", ["first", "second", "final"])
 def test_compact_matches_uncompacted_tiles(tiled_imgs, which, monkeypatch):
