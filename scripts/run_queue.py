@@ -41,7 +41,7 @@ def run_entry(cmd, timeout=2400):
     log(f"RUN {cmd}")
     p = subprocess.Popen(cmd, shell=True, cwd=ROOT,
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                         text=True)
+                         text=True, start_new_session=True)
     t0 = time.time()
     out = []
     import threading
@@ -58,22 +58,38 @@ def run_entry(cmd, timeout=2400):
         time.sleep(20)
         el = time.time() - t0
         if el > timeout:
-            p.kill()
+            try:
+                os.killpg(p.pid, 9)
+            except Exception:
+                p.kill()
             log("  TIMEOUT, killed")
             return False
-        # hang detection: after 10 min with no output, check CPU burn
+        # hang detection: after 10 min with no output, check the CPU
+        # burned across the whole session (the shell's own stat stays
+        # ~0 while its python child works)
         if el > 600 and not out:
+            cpu_s = 0.0
             try:
-                with open(f"/proc/{p.pid}/stat") as fh:
-                    parts = fh.read().split()
-                cpu_s = (int(parts[13]) + int(parts[14])) / os.sysconf(
-                    "SC_CLK_TCK")
+                import glob
+
+                tck = os.sysconf("SC_CLK_TCK")
+                for st in glob.glob("/proc/[0-9]*/stat"):
+                    try:
+                        parts = open(st).read().rsplit(") ", 1)[1].split()
+                        # session id is field 3 after the comm field
+                        if int(parts[3]) == p.pid:
+                            cpu_s += (int(parts[11]) + int(parts[12])) / tck
+                    except Exception:
+                        continue
             except Exception:
                 cpu_s = 1e9
-            if cpu_s < 60:
-                p.kill()
-                log(f"  HANG detected (cpu {cpu_s:.0f}s at {el:.0f}s), "
-                    "killed")
+            if cpu_s < 30:
+                try:
+                    os.killpg(p.pid, 9)
+                except Exception:
+                    p.kill()
+                log(f"  HANG detected (session cpu {cpu_s:.0f}s at "
+                    f"{el:.0f}s), killed")
                 return False
     th.join(timeout=5)
     ok = p.returncode == 0 and bool(out)
