@@ -92,9 +92,11 @@ def _filter_chain_packed(config: Config, r0, ip0, oc0, id0, oid):
 
     fast = config.filter_mode == "fast"
     interp = jax.default_backend() == "cpu"
-    # FLEXLIGHT_FILTER_TY: chip A/B knob for the fast-mode second/final
-    # tile height (default 32; program-fixed-cost vs halo tradeoff)
-    ty2 = int(os.environ.get("FLEXLIGHT_FILTER_TY", "0")) or 32
+    # FLEXLIGHT_FILTER_TY: fast-mode second/final tile height. Default
+    # 64 since the round-5 chip A/B (theater 1080p fast chain: 48.1 ms
+    # at ty=32 -> 42.0 at ty=64 — fewer programs/windows beat the
+    # halo/skip tightness at this size; scripts/bench_stages.py D14)
+    ty2 = int(os.environ.get("FLEXLIGHT_FILTER_TY", "0")) or 64
     first_fn = partial(first_filter_tpu_packed, interpret=interp)
     if fast:
         second_fn = partial(second_filter_tpu_packed, ty=ty2, compact=True,

@@ -73,9 +73,11 @@ FINAL_BOUNDS = (0.7, 2.7)
 # packed-channel indices
 ID, OID, COLOR, IP, OCOLOR = range(5)
 
-# Round-5 A/B knob: per-offset pl.when (1, default) vs unconditional
-# masked updates (0) — see _disc_body.
-_OFFSET_WHEN = os.environ.get("FLEXLIGHT_FILTER_OFFSET_WHEN", "1") != "0"
+# Per-offset pl.when (1) vs unconditional masked updates (0, default
+# since the round-5 chip A/B: theater fast chain 48.1 -> 46.8 ms — ~150
+# scalar branches per (tile, band) cost more than the masked vector
+# updates they skip; equality pinned by test_offset_when_off_matches_on).
+_OFFSET_WHEN = os.environ.get("FLEXLIGHT_FILTER_OFFSET_WHEN", "0") != "0"
 
 
 
