@@ -355,16 +355,14 @@ class PathTracer:
             # at every measured size (chip 2026-08-20: theater 1080p
             # 104.0 vs 152.0, obj 720p 77.5 vs 102, emissive 512 10.4 vs
             # 13.4, cornell 256 2.4 vs 2.5 — docs/PERF.md round-4
-            # batches I/K). Capped at 512 triangles: every chip win was
-            # measured at <= 384 padded tri rows; beyond that the split
-            # kernels shrink their ray tiles for the in-kernel MT
-            # product (bike's 970 tris -> rt=256, (2, 128) half-empty
-            # bricks) and are unmeasured — those scenes keep the dense
-            # kernel scheme until a chip A/B says otherwise.
+            # batches I/K). Round 5 closed the previously unmeasured
+            # 512-1024 band: bike (970 tris, rt shrunk to 256 for the
+            # in-kernel MT product) measured 130.2 ms fused_split vs
+            # 358.9 kernel scheme at 1080p — so auto-dispatch now covers
+            # the full fused_split eligibility range (<= MAX_TRIS 1024).
             from ..ops.fused import fused_split_eligible
 
-            if (self._buffers.id_buffer.shape[0] <= 512
-                    and fused_split_eligible(self._buffers)):
+            if fused_split_eligible(self._buffers):
                 return "fused_split"
             return "kernel"
         return "sparse"
