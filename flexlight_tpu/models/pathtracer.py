@@ -97,7 +97,10 @@ def _filter_chain_packed(config: Config, r0, ip0, oc0, id0, oid):
     # at ty=32 -> 42.0 at ty=64 — fewer programs/windows beat the
     # halo/skip tightness at this size; scripts/bench_stages.py D14)
     ty2 = int(os.environ.get("FLEXLIGHT_FILTER_TY", "0")) or 64
-    first_fn = partial(first_filter_tpu_packed, interpret=interp)
+    # first pass keeps ty=32 (r3 sweep: 15.1 vs 21.1/23.0 at 64/128 on
+    # mixed keys); FLEXLIGHT_FILTER_TY1 re-tests under fast keys
+    ty1 = int(os.environ.get("FLEXLIGHT_FILTER_TY1", "0")) or 32
+    first_fn = partial(first_filter_tpu_packed, ty=ty1, interpret=interp)
     if fast:
         second_fn = partial(second_filter_tpu_packed, ty=ty2, compact=True,
                             interpret=interp)
